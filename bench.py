@@ -1,0 +1,113 @@
+"""Benchmark driver: fast_st stylization throughput on the local chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric: stylized 256px images/sec/chip through the flagship
+ImageTransformNet (the BASELINE.json north-star asks for >= 1000 img/s/chip;
+``vs_baseline`` is measured/1000). Additional diagnostics (Gatys iters/sec,
+video frames/sec) go to stderr so stdout stays a single JSON line.
+
+Timing methodology: on the axon-tunneled TPU backend ``block_until_ready``
+does not synchronize, so each timed region chains iterations (output feeds
+the next input where possible) and ends with a scalar host readback that
+forces completion of the whole chain.
+
+Run: ``python bench.py``. Env knobs: BENCH_BATCH (default 64), BENCH_ITERS
+(default 20), BENCH_SKIP_EXTRAS=1 for headline only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from styletransfer_tpu.engines import gatys, video
+    from styletransfer_tpu.models import transformer, vgg
+
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    size = 256
+
+    log(f"devices: {jax.devices()}  batch={batch}  size={size}  iters={iters}")
+
+    # --- Headline: fast_st inference throughput (img/s/chip at 256px) ---
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, size, size, 3)),
+        dtype=jnp.float32,
+    )
+    apply_jit = jax.jit(transformer.apply)
+
+    t0 = time.perf_counter()
+    y = apply_jit(params, x)
+    float(jnp.sum(y))  # force compile + execute
+    log(f"fast_st compile+first: {time.perf_counter() - t0:.1f}s")
+
+    best = 0.0
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(iters):
+            y = apply_jit(params, y)  # chained: serializes execution
+        float(jnp.sum(y))  # host readback forces completion
+        dt = time.perf_counter() - t0
+        best = max(best, batch * iters / dt)
+    imgs_per_sec = best
+    log(f"fast_st inference: {imgs_per_sec:.1f} img/s")
+
+    if os.environ.get("BENCH_SKIP_EXTRAS") != "1":
+        # --- Gatys iters/sec (100 Adam iters at 256px, driver config 1) ---
+        vgg_params = vgg.init_params(jax.random.PRNGKey(0))
+        content, style = x[:1], x[1:2]
+        grams = vgg.style_gram_targets(vgg_params, style)
+        steps = 100
+
+        out, _ = gatys._run_adam(vgg_params, content, grams, steps, 1e5, 1.0, 0.05)
+        float(jnp.sum(out))  # compile
+        t0 = time.perf_counter()
+        out, _ = gatys._run_adam(vgg_params, content, grams, steps, 1e5, 1.0, 0.05)
+        float(jnp.sum(out))
+        dt = time.perf_counter() - t0
+        log(f"gatys: {steps / dt:.1f} iters/s")
+
+        # --- video frames/sec (recurrent scan, batch 1) ---
+        vparams = transformer.init_video_params(jax.random.PRNGKey(1))
+        frames = jnp.asarray(
+            np.random.default_rng(1).standard_normal((48, 1, size, size, 3)),
+            dtype=jnp.float32,
+        )
+        outs = video._stylize_chunk(vparams, frames, frames[0])
+        float(jnp.sum(outs))  # compile
+        t0 = time.perf_counter()
+        outs = video._stylize_chunk(vparams, frames, frames[0])
+        float(jnp.sum(outs))
+        dt = time.perf_counter() - t0
+        log(f"video: {frames.shape[0] / dt:.1f} frames/s")
+
+    baseline_target = 1000.0  # BASELINE.json north star: 1k img/s/chip
+    print(
+        json.dumps(
+            {
+                "metric": "fast_st_images_per_sec_256px",
+                "value": round(imgs_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / baseline_target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+"""Entry point: ``python -m styletransfer_tpu <group> <task>``.
+
+Same dispatch contract as the reference ``python -m stransfer``
+(reference ``__main__.py:1-6``).
+"""
+
+from styletransfer_tpu.clis import cli
+
+if __name__ == "__main__":
+    cli(prog_name="styletransfer_tpu")

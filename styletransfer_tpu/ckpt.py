@@ -1,0 +1,162 @@
+"""Checkpoint save/load with the reference's naming + discovery contract.
+
+Rebuild of the reference checkpoint I/O (network.py:38-76, 767-770,
+1066-1069): per-epoch files under ``data/models/`` named
+``{model}_{style}_epoch{e}``, "latest" discovery by model+style, and resume
+semantics (skip an epoch whose checkpoint already exists).
+
+Native format is msgpack-serialized JAX pytrees (flax.serialization) —
+host-cheap, mmap-friendly, and independent of torch. Reference-produced
+``.pth`` state dicts are read transparently through the torch importer
+(:func:`styletransfer_tpu.models.transformer.import_torch_state_dict`), so
+pretrained reference weights remain usable (README.md:64-68 workflow).
+
+Quirk handled deliberately (SURVEY.md §"quirks"): the reference picks
+"latest" by lexicographic filename sort, so ``epoch10`` sorts before
+``epoch2`` (network.py:65-67). We parse the epoch number and sort
+numerically, while still reading reference-named files.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from styletransfer_tpu import constants
+from styletransfer_tpu.utils.logging import get_logger
+
+_EPOCH_RE = re.compile(r"epoch(\d+)")
+
+CKPT_SUFFIX = ".msgpack"
+
+
+def _models_dir(models_path: Optional[str] = None) -> str:
+    path = models_path or constants.MODELS_PATH
+    if not os.path.isabs(path):
+        path = os.path.join(constants.PROJECT_ROOT_PATH, path)
+    return path
+
+
+def checkpoint_path(
+    model_name: str, style_name: str, epoch: int, models_path: Optional[str] = None
+) -> str:
+    """``data/models/{model}_{style}_epoch{e}.msgpack`` (reference network.py:677)."""
+    return os.path.join(
+        _models_dir(models_path), f"{model_name}_{style_name}_epoch{epoch}{CKPT_SUFFIX}"
+    )
+
+
+def save(params: Any, path: str) -> None:
+    """Serialize a param pytree to msgpack bytes at ``path``."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    data = serialization.to_bytes(jax.device_get(params))
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def load(path: str, template: Any) -> Any:
+    """Load a msgpack pytree saved by :func:`save`, shaped like ``template``."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_epoch(
+    params: Any,
+    model_name: str,
+    style_name: str,
+    epoch: int,
+    models_path: Optional[str] = None,
+) -> str:
+    path = checkpoint_path(model_name, style_name, epoch, models_path)
+    save(params, path)
+    return path
+
+
+def epoch_checkpoint_exists(
+    model_name: str, style_name: str, epoch: int, models_path: Optional[str] = None
+) -> bool:
+    """Resume-skip check (reference network.py:681-685)."""
+    return os.path.isfile(checkpoint_path(model_name, style_name, epoch, models_path))
+
+
+def _epoch_of(filename: str) -> int:
+    m = _EPOCH_RE.search(filename)
+    return int(m.group(1)) if m else -1
+
+
+def find_latest(
+    model_name: str, style_name: str, models_path: Optional[str] = None
+) -> Tuple[str, int]:
+    """Find the newest checkpoint file for (model, style).
+
+    Matches the reference's filename filter — startswith(model) and style in
+    name (network.py:65-67) — accepting both our ``.msgpack`` files and
+    reference ``.pth`` files, but sorts **numerically** by epoch.
+
+    Returns ``(path, epoch)``; raises ``FileNotFoundError`` if none exist
+    (the reference raises AssertionError with a critical log,
+    network.py:68-74).
+    """
+    directory = _models_dir(models_path)
+    try:
+        # Match the style against the part after the model prefix only
+        # (the reference's bare substring check — network.py:65-67 — can
+        # false-match a short style name inside the model name itself).
+        names = [
+            x
+            for x in os.listdir(directory)
+            if x.startswith(model_name)
+            and style_name in os.path.splitext(x)[0][len(model_name):]
+            and (x.endswith(CKPT_SUFFIX) or x.endswith(".pth"))
+        ]
+    except FileNotFoundError:
+        names = []
+    if not names:
+        get_logger().critical(
+            "There are no weights for the specified model name (%s) and style "
+            "(%s). In the specified path: %s",
+            model_name, style_name, directory,
+        )
+        raise FileNotFoundError(
+            f"No weights for model {model_name!r} and style {style_name!r} in {directory}"
+        )
+    # Prefer higher epoch; among equal epochs prefer native msgpack.
+    names.sort(key=lambda n: (_epoch_of(n), n.endswith(CKPT_SUFFIX)))
+    chosen = names[-1]
+    return os.path.join(directory, chosen), _epoch_of(chosen)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch ``.pth`` state dict into numpy arrays (CPU)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()}
+
+
+def load_latest_transformer(
+    model_name: str,
+    style_name: str,
+    template: Any,
+    models_path: Optional[str] = None,
+) -> Tuple[Any, int]:
+    """Load the latest transform-net weights for (model, style).
+
+    Equivalent of ``_load_latest_model_weigths`` (network.py:53-76) followed
+    by ``load_state_dict``: reads our msgpack natively and reference ``.pth``
+    dicts through the layout converter.
+    """
+    from styletransfer_tpu.models import transformer
+
+    path, epoch = find_latest(model_name, style_name, models_path)
+    if path.endswith(".pth"):
+        params = transformer.import_torch_state_dict(load_torch_state_dict(path))
+    else:
+        params = load(path, template)
+    get_logger().info("Loaded %s (epoch %d)", path, epoch)
+    return params, epoch

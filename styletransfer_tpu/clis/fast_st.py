@@ -1,0 +1,75 @@
+"""``fast_st`` CLI — feed-forward style transfer (train / convert-image).
+
+Mirrors the reference group (clis/fast_st.py:11-63): ``train`` with
+epochs/batch-size/weights options (style name = basename of the style path,
+clis/fast_st.py:31) and ``convert-image`` loading the latest checkpoint for
+a style name.
+"""
+
+import os
+
+import click
+
+from styletransfer_tpu import constants
+from styletransfer_tpu.utils.logging import get_logger
+
+LOGGER = get_logger()
+
+
+@click.group()
+def fast_st():
+    """Fast Style Transfer"""
+
+
+@fast_st.command()
+@click.argument("style-image-path")
+@click.option("-e", "--epochs", default=50,
+              help="How many epochs the training will take")
+@click.option("-b", "--batch-size", default=4, help="Batch size for training")
+@click.option("-cw", "--content-weight", default=1,
+              help="The weight we will assign to the content loss during the optimization")
+@click.option("-sw", "--style-weight", default=100_000,
+              help="The weight we will assign to the style loss during the optimization")
+def train(style_image_path, epochs, batch_size, content_weight, style_weight):
+    """
+    Perform the training for the fast style transfer network. A checkpoint
+    will be created at the end of each epoch in the `data/models/` directory.
+    """
+    import jax.numpy as jnp
+
+    from styletransfer_tpu.engines import fast
+    from styletransfer_tpu.utils import images
+
+    style_name = style_image_path.split("/")[-1]
+    LOGGER.info("Training fast style transfer network with style name: %s", style_name)
+
+    style_image_path = os.path.join(constants.PROJECT_ROOT_PATH, style_image_path)
+    style_image = jnp.asarray(images.load_image(style_image_path))
+
+    fast.static_train(
+        style_image,
+        style_name=style_name,
+        epochs=epochs,
+        batch_size=batch_size,
+        style_weight=style_weight,
+        content_weight=content_weight,
+    )
+
+
+@fast_st.command()
+@click.argument("image-path")
+@click.argument("style-name")
+@click.option("-o", "--out-dir", default="results/",
+              help="The results directory where the converted image will be saved")
+def convert_image(image_path, style_name, out_dir):
+    """
+    Converts the image at `image-path` using the network pretrained with
+    `style-name` and saves the resulting transformed image in `out-dir`.
+
+    A pretrained model should exist in `data/models/` for the specified
+    `style-name` (e.g. `fast_st_the_great_wave_epoch1.msgpack`; reference
+    `.pth` checkpoints are read too).
+    """
+    from styletransfer_tpu.engines import fast
+
+    fast.process_image(image_path=image_path, style_name=style_name, out_dir=out_dir)

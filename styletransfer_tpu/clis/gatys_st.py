@@ -1,0 +1,70 @@
+"""``gatys_st`` CLI — optimization-based style transfer.
+
+Mirrors the reference command (clis/gatys_st.py:11-48): positional content
+and style image paths, ``-n/--out-name`` (default ``gatys_converted.png``),
+``-s/--steps`` (default 300), ``-cw``/``-sw`` weights. Adds TPU-native
+options for the optimizer choice (on-device scanned Adam vs. L-BFGS).
+"""
+
+import os
+
+import click
+
+from styletransfer_tpu import constants
+from styletransfer_tpu.utils.logging import get_logger
+
+LOGGER = get_logger()
+
+
+@click.command()
+@click.argument("content-image-path")
+@click.argument("style-image-path")
+@click.option("-n", "--out-name", default="gatys_converted.png",
+              help="The name of the result file (transformed image)")
+@click.option("-s", "--steps", default=300,
+              help="How many iterations should the optimization go through.")
+@click.option("-cw", "--content-weight", default=1,
+              help="The weight we will assign to the content loss during the optimization")
+@click.option("-sw", "--style-weight", default=100_000,
+              help="The weight we will assign to the style loss during the optimization")
+@click.option("--optimizer", default="adam", type=click.Choice(["adam", "lbfgs"]),
+              help="On-device optimizer for the pixel optimization")
+@click.option("--learning-rate", default=0.05, help="Adam learning rate")
+def gatys_st(content_image_path, style_image_path, out_name, steps,
+             content_weight, style_weight, optimizer, learning_rate):
+    """
+    Run the original Gatys style transfer. Both `style-image` and
+    `content-image` should be the paths to the image we want to take the
+    content from and the one we want to take the style from (respectively).
+    """
+    # Heavy imports deferred so `--help` stays instant.
+    import jax.numpy as jnp
+
+    from styletransfer_tpu.engines import gatys
+    from styletransfer_tpu.models import vgg
+    from styletransfer_tpu.utils import images
+
+    style_image_path = os.path.join(constants.PROJECT_ROOT_PATH, style_image_path)
+    content_image_path = os.path.join(constants.PROJECT_ROOT_PATH, content_image_path)
+
+    style_image = jnp.asarray(images.load_image(style_image_path))
+    content_image = jnp.asarray(images.load_image(content_image_path))
+
+    vgg_params = vgg.load_params()
+
+    converted, _losses = gatys.train_gatys(
+        vgg_params,
+        style_image=style_image,
+        content_image=content_image,
+        steps=steps,
+        style_weight=style_weight,
+        content_weight=content_weight,
+        optimizer=optimizer,
+        learning_rate=learning_rate,
+    )
+
+    out_dir = os.path.join(constants.PROJECT_ROOT_PATH, "results")
+    os.makedirs(out_dir, exist_ok=True)
+    out_file = os.path.join(out_dir, out_name)
+    images.save_image(converted, out_file)
+    LOGGER.info("Done! Transformed image has been saved to: %s", out_file)

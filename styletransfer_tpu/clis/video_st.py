@@ -1,0 +1,89 @@
+"""``video_st`` CLI — video style transfer (train / convert-video).
+
+Mirrors the reference group (clis/video_st.py:11-87): ``train`` with the
+extra ``-tw/--temporal-weight`` and ``--use-pretrained-fast-st`` options,
+and ``convert-video`` with ``--fps``.
+"""
+
+import os
+
+import click
+
+from styletransfer_tpu import constants
+from styletransfer_tpu.utils.logging import get_logger
+
+LOGGER = get_logger()
+
+
+@click.group()
+def video_st():
+    """Video Style Transfer"""
+
+
+@video_st.command()
+@click.argument("style-image-path")
+@click.option("-e", "--epochs", default=50,
+              help="How many epochs the training will take")
+@click.option("-b", "--batch-size", default=4, help="Batch size for training")
+@click.option("-cw", "--content-weight", default=1,
+              help="The weight we will assign to the content loss during the optimization")
+@click.option("-sw", "--style-weight", default=100_000,
+              help="The weight we will assign to the style loss during the optimization")
+@click.option("-tw", "--temporal-weight", default=0.8,
+              help="The weight we will assign to the temporal loss during the optimization")
+@click.option("--use-pretrained-fast-st", is_flag=True,
+              help="States whether we want to start training the video model from "
+                   "pretrained fast style transfer weights (which was trained on the "
+                   "same style name)")
+def train(style_image_path, epochs, batch_size, content_weight, style_weight,
+          temporal_weight, use_pretrained_fast_st):
+    """
+    Perform the training for the video style transfer network. A checkpoint
+    will be created at the end of each epoch in the `data/models/` directory.
+
+    Optionally warm-starts from pretrained fast style transfer weights of the
+    same style name (latest epoch).
+    """
+    import jax.numpy as jnp
+
+    from styletransfer_tpu.engines import video
+    from styletransfer_tpu.utils import images
+
+    style_name = style_image_path.split("/")[-1]
+    LOGGER.info("Training video style transfer network with style name: %s", style_name)
+
+    style_image_path = os.path.join(constants.PROJECT_ROOT_PATH, style_image_path)
+    style_image = jnp.asarray(images.load_image(style_image_path))
+
+    video.video_train(
+        style_image,
+        style_name=style_name,
+        epochs=epochs,
+        batch_size=batch_size,
+        style_weight=style_weight,
+        content_weight=content_weight,
+        temporal_weight=temporal_weight,
+        use_pretrained_fast_st=use_pretrained_fast_st,
+    )
+
+
+@video_st.command()
+@click.argument("video-path")
+@click.argument("style-name")
+@click.option("-o", "--out-dir", default="results/",
+              help="The results directory where the converted style will be saved")
+@click.option("--fps", default=24.0,
+              help="The FPS that will be used when saving the transformed video")
+def convert_video(video_path, style_name, out_dir, fps):
+    """
+    Converts the video at `video-path` using the network pretrained with
+    `style-name` and saves the resulting transformed video in `out-dir`.
+
+    A pretrained model should exist in `data/models/` for the specified
+    `style-name`.
+    """
+    from styletransfer_tpu.engines import video
+
+    video.process_video(
+        video_path=video_path, style_name=style_name, out_dir=out_dir, fps=fps
+    )

@@ -1,0 +1,282 @@
+"""Fast (feed-forward) style transfer: training, eval, and inference.
+
+TPU-native rebuild of ``ImageTransformNet.static_train`` / ``static_test`` /
+``process_image`` (network.py:651-832). Design changes vs. the reference:
+
+- The whole optimization step (transform-net forward, VGG perceptual loss,
+  backward, Adam update) is **one jitted XLA program**; the only host work
+  per step is feeding the next batch and reading back three scalars on the
+  logging cadence.
+- Data parallelism over a ``jax.sharding.Mesh``: the batch is sharded on the
+  ``data`` axis, params/optimizer state are replicated, and XLA inserts the
+  gradient all-reduce (psum over ICI). Single-device is the same code with a
+  1-device mesh.
+- The input pipeline decodes on background threads and prefetches batches to
+  device (the reference decodes synchronously in-loop — dataset.py:344-358).
+- Logging keeps the reference cadences and tags (scalars every 20 its on
+  ``data/fst_train_loss``, eval every 150 on ``data/fst_test_loss``, images
+  every 50 on ``data/fst_images`` — network.py:733-761) but reuses the
+  step's own loss instead of re-running the closure (the reference computes
+  the loss twice every 20th step, network.py:733-741).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from styletransfer_tpu import ckpt, constants
+from styletransfer_tpu.data import coco
+from styletransfer_tpu.models import transformer, vgg
+from styletransfer_tpu.ops import losses
+from styletransfer_tpu.parallel import mesh as mesh_lib
+from styletransfer_tpu.parallel import prefetch
+from styletransfer_tpu.utils import images as img_utils
+from styletransfer_tpu.utils import tb
+from styletransfer_tpu.utils.logging import get_logger
+
+MODEL_NAME = "fast_st"
+
+# torch Adam defaults (the reference uses optim.Adam with no overrides,
+# network.py:643-649): lr=1e-3, betas=(0.9, 0.999), eps=1e-8.
+ADAM_LR = 1e-3
+
+
+def make_optimizer(learning_rate: float = ADAM_LR) -> optax.GradientTransformation:
+    return optax.adam(learning_rate)
+
+
+def loss_fn(
+    params,
+    batch: jnp.ndarray,
+    vgg_params,
+    style_grams,
+    style_weight: float,
+    content_weight: float,
+    compute_dtype=None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Perceptual training objective (network.py:690-731): style + content + TV."""
+    transformed = transformer.apply(params, batch, compute_dtype=compute_dtype)
+    perceptual, comps = vgg.perceptual_loss(
+        vgg_params, transformed, batch, style_grams,
+        style_weight=style_weight, content_weight=content_weight,
+        compute_dtype=compute_dtype,
+    )
+    tv = losses.total_variation_loss(transformed)
+    total = perceptual + tv
+    metrics = {
+        "total": total,
+        "style": comps["style"],
+        "content": comps["content"],
+        "tv": tv,
+    }
+    return total, metrics
+
+
+def make_train_step(
+    vgg_params,
+    style_grams,
+    style_weight: float = 100_000.0,
+    content_weight: float = 1.0,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    compute_dtype=None,
+):
+    """Build the jitted (params, opt_state, batch) -> (params, opt_state,
+    metrics) step. Gradient reduction across the mesh is XLA-inserted from
+    the shardings (batch sharded, params replicated)."""
+    opt = optimizer or make_optimizer()
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, vgg_params, style_grams,
+            style_weight, content_weight, compute_dtype,
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return opt, train_step
+
+
+def make_eval_step(
+    vgg_params, style_grams, style_weight: float = 100_000.0,
+    feature_weight: float = 1.0, compute_dtype=None,
+):
+    """Jitted eval: style + feature loss on the clamped output.
+
+    Parity with ``static_test`` (network.py:772-796), including its quirk of
+    clamping the ImageNet-normalized output to [0, 255] (which only removes
+    negatives) before computing the losses.
+    """
+
+    @jax.jit
+    def eval_step(params, batch):
+        transformed = transformer.apply(params, batch, compute_dtype=compute_dtype)
+        clamped = jnp.clip(transformed, 0.0, 255.0)
+        s_loss = jnp.float32(0.0)
+        feats = vgg.extract_features(
+            vgg_params, clamped, tuple(style_grams), compute_dtype
+        )
+        for name, tgt in style_grams.items():
+            s_loss = s_loss + losses.style_loss(feats[name], tgt)
+        f_loss = vgg.feature_loss(vgg_params, clamped, batch, compute_dtype=compute_dtype)
+        return style_weight * s_loss + feature_weight * f_loss
+
+    return eval_step
+
+
+def static_test(params, test_loader, eval_step, mesh) -> float:
+    """Mean eval loss over the test loader (network.py:772-796)."""
+    total = []
+    for batch in test_loader:
+        batch = mesh_lib.shard_batch(batch, mesh)
+        total.append(float(eval_step(params, batch)))
+    avg = float(np.mean(total)) if total else float("nan")
+    get_logger().info("Average test loss: %.8f", avg)
+    return avg
+
+
+def static_train(
+    style_image: jnp.ndarray,
+    style_name: str = "nsp",
+    epochs: int = 50,
+    batch_size: int = 4,
+    style_weight: float = 100_000.0,
+    content_weight: float = 1.0,
+    mesh=None,
+    vgg_params=None,
+    params=None,
+    train_loader=None,
+    test_loader=None,
+    seed: int = 0,
+    log_cadence: Tuple[int, int, int] = (20, 50, 150),
+    runs_dir: Optional[str] = None,
+    models_path: Optional[str] = None,
+    max_steps_per_epoch: Optional[int] = None,
+):
+    """Train the fast transform net (network.py:651-770).
+
+    Keeps the reference's epoch-checkpoint/resume contract: if the epoch's
+    checkpoint file exists the epoch is skipped and its weights loaded
+    (network.py:681-685). Returns the trained params.
+    """
+    logger = get_logger()
+    mesh = mesh or mesh_lib.auto_mesh(batch_size)
+    scalar_every, image_every, eval_every = log_cadence
+
+    writer = tb.get_tensorboard_writer(
+        runs_dir
+        or os.path.join(
+            constants.RUNS_PATH, f"fast-image-style-transfer-still-image_{style_name}"
+        )
+    )
+
+    if vgg_params is None:
+        vgg_params = vgg.load_params()
+    style_grams = vgg.style_gram_targets(vgg_params, style_image)
+    vgg_params = mesh_lib.replicate(vgg_params, mesh)
+    style_grams = mesh_lib.replicate(style_grams, mesh)
+
+    if params is None:
+        params = transformer.init_params(jax.random.PRNGKey(seed))
+    params = mesh_lib.replicate(params, mesh)
+
+    opt, train_step = make_train_step(
+        vgg_params, style_grams, style_weight, content_weight
+    )
+    eval_step = make_eval_step(vgg_params, style_grams, style_weight)
+    opt_state = mesh_lib.replicate(opt.init(params), mesh)
+
+    if train_loader is None or test_loader is None:
+        test_loader, train_loader = coco.get_coco_loader(
+            batch_size=batch_size, test_split=0.10, test_limit=20, seed=seed
+        )
+
+    logger.info("Training fast_st with Adam on a %d-device mesh", mesh.size)
+
+    iteration = 0
+    for epoch in range(epochs):
+        if ckpt.epoch_checkpoint_exists(MODEL_NAME, style_name, epoch, models_path):
+            params, _ = ckpt.load_latest_transformer(
+                MODEL_NAME, style_name, params, models_path
+            )
+            params = mesh_lib.replicate(params, mesh)
+            opt_state = mesh_lib.replicate(opt.init(params), mesh)
+            logger.info("Epoch %d checkpoint exists; skipping", epoch)
+            continue
+
+        logger.info("Starting epoch %d", epoch)
+        t0 = time.time()
+        n_in_epoch = 0
+        for batch in prefetch.prefetch_to_device(train_loader, mesh):
+            params, opt_state, metrics = train_step(params, opt_state, batch)
+
+            if iteration % scalar_every == 0:
+                total = float(metrics["total"])
+                writer.add_scalar("data/fst_train_loss", total, iteration)
+                logger.info("Batch Loss: %.8f", total)
+            if iteration % eval_every == 0:
+                avg = static_test(params, test_loader, eval_step, mesh)
+                writer.add_scalar("data/fst_test_loss", avg, iteration)
+            if iteration % image_every == 0:
+                preview = transformer.apply(params, batch[:1])
+                pair = img_utils.concat_images(
+                    img_utils.to_uint8(np.asarray(preview)),
+                    img_utils.to_uint8(np.asarray(batch[:1])),
+                    axis=1,
+                )
+                writer.add_image("data/fst_images", pair, iteration)
+
+            iteration += 1
+            n_in_epoch += 1
+            if max_steps_per_epoch and n_in_epoch >= max_steps_per_epoch:
+                break
+
+        dt = time.time() - t0
+        if n_in_epoch:
+            logger.info(
+                "Epoch %d: %d steps in %.1fs (%.2f img/s)",
+                epoch, n_in_epoch, dt, n_in_epoch * batch_size / dt,
+            )
+        ckpt.save_epoch(params, MODEL_NAME, style_name, epoch, models_path)
+
+    writer.close()
+    return params
+
+
+def process_image(
+    image_path: str,
+    style_name: str = "nsp",
+    out_dir: str = "results/",
+    params=None,
+    models_path: Optional[str] = None,
+) -> str:
+    """Stylize one image with the latest trained weights (network.py:798-832).
+
+    Returns the output path (``converted_fast_st_{style}.png``).
+    """
+    if params is None:
+        template = transformer.init_params(jax.random.PRNGKey(0))
+        params, _ = ckpt.load_latest_transformer(
+            MODEL_NAME, style_name, template, models_path
+        )
+
+    input_image = img_utils.load_image(
+        os.path.join(constants.PROJECT_ROOT_PATH, image_path)
+    )
+    transformed = jax.jit(transformer.apply)(params, jnp.asarray(input_image))
+
+    out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    out_file = os.path.join(out_dir, f"converted_fast_st_{style_name}.png")
+    img_utils.save_image(np.asarray(transformed), out_file)
+    get_logger().info("Saved stylized image to %s", out_file)
+    return out_file

@@ -1,0 +1,162 @@
+"""Gatys optimization-based style transfer, fully on device.
+
+TPU-native rebuild of ``StyleNetwork.train_gatys`` (network.py:411-458).
+The reference runs torch L-BFGS over the pixels in eager mode, re-running the
+VGG tower once per tap per closure and syncing the loss to host every step
+(network.py:437-456). Here the whole optimization is **one jitted program**:
+the VGG pass is single-pass multi-tap, the update loop is a ``lax.scan`` over
+optimizer steps, and the only host transfer is the final image + the loss
+history array.
+
+Two optimizers:
+- ``adam`` (default): jit-scanned Adam over pixels — the primary on-device
+  path (the reference itself keeps an Adam/random-init variant commented at
+  network.py:431-433; the driver's baseline config is "~100 Adam iters").
+- ``lbfgs``: optax L-BFGS with zoom linesearch, also fully jitted — fidelity
+  parity with the reference's default optimizer (network.py:435).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from styletransfer_tpu.models import vgg
+from styletransfer_tpu.utils.logging import get_logger
+
+
+def make_loss_fn(
+    vgg_params,
+    content_image: jnp.ndarray,
+    style_grams: Dict[str, jnp.ndarray],
+    style_weight: float = 100_000.0,
+    content_weight: float = 1.0,
+    compute_dtype=None,
+):
+    """Pixel objective: weighted style (Gram MSE) + content (feature MSE).
+
+    Content targets are recomputed from ``content_image`` inside the loss —
+    matching the reference's retargeting semantics (network.py:378-386) — but
+    XLA hoists that constant subcomputation out of the scan loop since
+    ``content_image`` is loop-invariant.
+    """
+
+    def loss_fn(pixels: jnp.ndarray) -> jnp.ndarray:
+        total, _ = vgg.perceptual_loss(
+            vgg_params,
+            pixels,
+            content_image,
+            style_grams,
+            style_weight=style_weight,
+            content_weight=content_weight,
+            compute_dtype=compute_dtype,
+        )
+        return total
+
+    return loss_fn
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "style_weight", "content_weight", "learning_rate"))
+def _run_adam(
+    vgg_params,
+    content_image,
+    style_grams,
+    steps: int,
+    style_weight: float,
+    content_weight: float,
+    learning_rate: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    loss_fn = make_loss_fn(vgg_params, content_image, style_grams, style_weight, content_weight)
+    opt = optax.adam(learning_rate)
+    # Start from the content image (network.py:429).
+    pixels0 = content_image
+    opt_state0 = opt.init(pixels0)
+
+    def step(carry, _):
+        pixels, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(pixels)
+        updates, opt_state = opt.update(grads, opt_state, pixels)
+        pixels = optax.apply_updates(pixels, updates)
+        return (pixels, opt_state), loss
+
+    (pixels, _), losses = jax.lax.scan(step, (pixels0, opt_state0), None, length=steps)
+    return pixels, losses
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "style_weight", "content_weight"))
+def _run_lbfgs(
+    vgg_params,
+    content_image,
+    style_grams,
+    steps: int,
+    style_weight: float,
+    content_weight: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    loss_fn = make_loss_fn(vgg_params, content_image, style_grams, style_weight, content_weight)
+    opt = optax.lbfgs()
+    pixels0 = content_image
+    opt_state0 = opt.init(pixels0)
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def step(carry, _):
+        pixels, opt_state = carry
+        loss, grads = value_and_grad(pixels, state=opt_state)
+        updates, opt_state = opt.update(
+            grads, opt_state, pixels, value=loss, grad=grads, value_fn=loss_fn
+        )
+        pixels = optax.apply_updates(pixels, updates)
+        return (pixels, opt_state), loss
+
+    (pixels, _), losses = jax.lax.scan(step, (pixels0, opt_state0), None, length=steps)
+    return pixels, losses
+
+
+def train_gatys(
+    vgg_params,
+    style_image: jnp.ndarray,
+    content_image: jnp.ndarray,
+    steps: int = 300,
+    style_weight: float = 100_000.0,
+    content_weight: float = 1.0,
+    optimizer: str = "adam",
+    learning_rate: float = 0.05,
+    log_every: Optional[int] = 50,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stylize ``content_image`` with the style of ``style_image``.
+
+    Drop-in equivalent of ``train_gatys`` (network.py:411-458; CLI default
+    steps=300, clis/gatys_st.py:14). Returns ``(image, loss_history)`` where
+    ``image`` is NHWC in normalized space and ``loss_history`` has one entry
+    per optimizer step.
+
+    The optimization itself never leaves the device; ``log_every`` only
+    controls post-hoc logging of the returned loss history (the reference
+    logs every closure, network.py:453 — a device->host sync per step we
+    deliberately avoid).
+    """
+    logger = get_logger()
+    style_grams = vgg.style_gram_targets(vgg_params, style_image)
+
+    if optimizer == "adam":
+        pixels, losses = _run_adam(
+            vgg_params, content_image, style_grams, steps,
+            float(style_weight), float(content_weight), float(learning_rate),
+        )
+    elif optimizer == "lbfgs":
+        pixels, losses = _run_lbfgs(
+            vgg_params, content_image, style_grams, steps,
+            float(style_weight), float(content_weight),
+        )
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}; use 'adam' or 'lbfgs'")
+
+    losses = jax.device_get(losses)
+    if log_every:
+        for i in range(0, steps, log_every):
+            logger.info("Gatys step %d  loss: %.6f", i, float(losses[i]))
+        logger.info("Gatys final loss: %.6f", float(losses[-1]))
+    return pixels, losses

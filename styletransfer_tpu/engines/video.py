@@ -1,0 +1,417 @@
+"""Video style transfer: temporally-consistent training and inference.
+
+TPU-native rebuild of ``VideoTransformNet.video_train`` / ``process_video``
+(network.py:905-1158). The model is the 6-channel transform net fed
+[current frame ⊕ previous stylized frame] (network.py:850-855, 984-986).
+
+Design: the reference processes frames strictly serially in eager mode with
+an optimizer step per frame and per-step gradient truncation
+(network.py:1022-1024). That recurrence is exactly a ``jax.lax.scan`` with
+the previous (content, stylized) pair as carry and ``stop_gradient`` on the
+carry — so here a whole **chunk of frames trains inside one jitted scan**
+(params and optimizer state ride the carry; one Adam update per frame, same
+semantics), with zero host round-trips inside the chunk. Inference uses the
+same scan without the update.
+
+The warm-start freeze schedule (freeze everything except the first conv for
+epoch 0 when starting from fast_st weights, unfreeze at epoch 1 —
+network.py:940-955) is a gradient mask passed into the step, so one compiled
+program serves both phases.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from styletransfer_tpu import ckpt, constants
+from styletransfer_tpu.data import video as video_data
+from styletransfer_tpu.engines.fast import ADAM_LR, make_optimizer
+from styletransfer_tpu.models import transformer, vgg
+from styletransfer_tpu.ops import losses
+from styletransfer_tpu.parallel import mesh as mesh_lib
+from styletransfer_tpu.utils import images as img_utils
+from styletransfer_tpu.utils import tb
+from styletransfer_tpu.utils.logging import get_logger
+
+MODEL_NAME = "video_st"
+
+
+def frame_loss_fn(
+    params,
+    frame: jnp.ndarray,
+    old_content: jnp.ndarray,
+    old_stylized: jnp.ndarray,
+    vgg_params,
+    style_grams,
+    style_weight: float,
+    content_weight: float,
+    temporal_weight: float,
+    compute_dtype=None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]:
+    """Per-frame objective (network.py:988-1020): style + content + TV +
+    temporal. Returns (total, (transformed, metrics))."""
+    net_input = jnp.concatenate([frame, old_stylized], axis=-1)
+    transformed = transformer.apply(params, net_input, compute_dtype=compute_dtype)
+    perceptual, comps = vgg.perceptual_loss(
+        vgg_params, transformed, frame, style_grams,
+        style_weight=style_weight, content_weight=content_weight,
+        compute_dtype=compute_dtype,
+    )
+    tv = losses.total_variation_loss(transformed)
+    temporal = losses.temporal_loss(
+        old_content, old_stylized, frame, transformed, temporal_weight
+    )
+    total = perceptual + tv + temporal
+    metrics = {
+        "total": total, "style": comps["style"], "content": comps["content"],
+        "tv": tv, "temporal": temporal,
+    }
+    return total, (transformed, metrics)
+
+
+def make_scan_train_step(
+    vgg_params,
+    style_grams,
+    style_weight: float = 100_000.0,
+    content_weight: float = 1.0,
+    temporal_weight: float = 0.8,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    compute_dtype=None,
+):
+    """Build the chunked scan train step.
+
+    Signature of the returned jitted fn:
+    ``(params, opt_state, frames[T,B,H,W,3], old_content, old_stylized,
+    grad_mask) -> (params, opt_state, old_content, old_stylized, metrics[T])``
+
+    One Adam update per frame inside the scan; the carry's stylized frame is
+    stop-gradient'ed exactly like the reference's detached ``old_images``
+    (network.py:1022-1024). ``grad_mask`` is a {0,1} pytree implementing the
+    warm-start freeze epoch.
+    """
+    opt = optimizer or make_optimizer(ADAM_LR)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def scan_step(params, opt_state, frames, old_content, old_stylized, grad_mask):
+        def body(carry, frame):
+            params, opt_state, old_c, old_s = carry
+            grads, (transformed, metrics) = jax.grad(
+                frame_loss_fn, has_aux=True
+            )(
+                params, frame, old_c, old_s, vgg_params, style_grams,
+                style_weight, content_weight, temporal_weight, compute_dtype,
+            )
+            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, grad_mask)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            new_carry = (
+                params,
+                opt_state,
+                jax.lax.stop_gradient(frame),
+                jax.lax.stop_gradient(transformed),
+            )
+            return new_carry, metrics
+
+        (params, opt_state, old_c, old_s), metrics = jax.lax.scan(
+            body, (params, opt_state, old_content, old_stylized), frames
+        )
+        return params, opt_state, old_c, old_s, metrics
+
+    return opt, scan_step
+
+
+def freeze_mask(params, freeze_all_but_first: bool):
+    """Gradient mask for the warm-start schedule (network.py:940-955).
+
+    When active, only ``conv1``/``in1`` (the reference's layer ``0.*``) train.
+    """
+    def mask_for(path_key: str):
+        trainable = (not freeze_all_but_first) or path_key in ("conv1", "in1")
+        return 1.0 if trainable else 0.0
+
+    return {
+        k: jax.tree_util.tree_map(lambda _: jnp.float32(mask_for(k)), v)
+        for k, v in params.items()
+    }
+
+
+def _chunk_frames(
+    frame_iter: Iterator[np.ndarray], chunk: int, pad_tail: bool = False
+) -> Iterator[np.ndarray]:
+    """Group per-frame [B,H,W,3] arrays into [T,B,H,W,3] chunks.
+
+    Each distinct T is a separate XLA compile, so with ``pad_tail`` the
+    ragged tail is padded by repeating its last frame up to ``chunk`` —
+    keeping exactly one compiled shape. (Training on a handful of repeated
+    tail frames is benign: the temporal loss of a repeated frame is ~0 and
+    the perceptual terms see an already-seen frame.)"""
+    buf = []
+    for f in frame_iter:
+        buf.append(f)
+        if len(buf) == chunk:
+            yield np.stack(buf)
+            buf = []
+    if buf:
+        if pad_tail:
+            buf.extend([buf[-1]] * (chunk - len(buf)))
+        yield np.stack(buf)
+
+
+def video_train(
+    style_image: jnp.ndarray,
+    style_name: str = "nsp",
+    epochs: int = 50,
+    batch_size: int = 4,
+    temporal_weight: float = 0.8,
+    style_weight: float = 100_000.0,
+    content_weight: float = 1.0,
+    use_pretrained_fast_st: bool = False,
+    mesh=None,
+    vgg_params=None,
+    params=None,
+    video_loader=None,
+    seed: int = 0,
+    chunk_size: int = 16,
+    max_frames: int = video_data.MAX_FRAMES_DEFAULT,
+    runs_dir: Optional[str] = None,
+    models_path: Optional[str] = None,
+):
+    """Train the video transform net (network.py:905-1069).
+
+    Keeps: per-epoch checkpoint/resume, the freeze-epoch-0 schedule when
+    warm-starting from fast_st weights, loss composition and weights, and the
+    TB cadences/tags (scalars every 20 frames, image every 50).
+    """
+    logger = get_logger()
+    mesh = mesh or mesh_lib.auto_mesh(batch_size)
+
+    writer = tb.get_tensorboard_writer(
+        runs_dir or os.path.join(constants.RUNS_PATH, f"video-style-transfer_{style_name}")
+    )
+
+    if vgg_params is None:
+        vgg_params = vgg.load_params()
+    style_grams = vgg.style_gram_targets(vgg_params, style_image)
+    vgg_params = mesh_lib.replicate(vgg_params, mesh)
+    style_grams = mesh_lib.replicate(style_grams, mesh)
+
+    has_external_weights = False
+    if params is None:
+        fast_params = None
+        if use_pretrained_fast_st:
+            try:
+                template = transformer.init_params(jax.random.PRNGKey(0))
+                fast_params, _ = ckpt.load_latest_transformer(
+                    "fast_st", style_name, template, models_path
+                )
+                has_external_weights = True
+                logger.info("Warm-starting video net from fast_st weights")
+            except FileNotFoundError:
+                logger.warning("Couldn't load pretrained fast_st weights")
+        params = transformer.init_video_params(
+            jax.random.PRNGKey(seed), fast_params=fast_params
+        )
+    params = mesh_lib.replicate(params, mesh)
+
+    opt, scan_step = make_scan_train_step(
+        vgg_params, style_grams, style_weight, content_weight, temporal_weight
+    )
+    opt_state = mesh_lib.replicate(opt.init(params), mesh)
+
+    if video_loader is None:
+        video_loader = video_data.VideoDataset(batch_size=batch_size)
+
+    iteration = 0
+    for epoch in range(epochs):
+        if ckpt.epoch_checkpoint_exists(MODEL_NAME, style_name, epoch, models_path):
+            params, _ = ckpt.load_latest_transformer(
+                MODEL_NAME, style_name, params, models_path
+            )
+            params = mesh_lib.replicate(params, mesh)
+            opt_state = mesh_lib.replicate(opt.init(params), mesh)
+            logger.info("Epoch %d checkpoint exists; skipping", epoch)
+            continue
+
+        frozen = epoch == 0 and has_external_weights
+        if frozen:
+            logger.info("Freezing fast-transfer weights for the first epoch")
+        mask = mesh_lib.replicate(freeze_mask(params, frozen), mesh)
+
+        logger.info("Starting epoch %d", epoch)
+        for readers in video_loader:
+            frame_iter = video_data.iterate_on_video_batches(readers, max_frames)
+            # First frame of each video batch initializes the carry with
+            # itself (old = [batch, batch], network.py:972-978); it is also
+            # the first frame *trained on*, inside the first chunk, so every
+            # chunk shares one compiled shape.
+            old_content = None
+            for chunk in _chunk_frames(frame_iter, chunk_size, pad_tail=True):
+                if old_content is None:
+                    old_content = mesh_lib.shard_batch(chunk[0], mesh)
+                    old_stylized = old_content
+                chunk_dev = mesh_lib.shard_frames(chunk, mesh)
+                params, opt_state, old_content, old_stylized, metrics = scan_step(
+                    params, opt_state, chunk_dev, old_content, old_stylized, mask
+                )
+                # Post-hoc logging at the reference cadences over the chunk.
+                totals = np.asarray(metrics["total"])
+                for i, total in enumerate(totals):
+                    it = iteration + i
+                    if it % 20 == 0:
+                        writer.add_scalar("data/fst_train_loss", float(total), it)
+                        logger.info("Epoch: %d\tBatch Loss: %.4f", epoch, float(total))
+                if any((iteration + i) % 50 == 0 for i in range(len(totals))):
+                    # Preview image: stylize the carry frame pair. Reference
+                    # indexes batch[2] assuming batch>=3 (network.py:1054);
+                    # guard with a clamped index.
+                    b_idx = min(2, chunk.shape[1] - 1)
+                    preview_in = jnp.concatenate(
+                        [old_content[b_idx : b_idx + 1], old_stylized[b_idx : b_idx + 1]],
+                        axis=-1,
+                    )
+                    preview = transformer.apply(params, preview_in)
+                    pair = img_utils.concat_images(
+                        img_utils.to_uint8(np.asarray(preview)),
+                        img_utils.to_uint8(np.asarray(old_content[b_idx : b_idx + 1])),
+                        axis=1,
+                    )
+                    writer.add_image("data/fst_images", pair, iteration)
+                iteration += len(totals)
+
+        ckpt.save_epoch(params, MODEL_NAME, style_name, epoch, models_path)
+
+    writer.close()
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Inference.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _stylize_chunk(params, frames, old_stylized):
+    """Scan-stylize a [T,B,H,W,3] chunk; carry is the previous stylized frame
+    (recurrent feedback, network.py:1117-1131)."""
+
+    def body(old, frame):
+        net_input = jnp.concatenate([frame, old], axis=-1)
+        out = transformer.apply(params, net_input)
+        return out, out
+
+    _, outs = jax.lax.scan(body, old_stylized, frames)
+    return outs
+
+
+def stylize_clip(params, frames: np.ndarray) -> np.ndarray:
+    """Stylize a whole clip [T,H,W,3] (or [T,B,H,W,3]) in one scanned jit.
+
+    The first frame pairs with itself (network.py:1120-1121).
+    """
+    squeeze = frames.ndim == 4
+    if squeeze:
+        frames = frames[:, None]
+    frames = jnp.asarray(frames)
+    outs = _stylize_chunk(params, frames, frames[0])
+    outs = np.asarray(outs)
+    return outs[:, 0] if squeeze else outs
+
+
+def process_video(
+    video_path: str,
+    style_name: str = "nsp",
+    working_dir: str = "workdir/",
+    out_dir: str = "results/",
+    fps: float = 24.0,
+    params=None,
+    models_path: Optional[str] = None,
+    chunk_size: int = 24,
+    save_frames: bool = False,
+    max_frames: int = video_data.MAX_FRAMES_DEFAULT,
+) -> str:
+    """Stylize a single video (network.py:1071-1158).
+
+    Frames stream through the scanned stylizer in chunks and are muxed
+    straight into the output mp4 — the reference's intermediate
+    PNG-per-frame round-trip (network.py:1133-1156) is skipped unless
+    ``save_frames`` is set. Returns the output video path.
+    """
+    import imageio
+
+    logger = get_logger()
+    if params is None:
+        template = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+        params, _ = ckpt.load_latest_transformer(
+            MODEL_NAME, style_name, template, models_path
+        )
+
+    video_path = os.path.join(constants.PROJECT_ROOT_PATH, video_path)
+    out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    if save_frames:
+        working_dir = os.path.join(constants.PROJECT_ROOT_PATH, working_dir)
+        import shutil
+
+        shutil.rmtree(working_dir, ignore_errors=True)
+        os.makedirs(working_dir, exist_ok=True)
+
+    final_path = os.path.join(out_dir, f"video_st_{style_name}.mp4")
+    try:
+        video_writer = imageio.get_writer(final_path, fps=fps)
+    except (ValueError, ImportError):
+        # No ffmpeg/pyav backend available (zero-egress images can't install
+        # codecs); fall back to GIF via the always-present Pillow backend.
+        final_path = os.path.join(out_dir, f"video_st_{style_name}.gif")
+        logger.warning(
+            "No mp4 encoder backend available; writing GIF instead: %s", final_path
+        )
+        video_writer = imageio.get_writer(
+            final_path, duration=1000.0 / fps, loop=0
+        )
+
+    reader = video_data.ImageioFrameReader(video_path)
+    real_count = {"n": 0}  # frames actually read (excludes tail padding)
+
+    def frame_stream():
+        for _ in range(max_frames):
+            f = reader.next_frame()
+            if f is None:
+                return
+            real_count["n"] += 1
+            yield f
+
+    logger.info("Starting to process video into stylized frames")
+    old_stylized = None
+    frame_idx = 0
+    for chunk in _chunk_frames(frame_stream(), chunk_size, pad_tail=True):
+        # pad_tail keeps a single compiled shape; padded outputs beyond the
+        # real frame count are skipped when writing.
+        frames = jnp.asarray(chunk)  # [chunk,1,H,W,3]
+        if old_stylized is None:
+            old_stylized = frames[0]
+        outs = _stylize_chunk(params, frames, old_stylized)
+        old_stylized = outs[-1]
+        for t in range(outs.shape[0]):
+            if frame_idx >= real_count["n"]:
+                break
+            rgb = img_utils.to_uint8(np.asarray(outs[t]))
+            video_writer.append_data(rgb)
+            if save_frames:
+                img_utils.save_image(
+                    np.asarray(outs[t]), os.path.join(working_dir, f"{frame_idx}.png")
+                )
+            frame_idx += 1
+        if frame_idx % 50 < chunk_size:
+            logger.info(".. processing, currently frame %d", frame_idx)
+
+    reader.close()
+    video_writer.close()
+    logger.info("Done! Final stylized video can be found in: %s", final_path)
+    return final_path

@@ -1,0 +1,206 @@
+"""Image / video transform networks as pure init/apply functions (NHWC).
+
+TPU-native rebuild of the reference ``ImageTransformNet`` (network.py:509-611)
+and ``VideoTransformNet`` (network.py:835-883) from "Perceptual Losses for
+Real-Time Style Transfer" (Johnson et al.), restructured as parameter pytrees
+plus a pure ``apply`` so the whole network jits into a single XLA program and
+shards with pjit.
+
+Architecture (identical to the reference):
+- conv 9x9 s1 (3 or 6)->32, InstanceNorm, ReLU           (network.py:523-532)
+- conv 3x3 s2 32->64, IN, ReLU                            (network.py:534-542)
+- conv 3x3 s2 64->128, IN, ReLU                           (network.py:544-552)
+- 5x ResidualBlock(128): conv-IN-ReLU-conv, add residual, then IN
+  (post-add instance norm — network.py:461-506, note insn2 after the skip)
+- 2x [nearest upsample x2 -> conv 3x3 s1 -> IN -> ReLU] 128->64->32
+  (checkerboard-free upsample-then-conv — network.py:576-601)
+- conv 9x9 s1 32->3, no output activation                 (network.py:603-609)
+
+All convs use reflection padding of k//2 (network.py:530 et al.).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from styletransfer_tpu.ops import layers
+
+Params = Dict[str, Any]
+
+NUM_RESIDUAL_BLOCKS = 5
+
+
+def _init_conv_in(key, k, cin, cout, dtype):
+    kc, _ = jax.random.split(key)
+    kernel, bias = layers.init_conv(kc, k, k, cin, cout, dtype)
+    scale, in_bias = layers.init_instance_norm(cout, dtype)
+    return {"kernel": kernel, "bias": bias}, {"scale": scale, "bias": in_bias}
+
+
+def init_params(
+    key: jax.Array,
+    in_channels: int = 3,
+    dtype: jnp.dtype = jnp.float32,
+) -> Params:
+    """Initialize ImageTransformNet params (``in_channels=6`` for video)."""
+    keys = jax.random.split(key, 16)
+    params: Params = {}
+    params["conv1"], params["in1"] = _init_conv_in(keys[0], 9, in_channels, 32, dtype)
+    params["conv2"], params["in2"] = _init_conv_in(keys[1], 3, 32, 64, dtype)
+    params["conv3"], params["in3"] = _init_conv_in(keys[2], 3, 64, 128, dtype)
+    for i in range(NUM_RESIDUAL_BLOCKS):
+        ka, kb = jax.random.split(keys[3 + i])
+        c1, i1 = _init_conv_in(ka, 3, 128, 128, dtype)
+        c2, i2 = _init_conv_in(kb, 3, 128, 128, dtype)
+        params[f"res{i + 1}"] = {"conv1": c1, "in1": i1, "conv2": c2, "in2": i2}
+    params["up1_conv"], params["up1_in"] = _init_conv_in(keys[8], 3, 128, 64, dtype)
+    params["up2_conv"], params["up2_in"] = _init_conv_in(keys[9], 3, 64, 32, dtype)
+    kernel, bias = layers.init_conv(jax.random.split(keys[10])[0], 9, 9, 32, 3, dtype)
+    params["conv_out"] = {"kernel": kernel, "bias": bias}
+    return params
+
+
+def _conv_in_relu(x, conv, inorm, stride, compute_dtype):
+    x = layers.conv2d(x, conv["kernel"], conv["bias"], stride, compute_dtype=compute_dtype)
+    x = layers.instance_norm(x, inorm["scale"], inorm["bias"])
+    return jnp.maximum(x, 0.0)
+
+
+def _residual_block(x, p, compute_dtype):
+    """conv-IN-ReLU-conv, add input, then IN (post-add norm, network.py:494-506)."""
+    out = _conv_in_relu(x, p["conv1"], p["in1"], 1, compute_dtype)
+    out = layers.conv2d(out, p["conv2"]["kernel"], p["conv2"]["bias"], 1,
+                        compute_dtype=compute_dtype)
+    out = out + x
+    return layers.instance_norm(out, p["in2"]["scale"], p["in2"]["bias"])
+
+
+def apply(
+    params: Params,
+    x: jnp.ndarray,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Forward pass: NHWC in (3 or 6 channels), NHWC stylized image out."""
+    x = _conv_in_relu(x, params["conv1"], params["in1"], 1, compute_dtype)
+    x = _conv_in_relu(x, params["conv2"], params["in2"], 2, compute_dtype)
+    x = _conv_in_relu(x, params["conv3"], params["in3"], 2, compute_dtype)
+    for i in range(NUM_RESIDUAL_BLOCKS):
+        x = _residual_block(x, params[f"res{i + 1}"], compute_dtype)
+    x = layers.upsample_nearest(x, 2)
+    x = _conv_in_relu(x, params["up1_conv"], params["up1_in"], 1, compute_dtype)
+    x = layers.upsample_nearest(x, 2)
+    x = _conv_in_relu(x, params["up2_conv"], params["up2_in"], 1, compute_dtype)
+    return layers.conv2d(
+        x, params["conv_out"]["kernel"], params["conv_out"]["bias"], 1,
+        compute_dtype=compute_dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video variant.
+# ---------------------------------------------------------------------------
+
+
+def init_video_params(
+    key: jax.Array,
+    fast_params: Optional[Params] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> Params:
+    """Initialize the 6-channel VideoTransformNet (network.py:835-883).
+
+    Input is [current frame ⊕ previous stylized frame] on channels
+    (network.py:850-855). If ``fast_params`` (a trained ImageTransformNet)
+    is given, every layer except the first conv is warm-started from it —
+    the reference's state-dict surgery that deletes ``0.weight``/``0.bias``
+    before merging (network.py:860-881).
+    """
+    params = init_params(key, in_channels=6, dtype=dtype)
+    if fast_params is not None:
+        fresh_conv1, fresh_in1 = params["conv1"], params["in1"]
+        params = jax.tree_util.tree_map(lambda x: x, fast_params)  # copy
+        params["conv1"], params["in1"] = fresh_conv1, fresh_in1
+    return params
+
+
+def num_params(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Torch `.pth` state-dict import (pixel-match path for pretrained weights).
+# ---------------------------------------------------------------------------
+
+# Reference nn.Sequential indices (network.py:520-611) -> our param names.
+_SEQ_MAP = [
+    ("0", "conv1", "conv"), ("1", "in1", "in"),
+    ("3", "conv2", "conv"), ("4", "in2", "in"),
+    ("6", "conv3", "conv"), ("7", "in3", "in"),
+    ("15", "up1_conv", "conv"), ("16", "up1_in", "in"),
+    ("19", "up2_conv", "conv"), ("20", "up2_in", "in"),
+    ("22", "conv_out", "conv"),
+]
+_RES_SEQ_IDX = ("9", "10", "11", "12", "13")  # ResidualBlock module indices
+
+
+def _np(v) -> np.ndarray:
+    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+
+def import_torch_state_dict(state_dict) -> Params:
+    """Convert a reference ``ImageTransformNet``/``VideoTransformNet`` state
+    dict (torch OIHW ``nn.Sequential``) to our NHWC/HWIO param pytree.
+
+    Accepts dicts saved by the reference's ``torch.save(self.state_dict())``
+    (network.py:767-770, 1066-1069).
+    """
+    def conv(prefix):
+        w = _np(state_dict[f"{prefix}.weight"])  # OIHW
+        return {
+            "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+            "bias": jnp.asarray(_np(state_dict[f"{prefix}.bias"])),
+        }
+
+    def inorm(prefix):
+        return {
+            "scale": jnp.asarray(_np(state_dict[f"{prefix}.weight"])),
+            "bias": jnp.asarray(_np(state_dict[f"{prefix}.bias"])),
+        }
+
+    params: Params = {}
+    for idx, name, kind in _SEQ_MAP:
+        params[name] = conv(idx) if kind == "conv" else inorm(idx)
+    for i, idx in enumerate(_RES_SEQ_IDX):
+        params[f"res{i + 1}"] = {
+            "conv1": conv(f"{idx}.conv1"),
+            "in1": inorm(f"{idx}.insn1"),
+            "conv2": conv(f"{idx}.conv2"),
+            "in2": inorm(f"{idx}.insn2"),
+        }
+    return params
+
+
+def export_torch_state_dict(params: Params) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_torch_state_dict` (numpy values, OIHW)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put_conv(prefix, p):
+        out[f"{prefix}.weight"] = np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_in(prefix, p):
+        out[f"{prefix}.weight"] = np.asarray(p["scale"])
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    for idx, name, kind in _SEQ_MAP:
+        (put_conv if kind == "conv" else put_in)(idx, params[name])
+    for i, idx in enumerate(_RES_SEQ_IDX):
+        r = params[f"res{i + 1}"]
+        put_conv(f"{idx}.conv1", r["conv1"])
+        put_in(f"{idx}.insn1", r["in1"])
+        put_conv(f"{idx}.conv2", r["conv2"])
+        put_in(f"{idx}.insn2", r["in2"])
+    return out

@@ -1,0 +1,146 @@
+"""Image loading / saving with the reference's transform semantics.
+
+TPU-native rebuild of ``stransfer/img_utils.py``. Host-side work (PIL decode,
+center crop, bilinear resize) produces fixed-shape float32 arrays; the
+normalize step is a pure jnp function so it can run device-side and fuse into
+the first convolution under jit.
+
+Layout: the framework is **NHWC** end to end (channels-last maps the channel
+axis onto TPU vector lanes; XLA's TPU conv emitters prefer NHWC). The
+reference is NCHW (torch); conversion happens only at import/export
+boundaries.
+
+Reference behavior being matched:
+- ``image_loader_transform`` (img_utils.py:13-44): center-crop to the min
+  dimension, resize to ``IMSIZE``, scale to [0,1], normalize with ImageNet
+  mean/std, add a leading batch dim.
+- ``image_loader`` (img_utils.py:64-74): PIL open + the transform above.
+- ``imshow`` (img_utils.py:77-117): optional side-by-side concat, denormalize,
+  clamp to the legal range, save.
+- ``concat_images`` (img_utils.py:47-61): concat along width.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from styletransfer_tpu import constants
+
+_MEAN = np.asarray(constants.IMAGENET_MEAN, dtype=np.float32)
+_STD = np.asarray(constants.IMAGENET_STD, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Host-side decode path (fixed output shapes so jit never recompiles).
+# ---------------------------------------------------------------------------
+
+
+def center_crop_resize(image: Image.Image, size: int = constants.IMSIZE) -> np.ndarray:
+    """Center-crop to a square of the min dimension, then bilinear-resize.
+
+    Matches torchvision ``CenterCrop(min_dim) -> Resize(size)`` on a PIL image
+    (reference img_utils.py:20-27). Returns float32 HWC in [0, 1].
+    """
+    w, h = image.size
+    side = min(w, h)
+    left = (w - side) // 2
+    top = (h - side) // 2
+    image = image.crop((left, top, left + side, top + side))
+    image = image.resize((size, size), Image.BILINEAR)
+    arr = np.asarray(image, dtype=np.float32) / 255.0
+    if arr.ndim == 2:  # grayscale: keep a channel axis so callers can detect it
+        arr = arr[:, :, None]
+    return arr
+
+
+def normalize(image: jnp.ndarray) -> jnp.ndarray:
+    """ImageNet-normalize a [0,1]-scaled NHWC (or HWC) image. Pure / jittable."""
+    return (image - _MEAN) / _STD
+
+
+def denormalize(image: jnp.ndarray) -> jnp.ndarray:
+    """Invert :func:`normalize`. Pure / jittable."""
+    return image * _STD + _MEAN
+
+
+def load_image(
+    image_path: str, size: int = constants.IMSIZE, normalized: bool = True
+) -> np.ndarray:
+    """Load an image as a ``[1, size, size, 3]`` float32 array.
+
+    Equivalent of the reference ``image_loader`` (img_utils.py:64-74):
+    decode, center-crop square, resize, scale to [0,1], ImageNet-normalize,
+    add batch dim. Non-RGB inputs are converted to RGB (the reference's data
+    path discards them instead — our data pipeline keeps that contract in
+    :mod:`styletransfer_tpu.data.coco`, but single-image CLI loads convert).
+    """
+    with Image.open(image_path) as img:
+        img = img.convert("RGB")
+        arr = center_crop_resize(img, size)
+    if normalized:
+        arr = (arr - _MEAN) / _STD
+    return arr[None, ...]
+
+
+def from_array(frame: np.ndarray, size: int = constants.IMSIZE) -> np.ndarray:
+    """Decode an HWC uint8 frame (e.g. a video frame) like :func:`load_image`."""
+    img = Image.fromarray(frame)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    arr = center_crop_resize(img, size)
+    return ((arr - _MEAN) / _STD)[None, ...]
+
+
+# ---------------------------------------------------------------------------
+# Save path.
+# ---------------------------------------------------------------------------
+
+
+def concat_images(im1: np.ndarray, im2: np.ndarray, axis: int = -2) -> np.ndarray:
+    """Concatenate two images along width (reference img_utils.py:47-61).
+
+    Works on HWC or NHWC arrays; default axis is width in both.
+    """
+    return np.concatenate([np.asarray(im1), np.asarray(im2)], axis=axis)
+
+
+def to_uint8(image: np.ndarray, denormalized: bool = False) -> np.ndarray:
+    """Convert a model-space image to displayable HWC uint8.
+
+    Denormalizes (unless already done), clips to [0, 1] — the reference's
+    clamp to the legal RGB range (img_utils.py:103-109) — and scales to uint8.
+    """
+    arr = np.asarray(image, dtype=np.float32)
+    if arr.ndim == 4:
+        arr = arr[0]
+    if not denormalized:
+        arr = arr * _STD + _MEAN
+    arr = np.clip(arr, 0.0, 1.0)
+    return np.round(arr * 255.0).astype(np.uint8)
+
+
+def save_image(
+    image: np.ndarray,
+    path: str,
+    ground_truth: Optional[np.ndarray] = None,
+    denormalize_first: bool = True,
+) -> None:
+    """Save a model-space image to disk (reference ``imshow``, img_utils.py:77-117).
+
+    If ``ground_truth`` is given the two images are concatenated along width
+    before saving — the TensorBoard side-by-side convention of the reference
+    training loops (network.py:757-761).
+    """
+    arr = to_uint8(image, denormalized=not denormalize_first)
+    if ground_truth is not None:
+        gt = to_uint8(ground_truth, denormalized=not denormalize_first)
+        arr = concat_images(arr, gt, axis=1)
+    out_dir = os.path.dirname(path)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    Image.fromarray(arr).save(path)

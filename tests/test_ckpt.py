@@ -1,0 +1,76 @@
+"""Checkpoint save/load/discovery tests, incl. the epoch-sort fix and .pth import."""
+
+import jax
+import numpy as np
+import pytest
+import torch
+
+from styletransfer_tpu import ckpt
+from styletransfer_tpu.models import transformer
+
+
+@pytest.fixture
+def params():
+    return transformer.init_params(jax.random.PRNGKey(0))
+
+
+def test_save_load_roundtrip(tmp_path, params):
+    path = str(tmp_path / "m" / "p.msgpack")
+    ckpt.save(params, path)
+    loaded = ckpt.load(path, params)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_latest_is_numeric_not_lexicographic(tmp_path, params):
+    # Reference quirk: lexicographic sort puts epoch10 < epoch2
+    # (network.py:65-67). We must pick epoch10.
+    mp = str(tmp_path)
+    for e in (1, 2, 10):
+        ckpt.save_epoch(params, "fast_st", "sty", e, mp)
+    path, epoch = ckpt.find_latest("fast_st", "sty", mp)
+    assert epoch == 10
+
+
+def test_find_latest_filters_model_and_style(tmp_path, params):
+    mp = str(tmp_path)
+    ckpt.save_epoch(params, "fast_st", "a", 3, mp)
+    ckpt.save_epoch(params, "video_st", "a", 9, mp)
+    ckpt.save_epoch(params, "fast_st", "b", 7, mp)
+    path, epoch = ckpt.find_latest("fast_st", "a", mp)
+    assert "fast_st_a_epoch3" in path
+
+
+def test_find_latest_raises_when_missing(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ckpt.find_latest("fast_st", "nope", str(tmp_path))
+
+
+def test_epoch_resume_contract(tmp_path, params):
+    mp = str(tmp_path)
+    assert not ckpt.epoch_checkpoint_exists("fast_st", "s", 0, mp)
+    ckpt.save_epoch(params, "fast_st", "s", 0, mp)
+    assert ckpt.epoch_checkpoint_exists("fast_st", "s", 0, mp)
+
+
+def test_load_reference_pth_checkpoint(tmp_path, params):
+    # A reference-style .pth state dict (torch OIHW Sequential naming,
+    # network.py:767-770) must load transparently.
+    sd = transformer.export_torch_state_dict(params)
+    tsd = {k: torch.from_numpy(v.copy()) for k, v in sd.items()}
+    pth = tmp_path / "fast_st_sty_epoch5.pth"
+    torch.save(tsd, str(pth))
+
+    loaded, epoch = ckpt.load_latest_transformer("fast_st", "sty", params, str(tmp_path))
+    assert epoch == 5
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_msgpack_preferred_over_pth_same_epoch(tmp_path, params):
+    sd = transformer.export_torch_state_dict(params)
+    tsd = {k: torch.from_numpy(v.copy() * 2) for k, v in sd.items()}
+    torch.save(tsd, str(tmp_path / "fast_st_s_epoch1.pth"))
+    ckpt.save_epoch(params, "fast_st", "s", 1, str(tmp_path))
+    path, _ = ckpt.find_latest("fast_st", "s", str(tmp_path))
+    assert path.endswith(".msgpack")

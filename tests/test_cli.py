@@ -1,0 +1,71 @@
+"""CLI contract tests: groups/commands/options match the reference
+(`python -m stransfer <group> <task>` — reference clis/*)."""
+
+import numpy as np
+from click.testing import CliRunner
+from PIL import Image
+
+from styletransfer_tpu.clis import cli
+
+
+def test_cli_groups_registered():
+    assert set(cli.commands) == {"gatys_st", "fast_st", "video_st"}
+
+
+def test_gatys_options_match_reference():
+    params = {p.name for p in cli.commands["gatys_st"].params}
+    # reference clis/gatys_st.py:11-18
+    assert {"content_image_path", "style_image_path", "out_name", "steps",
+            "content_weight", "style_weight"} <= params
+    defaults = {p.name: p.default for p in cli.commands["gatys_st"].params}
+    assert defaults["steps"] == 300
+    assert defaults["style_weight"] == 100_000
+    assert defaults["content_weight"] == 1
+    assert defaults["out_name"] == "gatys_converted.png"
+
+
+def test_fast_st_subcommands_and_defaults():
+    fast = cli.commands["fast_st"]
+    assert set(fast.commands) == {"train", "convert-image"}
+    defaults = {p.name: p.default for p in fast.commands["train"].params}
+    # reference clis/fast_st.py:19-25
+    assert defaults["epochs"] == 50
+    assert defaults["batch_size"] == 4
+    assert defaults["style_weight"] == 100_000
+
+
+def test_video_st_subcommands_and_defaults():
+    video = cli.commands["video_st"]
+    assert set(video.commands) == {"train", "convert-video"}
+    defaults = {p.name: p.default for p in video.commands["train"].params}
+    # reference clis/video_st.py:19-30
+    assert defaults["temporal_weight"] == 0.8
+    assert defaults["use_pretrained_fast_st"] is False
+    cv_defaults = {p.name: p.default for p in video.commands["convert-video"].params}
+    assert cv_defaults["fps"] == 24.0
+
+
+def test_help_runs():
+    runner = CliRunner()
+    for args in ([], ["gatys_st", "--help"], ["fast_st", "--help"],
+                 ["video_st", "--help"]):
+        result = runner.invoke(cli, args + (["--help"] if not args else []))
+        assert result.exit_code == 0
+
+
+def test_gatys_end_to_end_tiny(tmp_path, monkeypatch):
+    """Full CLI run: 2 steps of Gatys on tiny images, output file written."""
+    from styletransfer_tpu import constants
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    rng = np.random.default_rng(0)
+    for name in ("content.png", "style.png"):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / name)
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli, ["gatys_st", "content.png", "style.png", "-s", "2", "-n", "out.png"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert (tmp_path / "results" / "out.png").is_file()

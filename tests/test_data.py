@@ -1,0 +1,128 @@
+"""Tests for the data pipeline: COCO loader, synthetic fallback, video
+datasets, and the prefetchers (SURVEY.md §4 strategy — tiny synthetic
+images, no network access)."""
+
+import numpy as np
+from PIL import Image
+
+from styletransfer_tpu.data import coco, video
+from styletransfer_tpu.parallel import mesh as mesh_lib
+from styletransfer_tpu.parallel import prefetch
+
+
+def _write_images(d, count, size=16, mode="RGB"):
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(count):
+        arr = np.full((size, size, 3), i * 10 % 255, dtype=np.uint8)
+        img = Image.fromarray(arr)
+        if mode != "RGB":
+            img = img.convert(mode)
+        img.save(d / f"{i:04d}.png")
+
+
+def test_coco_dataset_loads_normalized(tmp_path):
+    _write_images(tmp_path / "imgs", 4)
+    ds = coco.CocoDataset(image_dir=str(tmp_path / "imgs"), size=16)
+    assert len(ds) == 4
+    arr = ds.load(0)
+    assert arr.shape == (16, 16, 3)
+    assert arr.dtype == np.float32
+
+
+def test_coco_dataset_discards_grayscale(tmp_path):
+    d = tmp_path / "imgs"
+    _write_images(d, 1)
+    Image.fromarray(np.zeros((16, 16), dtype=np.uint8)).save(d / "gray.png")
+    ds = coco.CocoDataset(image_dir=str(d), size=16)
+    loaded = [ds.load(i) for i in range(len(ds))]
+    # one good, one discarded (None) — reference dataset.py:176-186
+    assert sum(x is None for x in loaded) == 1
+
+
+def test_dataloader_batches_drop_last(tmp_path):
+    _write_images(tmp_path / "imgs", 10, size=16)
+    ds = coco.CocoDataset(image_dir=str(tmp_path / "imgs"), size=16)
+    loader = coco.DataLoader(ds, batch_size=4, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2  # 10 // 4, last dropped (dataset.py:344-358)
+    assert all(b.shape == (4, 16, 16, 3) for b in batches)
+
+
+def test_dataloader_substitutes_bad_images(tmp_path):
+    d = tmp_path / "imgs"
+    _write_images(d, 3)
+    (d / "bad.png").write_bytes(b"not an image")
+    ds = coco.CocoDataset(image_dir=str(d), size=16)
+    loader = coco.DataLoader(ds, batch_size=2, drop_last=True, shuffle=False)
+    batches = list(loader)
+    # 3 good + 1 substituted = 4 images -> 2 batches
+    assert len(batches) == 2
+
+
+def test_synthetic_dataset_deterministic():
+    a = coco.SyntheticDataset(4, 16).load(2)
+    b = coco.SyntheticDataset(4, 16).load(2)
+    np.testing.assert_allclose(a, b)
+
+
+def test_get_coco_loader_synthetic_fallback(tmp_path):
+    test_loader, train_loader = coco.get_coco_loader(
+        batch_size=4, image_dir=str(tmp_path / "nonexistent"), test_limit=8,
+        train_limit=16,
+    )
+    batch = next(iter(train_loader))
+    assert batch.shape == (4, 256, 256, 3)
+    assert len(test_loader) >= 1
+
+
+def test_video_dataset_batches_and_drops_ragged():
+    ds = video.VideoDataset(videos=[0, 1, 2], batch_size=2, size=16)
+    ds.synthetic = True
+    batches = list(ds)
+    assert len(batches) == 1  # ragged last batch dropped (dataset.py:248-250)
+
+
+def test_video_batch_size_clamped():
+    ds = video.VideoDataset(videos=[0, 1], batch_size=5, size=16)
+    assert ds.batch_size == 2  # clamped (dataset.py:229-234)
+
+
+def test_iterate_on_video_batches_stops_at_shortest():
+    readers = [
+        video.SyntheticFrameReader(0, num_frames=3, size=16),
+        video.SyntheticFrameReader(1, num_frames=5, size=16),
+    ]
+    frames = list(video.iterate_on_video_batches(readers))
+    assert len(frames) == 3  # shortest video ends (dataset.py:308-311)
+    assert frames[0].shape == (2, 16, 16, 3)
+
+
+def test_iterate_respects_max_frames():
+    readers = [video.SyntheticFrameReader(0, num_frames=10, size=16)]
+    frames = list(video.iterate_on_video_batches(readers, max_frames=4))
+    assert len(frames) == 4
+
+
+def test_prefetch_to_device_shards_batches():
+    mesh = mesh_lib.get_mesh()
+    batches = [np.ones((8, 4, 4, 3), np.float32) * i for i in range(3)]
+    out = list(prefetch.prefetch_to_device(iter(batches), mesh))
+    assert len(out) == 3
+    assert out[1].sharding.is_fully_replicated is False
+    np.testing.assert_allclose(np.asarray(out[2]), batches[2])
+
+
+def test_prefetch_propagates_errors():
+    def gen():
+        yield np.ones((8, 2, 2, 3), np.float32)
+        raise ValueError("boom")
+
+    mesh = mesh_lib.get_mesh()
+    it = prefetch.prefetch_to_device(gen(), mesh)
+    next(it)
+    try:
+        next(it)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised

@@ -1,0 +1,186 @@
+"""End-to-end engine tests on tiny shapes (CPU, 8-device virtual mesh).
+
+Covers: Gatys optimization decreasing the objective (both optimizers), fast
+train step + full static_train epoch loop with checkpoint resume, video scan
+training with the freeze mask, and clip inference recurrence semantics.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from styletransfer_tpu import ckpt
+from styletransfer_tpu.data import coco as coco_data
+from styletransfer_tpu.data import video as video_data
+from styletransfer_tpu.engines import fast, gatys, video
+from styletransfer_tpu.models import transformer, vgg
+from styletransfer_tpu.parallel import mesh as mesh_lib
+
+SIZE = 32
+
+
+@pytest.fixture(scope="module")
+def vgg_params():
+    return vgg.init_params(jax.random.PRNGKey(0))
+
+
+@pytest.fixture
+def content_style():
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    content = jax.random.normal(k1, (1, SIZE, SIZE, 3)) * 0.5
+    style = jax.random.normal(k2, (1, SIZE, SIZE, 3)) * 0.5
+    return content, style
+
+
+def test_gatys_adam_reduces_loss(vgg_params, content_style):
+    content, style = content_style
+    out, losses = gatys.train_gatys(
+        vgg_params, style, content, steps=10, optimizer="adam", log_every=None
+    )
+    assert out.shape == content.shape
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_gatys_lbfgs_reduces_loss(vgg_params, content_style):
+    content, style = content_style
+    _, losses = gatys.train_gatys(
+        vgg_params, style, content, steps=5, optimizer="lbfgs", log_every=None
+    )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_fast_train_step_updates_params_and_reduces_loss(vgg_params):
+    mesh = mesh_lib.get_mesh()
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+    grams = vgg.style_gram_targets(vgg_params, style)
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    # Moderate style weight for stability at this tiny scale/random VGG.
+    opt, step = fast.make_train_step(vgg_params, grams, style_weight=1_000.0)
+    opt_state = opt.init(params)
+
+    batch = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (8, SIZE, SIZE, 3)) * 0.5
+    )
+    batch_dev = mesh_lib.shard_batch(batch, mesh)
+
+    initial_kernel = np.asarray(params["conv1"]["kernel"])
+    totals = []
+    for i in range(15):
+        params, opt_state, metrics = step(params, opt_state, batch_dev)
+        totals.append(float(metrics["total"]))
+    assert np.isfinite(totals).all()
+    # Optimization makes progress (not necessarily monotone over few steps).
+    assert min(totals) < totals[0]
+    assert not np.allclose(np.asarray(params["conv1"]["kernel"]), initial_kernel)
+
+
+def test_fast_static_train_epoch_checkpoint_and_resume(tmp_path, vgg_params):
+    models_path = str(tmp_path / "models")
+    runs = str(tmp_path / "runs")
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+
+    class TinyDS(coco_data.SyntheticDataset):
+        pass
+
+    train_loader = coco_data.DataLoader(TinyDS(16, SIZE), batch_size=8)
+    test_loader = coco_data.DataLoader(TinyDS(8, SIZE), batch_size=8)
+
+    params = fast.static_train(
+        style, style_name="tst", epochs=2, batch_size=8,
+        vgg_params=vgg_params,
+        train_loader=train_loader, test_loader=test_loader,
+        models_path=models_path, runs_dir=runs, max_steps_per_epoch=2,
+    )
+    assert ckpt.epoch_checkpoint_exists("fast_st", "tst", 0, models_path)
+    assert ckpt.epoch_checkpoint_exists("fast_st", "tst", 1, models_path)
+
+    # Resume: both epochs exist -> they're skipped and the latest is loaded.
+    params2 = fast.static_train(
+        style, style_name="tst", epochs=2, batch_size=8,
+        vgg_params=vgg_params,
+        train_loader=train_loader, test_loader=test_loader,
+        models_path=models_path, runs_dir=runs, max_steps_per_epoch=2,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_process_image_writes_output(tmp_path, tmp_image, vgg_params):
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    out = fast.process_image(
+        tmp_image, style_name="tst", out_dir=str(tmp_path / "results"), params=params
+    )
+    assert os.path.isfile(out)
+    assert out.endswith("converted_fast_st_tst.png")
+
+
+def test_video_scan_train_step_and_freeze_mask(vgg_params):
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+    grams = vgg.style_gram_targets(vgg_params, style)
+    fast_params = transformer.init_params(jax.random.PRNGKey(0))
+    params = transformer.init_video_params(jax.random.PRNGKey(1), fast_params)
+    opt, scan_step = video.make_scan_train_step(vgg_params, grams)
+    opt_state = opt.init(params)
+
+    frames = jax.random.normal(jax.random.PRNGKey(4), (3, 2, SIZE, SIZE, 3)) * 0.5
+    old = frames[0]
+    mask = video.freeze_mask(params, freeze_all_but_first=True)
+
+    # The step donates params/opt_state; snapshot compared leaves first.
+    res1_before = np.asarray(params["res1"]["conv1"]["kernel"]).copy()
+    conv1_before = np.asarray(params["conv1"]["kernel"]).copy()
+
+    new_params, opt_state, old_c, old_s, metrics = scan_step(
+        params, opt_state, frames, old, old, mask
+    )
+    assert metrics["total"].shape == (3,)
+    assert np.isfinite(np.asarray(metrics["total"])).all()
+    # Frozen layers unchanged; first conv trained.
+    np.testing.assert_allclose(
+        np.asarray(new_params["res1"]["conv1"]["kernel"]), res1_before
+    )
+    assert not np.allclose(np.asarray(new_params["conv1"]["kernel"]), conv1_before)
+    # Carry holds the last content frame.
+    np.testing.assert_allclose(np.asarray(old_c), np.asarray(frames[-1]), atol=1e-6)
+
+
+def test_video_train_end_to_end_synthetic(tmp_path, vgg_params):
+    models_path = str(tmp_path / "models")
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+    loader = video_data.VideoDataset(
+        videos=[0, 1], batch_size=2, size=SIZE, synthetic_fallback=True
+    )
+    loader.synthetic = True
+    # Keep it tiny: 2 videos of default synthetic length, 1 epoch, chunk 4.
+    params = video.video_train(
+        style, style_name="vtst", epochs=1, batch_size=2,
+        vgg_params=vgg_params, video_loader=loader,
+        chunk_size=4, max_frames=6,
+        models_path=models_path, runs_dir=str(tmp_path / "runs"),
+    )
+    assert ckpt.epoch_checkpoint_exists("video_st", "vtst", 0, models_path)
+    assert params["conv1"]["kernel"].shape == (9, 9, 6, 32)
+
+
+def test_stylize_clip_recurrence_matches_manual(vgg_params):
+    params = transformer.init_video_params(jax.random.PRNGKey(5))
+    frames = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(6), (3, SIZE, SIZE, 3)) * 0.5
+    )
+    outs = video.stylize_clip(params, frames)
+    assert outs.shape == frames.shape
+
+    # Manual recurrence: first frame pairs with itself.
+    prev = jnp.asarray(frames[0:1])
+    expected = []
+    for t in range(3):
+        inp = jnp.concatenate([jnp.asarray(frames[t : t + 1]), prev], axis=-1)
+        prev = transformer.apply(params, inp)
+        expected.append(np.asarray(prev[0]))
+    np.testing.assert_allclose(outs, np.stack(expected), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,61 @@
+"""Tests for image IO: crop/resize/normalize semantics (img_utils.py:13-44)."""
+
+import numpy as np
+from PIL import Image
+
+from styletransfer_tpu import constants
+from styletransfer_tpu.utils import images
+
+
+def test_load_image_shape_and_normalization(tmp_image):
+    arr = images.load_image(tmp_image, size=32)
+    assert arr.shape == (1, 32, 32, 3)
+    assert arr.dtype == np.float32
+    # ImageNet-normalized data is roughly centered; raw [0,1] would be >= 0
+    assert arr.min() < 0
+
+
+def test_center_crop_is_square_center(tmp_path):
+    # 8x4 image: white left half, black right half; crop keeps middle 4x4
+    arr = np.zeros((4, 8, 3), dtype=np.uint8)
+    arr[:, :4] = 255
+    p = tmp_path / "wide.png"
+    Image.fromarray(arr).save(p)
+    out = images.load_image(str(p), size=4, normalized=False)[0]
+    # middle 4 columns = cols 2..5 -> half white, half black
+    assert out[:, 0, :].mean() > 0.9
+    assert out[:, -1, :].mean() < 0.1
+
+
+def test_normalize_denormalize_roundtrip(rng):
+    img = rng.random((1, 8, 8, 3)).astype(np.float32)
+    norm = images.normalize(img)
+    back = np.asarray(images.denormalize(norm))
+    np.testing.assert_allclose(back, img, rtol=1e-5, atol=1e-6)
+
+
+def test_save_and_reload_roundtrip(tmp_path, rng):
+    img01 = rng.random((1, 16, 16, 3)).astype(np.float32)
+    norm = images.normalize(img01)
+    out = tmp_path / "out.png"
+    images.save_image(norm, str(out))
+    reloaded = np.asarray(Image.open(out), dtype=np.float32) / 255.0
+    np.testing.assert_allclose(reloaded, img01[0], atol=2 / 255.0)
+
+
+def test_save_with_ground_truth_concat(tmp_path, rng):
+    a = images.normalize(rng.random((1, 8, 8, 3)).astype(np.float32))
+    b = images.normalize(rng.random((1, 8, 8, 3)).astype(np.float32))
+    out = tmp_path / "pair.png"
+    images.save_image(a, str(out), ground_truth=b)
+    im = Image.open(out)
+    assert im.size == (16, 8)  # concat along width (img_utils.py:47-61)
+
+
+def test_from_array_matches_load(tmp_path, rng):
+    frame = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    p = tmp_path / "f.png"
+    Image.fromarray(frame).save(p)
+    a = images.load_image(str(p), size=constants.IMSIZE)
+    b = images.from_array(frame)
+    np.testing.assert_allclose(a, b, atol=1e-6)
