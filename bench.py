@@ -36,7 +36,7 @@ def main() -> None:
     from styletransfer_tpu.engines import gatys, video
     from styletransfer_tpu.models import transformer, vgg
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     size = 256
 
@@ -68,6 +68,22 @@ def main() -> None:
     log(f"fast_st inference: {imgs_per_sec:.1f} img/s")
 
     if os.environ.get("BENCH_SKIP_EXTRAS") != "1":
+        # --- bf16 activation variant (diagnostic; headline stays f32 for
+        # strict pixel parity with the reference) ---
+        import functools
+
+        apply_bf16 = jax.jit(
+            functools.partial(transformer.apply, compute_dtype=jnp.bfloat16)
+        )
+        y = apply_bf16(params, x)
+        float(jnp.sum(y))
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(iters):
+            y = apply_bf16(params, y)
+        float(jnp.sum(y))
+        log(f"fast_st bf16: {batch * iters / (time.perf_counter() - t0):.1f} img/s")
+
         # --- Gatys iters/sec (100 Adam iters at 256px, driver config 1) ---
         vgg_params = vgg.init_params(jax.random.PRNGKey(0))
         content, style = x[:1], x[1:2]

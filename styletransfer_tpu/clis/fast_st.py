@@ -61,7 +61,9 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight):
 @click.argument("style-name")
 @click.option("-o", "--out-dir", default="results/",
               help="The results directory where the converted image will be saved")
-def convert_image(image_path, style_name, out_dir):
+@click.option("--size", default=None, type=int,
+              help="Working resolution (default 256; the net is fully convolutional)")
+def convert_image(image_path, style_name, out_dir, size):
     """
     Converts the image at `image-path` using the network pretrained with
     `style-name` and saves the resulting transformed image in `out-dir`.
@@ -72,4 +74,6 @@ def convert_image(image_path, style_name, out_dir):
     """
     from styletransfer_tpu.engines import fast
 
-    fast.process_image(image_path=image_path, style_name=style_name, out_dir=out_dir)
+    fast.process_image(
+        image_path=image_path, style_name=style_name, out_dir=out_dir, size=size
+    )

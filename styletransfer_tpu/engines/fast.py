@@ -63,6 +63,7 @@ def loss_fn(
     compute_dtype=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Perceptual training objective (network.py:690-731): style + content + TV."""
+    batch = img_utils.maybe_normalize_on_device(batch)
     transformed = transformer.apply(params, batch, compute_dtype=compute_dtype)
     perceptual, comps = vgg.perceptual_loss(
         vgg_params, transformed, batch, style_grams,
@@ -119,6 +120,7 @@ def make_eval_step(
 
     @jax.jit
     def eval_step(params, batch):
+        batch = img_utils.maybe_normalize_on_device(batch)
         transformed = transformer.apply(params, batch, compute_dtype=compute_dtype)
         clamped = jnp.clip(transformed, 0.0, 255.0)
         s_loss = jnp.float32(0.0)
@@ -258,9 +260,12 @@ def process_image(
     out_dir: str = "results/",
     params=None,
     models_path: Optional[str] = None,
+    size: Optional[int] = None,
 ) -> str:
     """Stylize one image with the latest trained weights (network.py:798-832).
 
+    ``size`` overrides the working resolution (the net is fully
+    convolutional; the reference always resizes to 256, we allow e.g. 512).
     Returns the output path (``converted_fast_st_{style}.png``).
     """
     if params is None:
@@ -270,7 +275,8 @@ def process_image(
         )
 
     input_image = img_utils.load_image(
-        os.path.join(constants.PROJECT_ROOT_PATH, image_path)
+        os.path.join(constants.PROJECT_ROOT_PATH, image_path),
+        size=size or constants.IMSIZE,
     )
     transformed = jax.jit(transformer.apply)(params, jnp.asarray(input_image))
 

@@ -57,6 +57,7 @@ def frame_loss_fn(
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]:
     """Per-frame objective (network.py:988-1020): style + content + TV +
     temporal. Returns (total, (transformed, metrics))."""
+    frame = img_utils.maybe_normalize_on_device(frame)
     net_input = jnp.concatenate([frame, old_stylized], axis=-1)
     transformed = transformer.apply(params, net_input, compute_dtype=compute_dtype)
     perceptual, comps = vgg.perceptual_loss(
@@ -102,6 +103,9 @@ def make_scan_train_step(
     def scan_step(params, opt_state, frames, old_content, old_stylized, grad_mask):
         def body(carry, frame):
             params, opt_state, old_c, old_s = carry
+            # Normalize up front so the carry always holds float frames
+            # (uint8 packed-path inputs convert once; float is a no-op).
+            frame = img_utils.maybe_normalize_on_device(frame)
             grads, (transformed, metrics) = jax.grad(
                 frame_loss_fn, has_aux=True
             )(

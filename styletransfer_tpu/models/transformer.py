@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from styletransfer_tpu.ops import layers
+from styletransfer_tpu.ops.pallas.instance_norm import fused_instance_norm
 
 Params = Dict[str, Any]
 
@@ -64,40 +65,55 @@ def init_params(
     return params
 
 
-def _conv_in_relu(x, conv, inorm, stride, compute_dtype):
+def _conv_in_relu(x, conv, inorm, stride, compute_dtype, use_pallas=None):
     x = layers.conv2d(x, conv["kernel"], conv["bias"], stride, compute_dtype=compute_dtype)
-    x = layers.instance_norm(x, inorm["scale"], inorm["bias"])
-    return jnp.maximum(x, 0.0)
+    return fused_instance_norm(
+        x, inorm["scale"], inorm["bias"], relu=True, use_pallas=use_pallas
+    )
 
 
-def _residual_block(x, p, compute_dtype):
-    """conv-IN-ReLU-conv, add input, then IN (post-add norm, network.py:494-506)."""
-    out = _conv_in_relu(x, p["conv1"], p["in1"], 1, compute_dtype)
+def _residual_block(x, p, compute_dtype, use_pallas=None):
+    """conv-IN-ReLU-conv, add input, then IN (post-add norm, network.py:494-506).
+
+    The residual add is fused into the second instance norm's kernel."""
+    out = _conv_in_relu(x, p["conv1"], p["in1"], 1, compute_dtype, use_pallas)
     out = layers.conv2d(out, p["conv2"]["kernel"], p["conv2"]["bias"], 1,
                         compute_dtype=compute_dtype)
-    out = out + x
-    return layers.instance_norm(out, p["in2"]["scale"], p["in2"]["bias"])
+    return fused_instance_norm(
+        out, p["in2"]["scale"], p["in2"]["bias"], residual=x, use_pallas=use_pallas
+    )
 
 
 def apply(
     params: Params,
     x: jnp.ndarray,
     compute_dtype: Optional[jnp.dtype] = None,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Forward pass: NHWC in (3 or 6 channels), NHWC stylized image out."""
-    x = _conv_in_relu(x, params["conv1"], params["in1"], 1, compute_dtype)
-    x = _conv_in_relu(x, params["conv2"], params["in2"], 2, compute_dtype)
-    x = _conv_in_relu(x, params["conv3"], params["in3"], 2, compute_dtype)
+    """Forward pass: NHWC in (3 or 6 channels), NHWC stylized image out.
+
+    With ``compute_dtype=jnp.bfloat16`` activations stay bfloat16 between
+    ops (instance-norm statistics are always float32); the output is cast
+    back to the input dtype. ``use_pallas`` controls the fused
+    instance-norm kernels (default: on for TPU backends).
+    """
+    in_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    x = _conv_in_relu(x, params["conv1"], params["in1"], 1, compute_dtype, use_pallas)
+    x = _conv_in_relu(x, params["conv2"], params["in2"], 2, compute_dtype, use_pallas)
+    x = _conv_in_relu(x, params["conv3"], params["in3"], 2, compute_dtype, use_pallas)
     for i in range(NUM_RESIDUAL_BLOCKS):
-        x = _residual_block(x, params[f"res{i + 1}"], compute_dtype)
+        x = _residual_block(x, params[f"res{i + 1}"], compute_dtype, use_pallas)
     x = layers.upsample_nearest(x, 2)
-    x = _conv_in_relu(x, params["up1_conv"], params["up1_in"], 1, compute_dtype)
+    x = _conv_in_relu(x, params["up1_conv"], params["up1_in"], 1, compute_dtype, use_pallas)
     x = layers.upsample_nearest(x, 2)
-    x = _conv_in_relu(x, params["up2_conv"], params["up2_in"], 1, compute_dtype)
-    return layers.conv2d(
+    x = _conv_in_relu(x, params["up2_conv"], params["up2_in"], 1, compute_dtype, use_pallas)
+    out = layers.conv2d(
         x, params["conv_out"]["kernel"], params["conv_out"]["bias"], 1,
         compute_dtype=compute_dtype,
     )
+    return out.astype(in_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,190 @@
+"""Fused instance-norm (+ReLU) (+residual-add) as a Pallas TPU kernel.
+
+The transform nets apply InstanceNorm after every conv (network.py:520-611).
+XLA lowers IN as reduce (stats) + map (normalize) — multiple HBM passes over
+each activation map. This kernel does one pass per sample: read the
+activation into VMEM once, compute per-channel statistics, normalize, apply
+the optional residual add (post-add IN, network.py:502-504) and ReLU, and
+write once.
+
+Lane packing: a naive ``[1, H, W, C]`` block puts C in the lane dimension;
+with C in {32, 64} Mosaic pads lanes to 128, wasting 2-4x VMEM (observed:
+64 MB windows for 8 MB of data -> VMEM OOM). Instead the wrapper views the
+NHWC array as ``[N, H, W*C]`` — a free view in row-major layout — so lanes
+are fully packed (every transform-net layer has W*C a multiple of 128).
+Channel statistics are then computed with a small iota-built selection
+matrix M[W*C, C] (M[l, c] = 1 iff l mod C == c): per-channel sums are
+``row_sums @ M`` (one tiny MXU matmul) and per-lane broadcasts are
+``M @ stat``.
+
+The backward pass falls back to the XLA reference implementation via
+``jax.custom_vjp`` — the backward is matmul-free elementwise work XLA fuses
+well on its own.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _xla_reference(x, scale, bias, residual=None, relu=False, eps=1e-5):
+    """Pure-XLA semantics the kernel must match (and the VJP source)."""
+    x32 = x.astype(jnp.float32)
+    if residual is not None:
+        x32 = x32 + residual.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.astype(x.dtype)
+
+
+def _kernel(x_ref, scale_ref, bias_ref, out_ref, *, relu: bool, eps: float,
+            c: int, res_ref=None):
+    # Refs are [1, H, W*C] lane-packed blocks (one sample per grid step).
+    x = x_ref[0].astype(jnp.float32)  # [H, WC]
+    if res_ref is not None:
+        x = x + res_ref[0].astype(jnp.float32)
+    h, wc = x.shape
+    n_spatial = h * (wc // c)
+
+    # Channel-selection matrix M[WC, C]: lane l belongs to channel l % C.
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (wc, c), 0)
+    chan_ids = jax.lax.broadcasted_iota(jnp.int32, (wc, c), 1)
+    m = (lane_ids % c == chan_ids).astype(jnp.float32)  # [WC, C]
+
+    # Per-lane sums over H, folded to per-channel sums via M (MXU).
+    lane_sum = jnp.sum(x, axis=0, keepdims=True)          # [1, WC]
+    lane_sumsq = jnp.sum(x * x, axis=0, keepdims=True)    # [1, WC]
+    chan_sum = jnp.dot(lane_sum, m, preferred_element_type=jnp.float32)    # [1, C]
+    chan_sumsq = jnp.dot(lane_sumsq, m, preferred_element_type=jnp.float32)
+
+    mean = chan_sum / n_spatial                           # [1, C]
+    var = chan_sumsq / n_spatial - mean * mean            # biased, torch parity
+    inv = jax.lax.rsqrt(var + eps)
+
+    # Broadcast per-channel stats (and affine params) back to lanes via M.
+    g = scale_ref[...].astype(jnp.float32).reshape(1, c)
+    b = bias_ref[...].astype(jnp.float32).reshape(1, c)
+    # out = (x - mean) * inv * g + b, expressed per-lane:
+    #     = x * a_lane + b_lane,  a = inv*g,  b = b - mean*inv*g
+    a_lane = jnp.dot(inv * g, m.T, preferred_element_type=jnp.float32)     # [1, WC]
+    b_lane = jnp.dot(b - mean * inv * g, m.T, preferred_element_type=jnp.float32)
+
+    out = x * a_lane + b_lane
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _kernel_with_res(x_ref, res_ref, scale_ref, bias_ref, out_ref, *, relu, eps, c):
+    _kernel(x_ref, scale_ref, bias_ref, out_ref, relu=relu, eps=eps, c=c,
+            res_ref=res_ref)
+
+
+def pallas_supported(shape) -> bool:
+    """Lane-packed kernel needs W*C % 128 == 0 and H % 8 == 0."""
+    _, h, w, c = shape
+    return (w * c) % 128 == 0 and h % 8 == 0
+
+
+def _pallas_forward(x, scale, bias, residual, relu: bool, eps: float,
+                    interpret: bool = False):
+    n, h, w, c = x.shape
+    wc = w * c
+    x2 = x.reshape(n, h, wc)  # free view in row-major NHWC
+    mem = pl.ANY if interpret else pltpu.VMEM
+    block = pl.BlockSpec((1, h, wc), lambda i: (i, 0, 0), memory_space=mem)
+    chan = pl.BlockSpec((c,), lambda i: (0,), memory_space=mem)
+    if residual is None:
+        kernel = functools.partial(_kernel, relu=relu, eps=eps, c=c)
+        in_specs = [block, chan, chan]
+        args = (x2, scale, bias)
+    else:
+        kernel = functools.partial(_kernel_with_res, relu=relu, eps=eps, c=c)
+        in_specs = [block, block, chan, chan]
+        args = (x2, residual.reshape(n, h, wc), scale, bias)
+    kwargs = {}
+    if not interpret:
+        # Blocks are up to 8 MB (f32 [1, 256, 8192]); with double-buffered
+        # input(s) + output the default 16 MB scoped-VMEM limit is too small.
+        # v5e has 128 MB of VMEM; allow the largest residual case:
+        # (in + res + out) * 2 buffers * 8 MB = 48 MB, plus scratch headroom.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(*args)
+    return out.reshape(n, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused(x, scale, bias, residual, relu, eps, interpret):
+    return _pallas_forward(x, scale, bias, residual, relu, eps, interpret)
+
+
+def _fused_fwd(x, scale, bias, residual, relu, eps, interpret):
+    out = _pallas_forward(x, scale, bias, residual, relu, eps, interpret)
+    return out, (x, scale, bias, residual)
+
+
+def _fused_bwd(relu, eps, interpret, res, g):
+    x, scale, bias, residual = res
+    if residual is None:
+        def f(x_, s_, b_):
+            return _xla_reference(x_, s_, b_, None, relu, eps)
+
+        _, vjp = jax.vjp(f, x, scale, bias)
+        dx, dscale, dbias = vjp(g)
+        return dx, dscale, dbias, None
+    def f(x_, s_, b_, r_):
+        return _xla_reference(x_, s_, b_, r_, relu, eps)
+
+    _, vjp = jax.vjp(f, x, scale, bias, residual)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_instance_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    residual: Optional[jnp.ndarray] = None,
+    relu: bool = False,
+    eps: float = 1e-5,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Instance norm with optional pre-norm residual add and post-norm ReLU.
+
+    Semantics match ``nn.InstanceNorm2d(C, affine=True)`` applied to
+    ``x + residual`` followed by ReLU when the flags are set.
+
+    Default is the XLA implementation: measured on TPU v5e at 256px, XLA's
+    own fusion of the reduce+map (including fusing the normalize into
+    neighboring ops) outperforms this kernel (f32: 1126 vs 848 img/s;
+    bf16: 1406 vs 1164 img/s end-to-end) — a per-sample grid serializes
+    DMA that XLA pipelines better. The kernel stays available via
+    ``use_pallas=True`` as the substrate for deeper fusion (pad-into-conv)
+    where XLA cannot follow.
+    """
+    if use_pallas is None:
+        use_pallas = False
+    if not use_pallas or not pallas_supported(x.shape):
+        return _xla_reference(x, scale, bias, residual, relu, eps)
+    return _fused(x, scale, bias, residual, relu, eps, False)
