@@ -113,6 +113,7 @@ def find_latest(
             if x.startswith(model_name)
             and style_name in os.path.splitext(x)[0][len(model_name):]
             and (x.endswith(CKPT_SUFFIX) or x.endswith(".pth"))
+            and "_step_state" not in x  # mid-epoch states aren't "latest" weights
         ]
     except FileNotFoundError:
         names = []
@@ -129,6 +130,74 @@ def find_latest(
     names.sort(key=lambda n: (_epoch_of(n), n.endswith(CKPT_SUFFIX)))
     chosen = names[-1]
     return os.path.join(directory, chosen), _epoch_of(chosen)
+
+
+# ---------------------------------------------------------------------------
+# Step-level checkpointing (finer than the reference's per-epoch contract —
+# SURVEY.md §5 calls for step-level resume in the TPU build).
+# ---------------------------------------------------------------------------
+
+
+def step_state_path(model_name: str, style_name: str,
+                    models_path: Optional[str] = None) -> str:
+    return os.path.join(
+        _models_dir(models_path), f"{model_name}_{style_name}_step_state{CKPT_SUFFIX}"
+    )
+
+
+def save_step_state(
+    params: Any,
+    opt_state: Any,
+    epoch: int,
+    iteration: int,
+    model_name: str,
+    style_name: str,
+    models_path: Optional[str] = None,
+) -> str:
+    """Atomically save mid-training state (params + optimizer + position).
+
+    Written via a temp file + rename so a crash mid-write never corrupts the
+    resumable state.
+    """
+    path = step_state_path(model_name, style_name, models_path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    state = {
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state),
+        "epoch": np.int64(epoch),
+        "iteration": np.int64(iteration),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(state))
+    os.replace(tmp, path)
+    return path
+
+
+def load_step_state(
+    params_template: Any,
+    opt_state_template: Any,
+    model_name: str,
+    style_name: str,
+    models_path: Optional[str] = None,
+):
+    """Load mid-training state if present; returns the state dict or None."""
+    path = step_state_path(model_name, style_name, models_path)
+    if not os.path.isfile(path):
+        return None
+    template = {
+        "params": params_template,
+        "opt_state": opt_state_template,
+        "epoch": np.int64(0),
+        "iteration": np.int64(0),
+    }
+    with open(path, "rb") as f:
+        state = serialization.from_bytes(template, f.read())
+    get_logger().info(
+        "Restored step state from %s (epoch %d, iteration %d)",
+        path, int(state["epoch"]), int(state["iteration"]),
+    )
+    return state
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:

@@ -30,8 +30,10 @@ LOGGER = get_logger()
 @click.option("--optimizer", default="adam", type=click.Choice(["adam", "lbfgs"]),
               help="On-device optimizer for the pixel optimization")
 @click.option("--learning-rate", default=0.05, help="Adam learning rate")
+@click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
+              help="VGG tower activation precision (bf16 is faster; pixels stay f32)")
 def gatys_st(content_image_path, style_image_path, out_name, steps,
-             content_weight, style_weight, optimizer, learning_rate):
+             content_weight, style_weight, optimizer, learning_rate, precision):
     """
     Run the original Gatys style transfer. Both `style-image` and
     `content-image` should be the paths to the image we want to take the
@@ -61,6 +63,7 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
         content_weight=content_weight,
         optimizer=optimizer,
         learning_rate=learning_rate,
+        precision=precision,
     )
 
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, "results")

@@ -163,12 +163,17 @@ def static_train(
     runs_dir: Optional[str] = None,
     models_path: Optional[str] = None,
     max_steps_per_epoch: Optional[int] = None,
+    step_checkpoint_every: Optional[int] = None,
 ):
     """Train the fast transform net (network.py:651-770).
 
     Keeps the reference's epoch-checkpoint/resume contract: if the epoch's
     checkpoint file exists the epoch is skipped and its weights loaded
-    (network.py:681-685). Returns the trained params.
+    (network.py:681-685). With ``step_checkpoint_every`` set, a mid-epoch
+    step state (params + optimizer + position) is additionally saved
+    atomically every N steps; on restart training resumes from the start of
+    the stored epoch with the stored params/optimizer (step-level crash
+    recovery — SURVEY.md §5). Returns the trained params.
     """
     logger = get_logger()
     mesh = mesh or mesh_lib.auto_mesh(batch_size)
@@ -205,7 +210,19 @@ def static_train(
     logger.info("Training fast_st with Adam on a %d-device mesh", mesh.size)
 
     iteration = 0
-    for epoch in range(epochs):
+    start_epoch = 0
+    if step_checkpoint_every:
+        state = ckpt.load_step_state(
+            jax.device_get(params), jax.device_get(opt_state),
+            MODEL_NAME, style_name, models_path,
+        )
+        if state is not None:
+            params = mesh_lib.replicate(state["params"], mesh)
+            opt_state = mesh_lib.replicate(state["opt_state"], mesh)
+            start_epoch = int(state["epoch"])
+            iteration = int(state["iteration"])
+
+    for epoch in range(start_epoch, epochs):
         if ckpt.epoch_checkpoint_exists(MODEL_NAME, style_name, epoch, models_path):
             params, _ = ckpt.load_latest_transformer(
                 MODEL_NAME, style_name, params, models_path
@@ -239,6 +256,11 @@ def static_train(
 
             iteration += 1
             n_in_epoch += 1
+            if step_checkpoint_every and iteration % step_checkpoint_every == 0:
+                ckpt.save_step_state(
+                    params, opt_state, epoch, iteration,
+                    MODEL_NAME, style_name, models_path,
+                )
             if max_steps_per_epoch and n_in_epoch >= max_steps_per_epoch:
                 break
 

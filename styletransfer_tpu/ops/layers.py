@@ -61,20 +61,22 @@ def conv2d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
+    # With a compute dtype the conv outputs in that dtype (keeping
+    # activations bf16 between ops halves HBM traffic, the real bound);
+    # the MXU still accumulates partial products in float32 internally.
+    # Emitting f32 from bf16 operands via preferred_element_type breaks the
+    # conv VJP under jax 0.9 (f32 cotangent x bf16 kernel dtype mismatch).
+    pet = jnp.float32 if compute_dtype is None else compute_dtype
     out = jax.lax.conv_general_dilated(
         x,
         kernel,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)
-    if compute_dtype is not None:
-        # Keep activations in the compute dtype between ops — with bfloat16
-        # this halves HBM traffic, which is what actually bounds this net.
-        out = out.astype(compute_dtype)
     return out
 
 

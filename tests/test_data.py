@@ -126,3 +126,19 @@ def test_prefetch_propagates_errors():
     except ValueError:
         raised = True
     assert raised
+
+
+def test_dataloader_sharding_disjoint_and_complete():
+    ds = coco.SyntheticDataset(16, 8)
+    seen = []
+    for i in range(4):
+        loader = coco.DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+                                 shard_index=i, shard_count=4)
+        for batch in loader:
+            seen.append(batch)
+        assert len(loader) == 2
+    # 4 shards x 4 images: every image seen exactly once across shards
+    all_imgs = np.concatenate(seen)
+    assert all_imgs.shape[0] == 16
+    uniq = {a.tobytes() for a in all_imgs}
+    assert len(uniq) == 16
