@@ -30,7 +30,13 @@ def fast_st():
               help="The weight we will assign to the content loss during the optimization")
 @click.option("-sw", "--style-weight", default=100_000,
               help="The weight we will assign to the style loss during the optimization")
-def train(style_image_path, epochs, batch_size, content_weight, style_weight):
+@click.option("--packed", default=None, type=str,
+              help="Path to a packed dataset file (see data.packed.pack_images); "
+                   "zero-decode mmap reads instead of per-image JPEG decode")
+@click.option("--step-checkpoint-every", default=None, type=int,
+              help="Also save mid-epoch resumable state every N steps")
+def train(style_image_path, epochs, batch_size, content_weight, style_weight,
+          packed, step_checkpoint_every):
     """
     Perform the training for the fast style transfer network. A checkpoint
     will be created at the end of each epoch in the `data/models/` directory.
@@ -46,6 +52,15 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight):
     style_image_path = os.path.join(constants.PROJECT_ROOT_PATH, style_image_path)
     style_image = jnp.asarray(images.load_image(style_image_path))
 
+    loaders = {}
+    if packed:
+        from styletransfer_tpu.data.packed import get_packed_loader
+
+        test_loader, train_loader = get_packed_loader(
+            packed, batch_size=batch_size, test_split=0.10, test_limit=20
+        )
+        loaders = {"test_loader": test_loader, "train_loader": train_loader}
+
     fast.static_train(
         style_image,
         style_name=style_name,
@@ -53,6 +68,8 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight):
         batch_size=batch_size,
         style_weight=style_weight,
         content_weight=content_weight,
+        step_checkpoint_every=step_checkpoint_every,
+        **loaders,
     )
 
 

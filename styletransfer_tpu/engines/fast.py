@@ -246,10 +246,13 @@ def static_train(
                 avg = static_test(params, test_loader, eval_step, mesh)
                 writer.add_scalar("data/fst_test_loss", avg, iteration)
             if iteration % image_every == 0:
-                preview = transformer.apply(params, batch[:1])
+                # Packed-path batches are uint8; normalize before the net
+                # and for the side-by-side ground truth.
+                preview_in = img_utils.maybe_normalize_on_device(batch[:1])
+                preview = transformer.apply(params, preview_in)
                 pair = img_utils.concat_images(
                     img_utils.to_uint8(np.asarray(preview)),
-                    img_utils.to_uint8(np.asarray(batch[:1])),
+                    img_utils.to_uint8(np.asarray(preview_in)),
                     axis=1,
                 )
                 writer.add_image("data/fst_images", pair, iteration)

@@ -44,11 +44,21 @@ def _build_table() -> None:
 _build_table()
 
 
-def _crc32c(data: bytes) -> int:
+def _crc32c_py(data: bytes) -> int:
+    """Pure-Python CRC32C (fallback when the native library can't build)."""
     crc = 0xFFFFFFFF
     for b in data:
         crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
+
+
+def _crc32c(data: bytes) -> int:
+    # Route through the native C implementation (~GB/s vs ~3 MB/s in
+    # Python — image summaries are megabytes per event). Lazy import to
+    # avoid a cycle with styletransfer_tpu.native's fallback path.
+    from styletransfer_tpu import native
+
+    return native.crc32c(data)
 
 
 def _masked_crc(data: bytes) -> int:

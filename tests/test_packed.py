@@ -88,3 +88,14 @@ def test_fast_train_step_accepts_uint8_batch(tmp_path):
     batch = next(iter(coco.DataLoader(packed.PackedDataset(out), batch_size=8)))
     params, opt_state, metrics = step(params, opt_state, jnp.asarray(batch))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_get_packed_loader_split(tmp_path):
+    out = str(tmp_path / "p.bin")
+    packed.pack_synthetic(out, num_images=40, size=16)
+    test_loader, train_loader = packed.get_packed_loader(out, batch_size=4)
+    # 10% test = 4 images -> 1 batch; 36 train -> 9 batches
+    assert len(test_loader) == 1
+    assert len(train_loader) == 9
+    b = next(iter(train_loader))
+    assert b.dtype == np.uint8 and b.shape == (4, 16, 16, 3)

@@ -85,3 +85,21 @@ def test_loads_in_tensorboard_if_available(tmp_path):
     scalars = acc.Scalars("loss")
     assert [s.step for s in scalars] == list(range(5))
     assert [s.value for s in scalars] == [float(i) for i in range(5)]
+
+
+def test_native_crc32c_matches_python():
+    import time
+
+    from styletransfer_tpu import native
+
+    data = bytes(range(256)) * 64
+    assert native.crc32c(data) == tb._crc32c_py(data)
+    assert native.crc32c(b"123456789") == 0xE3069283
+    assert native.crc32c(b"") == 0
+    # spot-check a few random payloads
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for n in (1, 7, 8, 9, 1023):
+        payload = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert native.crc32c(payload) == tb._crc32c_py(payload)
