@@ -35,8 +35,10 @@ def fast_st():
                    "zero-decode mmap reads instead of per-image JPEG decode")
 @click.option("--step-checkpoint-every", default=None, type=int,
               help="Also save mid-epoch resumable state every N steps")
+@click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
+              help="Activation precision (params/optimizer stay f32)")
 def train(style_image_path, epochs, batch_size, content_weight, style_weight,
-          packed, step_checkpoint_every):
+          packed, step_checkpoint_every, precision):
     """
     Perform the training for the fast style transfer network. A checkpoint
     will be created at the end of each epoch in the `data/models/` directory.
@@ -69,6 +71,7 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
         style_weight=style_weight,
         content_weight=content_weight,
         step_checkpoint_every=step_checkpoint_every,
+        precision=precision,
         **loaders,
     )
 

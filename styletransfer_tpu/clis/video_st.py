@@ -35,8 +35,10 @@ def video_st():
               help="States whether we want to start training the video model from "
                    "pretrained fast style transfer weights (which was trained on the "
                    "same style name)")
+@click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
+              help="Activation precision (params/optimizer stay f32)")
 def train(style_image_path, epochs, batch_size, content_weight, style_weight,
-          temporal_weight, use_pretrained_fast_st):
+          temporal_weight, use_pretrained_fast_st, precision):
     """
     Perform the training for the video style transfer network. A checkpoint
     will be created at the end of each epoch in the `data/models/` directory.
@@ -64,6 +66,7 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
         content_weight=content_weight,
         temporal_weight=temporal_weight,
         use_pretrained_fast_st=use_pretrained_fast_st,
+        precision=precision,
     )
 
 

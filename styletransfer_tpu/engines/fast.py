@@ -164,8 +164,14 @@ def static_train(
     models_path: Optional[str] = None,
     max_steps_per_epoch: Optional[int] = None,
     step_checkpoint_every: Optional[int] = None,
+    precision: str = "f32",
 ):
     """Train the fast transform net (network.py:651-770).
+
+    ``precision="bf16"`` runs activations (transform net + VGG tower) in
+    bfloat16; params, gradients, optimizer state and loss reductions stay
+    float32 (standard mixed precision — bf16's exponent range needs no loss
+    scaling).
 
     Keeps the reference's epoch-checkpoint/resume contract: if the epoch's
     checkpoint file exists the epoch is skipped and its weights loaded
@@ -196,8 +202,10 @@ def static_train(
         params = transformer.init_params(jax.random.PRNGKey(seed))
     params = mesh_lib.replicate(params, mesh)
 
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else None
     opt, train_step = make_train_step(
-        vgg_params, style_grams, style_weight, content_weight
+        vgg_params, style_grams, style_weight, content_weight,
+        compute_dtype=compute_dtype,
     )
     eval_step = make_eval_step(vgg_params, style_grams, style_weight)
     opt_state = mesh_lib.replicate(opt.init(params), mesh)

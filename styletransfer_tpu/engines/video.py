@@ -186,6 +186,7 @@ def video_train(
     max_frames: int = video_data.MAX_FRAMES_DEFAULT,
     runs_dir: Optional[str] = None,
     models_path: Optional[str] = None,
+    precision: str = "f32",
 ):
     """Train the video transform net (network.py:905-1069).
 
@@ -225,7 +226,8 @@ def video_train(
     params = mesh_lib.replicate(params, mesh)
 
     opt, scan_step = make_scan_train_step(
-        vgg_params, style_grams, style_weight, content_weight, temporal_weight
+        vgg_params, style_grams, style_weight, content_weight, temporal_weight,
+        compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
     )
     opt_state = mesh_lib.replicate(opt.init(params), mesh)
 

@@ -184,3 +184,32 @@ def test_stylize_clip_recurrence_matches_manual(vgg_params):
         prev = transformer.apply(params, inp)
         expected.append(np.asarray(prev[0]))
     np.testing.assert_allclose(outs, np.stack(expected), rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_training_step_finite(vgg_params):
+    import jax.numpy as jnp
+
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+    grams = vgg.style_gram_targets(vgg_params, style)
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    opt, step = fast.make_train_step(
+        vgg_params, grams, style_weight=1000.0, compute_dtype=jnp.bfloat16
+    )
+    opt_state = opt.init(params)
+    batch = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (8, SIZE, SIZE, 3)) * 0.5
+    )
+    params, opt_state, metrics = step(params, opt_state, jnp.asarray(batch))
+    assert np.isfinite(float(metrics["total"]))
+    # params stay f32 (mixed precision: only activations are bf16)
+    assert params["conv1"]["kernel"].dtype == jnp.float32
+
+
+def test_gatys_bf16_precision_mode(vgg_params, content_style):
+    content, style = content_style
+    out, losses = gatys.train_gatys(
+        vgg_params, style, content, steps=5, optimizer="adam",
+        log_every=None, precision="bf16",
+    )
+    assert out.dtype == jnp.float32  # pixels stay f32
+    assert np.isfinite(losses).all()
