@@ -83,7 +83,9 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
               help="The results directory where the converted image will be saved")
 @click.option("--size", default=None, type=int,
               help="Working resolution (default 256; the net is fully convolutional)")
-def convert_image(image_path, style_name, out_dir, size):
+@click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
+              help="Activation precision")
+def convert_image(image_path, style_name, out_dir, size, precision):
     """
     Converts the image at `image-path` using the network pretrained with
     `style-name` and saves the resulting transformed image in `out-dir`.
@@ -95,5 +97,6 @@ def convert_image(image_path, style_name, out_dir, size):
     from styletransfer_tpu.engines import fast
 
     fast.process_image(
-        image_path=image_path, style_name=style_name, out_dir=out_dir, size=size
+        image_path=image_path, style_name=style_name, out_dir=out_dir,
+        size=size, precision=precision,
     )

@@ -77,7 +77,9 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
               help="The results directory where the converted style will be saved")
 @click.option("--fps", default=24.0,
               help="The FPS that will be used when saving the transformed video")
-def convert_video(video_path, style_name, out_dir, fps):
+@click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
+              help="Activation precision")
+def convert_video(video_path, style_name, out_dir, fps, precision):
     """
     Converts the video at `video-path` using the network pretrained with
     `style-name` and saves the resulting transformed video in `out-dir`.
@@ -88,5 +90,6 @@ def convert_video(video_path, style_name, out_dir, fps):
     from styletransfer_tpu.engines import video
 
     video.process_video(
-        video_path=video_path, style_name=style_name, out_dir=out_dir, fps=fps
+        video_path=video_path, style_name=style_name, out_dir=out_dir,
+        fps=fps, precision=precision,
     )

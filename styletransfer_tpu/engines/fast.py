@@ -294,6 +294,7 @@ def process_image(
     params=None,
     models_path: Optional[str] = None,
     size: Optional[int] = None,
+    precision: str = "f32",
 ) -> str:
     """Stylize one image with the latest trained weights (network.py:798-832).
 
@@ -311,7 +312,12 @@ def process_image(
         os.path.join(constants.PROJECT_ROOT_PATH, image_path),
         size=size or constants.IMSIZE,
     )
-    transformed = jax.jit(transformer.apply)(params, jnp.asarray(input_image))
+    transformed = jax.jit(
+        functools.partial(
+            transformer.apply,
+            compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
+        )
+    )(params, jnp.asarray(input_image))
 
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)

@@ -302,21 +302,21 @@ def video_train(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _stylize_chunk(params, frames, old_stylized):
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _stylize_chunk(params, frames, old_stylized, compute_dtype=None):
     """Scan-stylize a [T,B,H,W,3] chunk; carry is the previous stylized frame
     (recurrent feedback, network.py:1117-1131)."""
 
     def body(old, frame):
         net_input = jnp.concatenate([frame, old], axis=-1)
-        out = transformer.apply(params, net_input)
+        out = transformer.apply(params, net_input, compute_dtype=compute_dtype)
         return out, out
 
     _, outs = jax.lax.scan(body, old_stylized, frames)
     return outs
 
 
-def stylize_clip(params, frames: np.ndarray) -> np.ndarray:
+def stylize_clip(params, frames: np.ndarray, precision: str = "f32") -> np.ndarray:
     """Stylize a whole clip [T,H,W,3] (or [T,B,H,W,3]) in one scanned jit.
 
     The first frame pairs with itself (network.py:1120-1121).
@@ -325,7 +325,8 @@ def stylize_clip(params, frames: np.ndarray) -> np.ndarray:
     if squeeze:
         frames = frames[:, None]
     frames = jnp.asarray(frames)
-    outs = _stylize_chunk(params, frames, frames[0])
+    dt = jnp.bfloat16 if precision == "bf16" else None
+    outs = _stylize_chunk(params, frames, frames[0], compute_dtype=dt)
     outs = np.asarray(outs)
     return outs[:, 0] if squeeze else outs
 
@@ -341,6 +342,7 @@ def process_video(
     chunk_size: int = 24,
     save_frames: bool = False,
     max_frames: int = video_data.MAX_FRAMES_DEFAULT,
+    precision: str = "f32",
 ) -> str:
     """Stylize a single video (network.py:1071-1158).
 
@@ -402,7 +404,10 @@ def process_video(
         frames = jnp.asarray(chunk)  # [chunk,1,H,W,3]
         if old_stylized is None:
             old_stylized = frames[0]
-        outs = _stylize_chunk(params, frames, old_stylized)
+        outs = _stylize_chunk(
+            params, frames, old_stylized,
+            compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
+        )
         old_stylized = outs[-1]
         for t in range(outs.shape[0]):
             if frame_idx >= real_count["n"]:
