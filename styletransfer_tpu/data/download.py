@@ -1,0 +1,114 @@
+"""Dataset downloaders with byte-range resume.
+
+Rebuild of the reference download stack (dataset.py:35-122): a resumable
+HTTP downloader with a tqdm progress bar, a URL-list helper, the 4-video
+sample dataset (Google sample videos), and the COCO per-image downloader
+driven by ``image_info_test2017.json``.
+
+Failure semantics kept from the reference: interrupted downloads resume from
+the current file size via a Range header (dataset.py:42-48); already-complete
+files are skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List
+
+from styletransfer_tpu import constants
+from styletransfer_tpu.utils.logging import get_logger
+
+# Dataset locations (reference dataset.py:27-32).
+BASE_COCO_PATH = "data/coco_dataset/"
+IMAGE_FOLDER_PATH = os.path.join(BASE_COCO_PATH, "images")
+VIDEO_DATA_PATH = "data/video/"
+
+SAMPLE_VIDEO_URLS = [
+    "http://commondatastorage.googleapis.com/gtv-videos-bucket/sample/BigBuckBunny.mp4",
+    "http://commondatastorage.googleapis.com/gtv-videos-bucket/sample/ElephantsDream.mp4",
+    "http://commondatastorage.googleapis.com/gtv-videos-bucket/sample/Sintel.mp4",
+    "http://commondatastorage.googleapis.com/gtv-videos-bucket/sample/TearsOfSteel.mp4",
+]
+
+
+def _abspath(path: str) -> str:
+    return path if os.path.isabs(path) else os.path.join(constants.PROJECT_ROOT_PATH, path)
+
+
+def download_from_url(url: str, dst: str) -> int:
+    """Resumable single-file download (reference dataset.py:35-59).
+
+    HEADs for Content-Length, resumes from the local size with a Range
+    header, streams in chunks with a progress bar. Returns total size.
+    """
+    import requests
+    from tqdm import tqdm
+
+    file_size = int(requests.head(url).headers["Content-Length"])
+    first_byte = os.path.getsize(dst) if os.path.exists(dst) else 0
+    if first_byte >= file_size:
+        return file_size
+    header = {"Range": f"bytes={first_byte}-{file_size}"}
+    pbar = tqdm(total=file_size, initial=first_byte, unit="B", unit_scale=True,
+                desc=url.split("/")[-1])
+    req = requests.get(url, headers=header, stream=True)
+    with open(dst, "ab") as f:
+        for chunk in req.iter_content(chunk_size=64 * 1024):
+            if chunk:
+                f.write(chunk)
+                pbar.update(len(chunk))
+    pbar.close()
+    return file_size
+
+
+def download_list_of_urls(urls: List[str], destination_folder: str = VIDEO_DATA_PATH) -> None:
+    """Download a list of URLs (reference dataset.py:62-83)."""
+    destination_folder = _abspath(destination_folder)
+    os.makedirs(destination_folder, exist_ok=True)
+    name_counter = 0
+    for url in urls:
+        filename = url.split("/")[-1]
+        if not filename or len(filename) > 64:
+            filename = f"{name_counter}.mp4"
+            name_counter += 1
+        download_from_url(url, os.path.join(destination_folder, filename))
+
+
+def download_videos_dataset() -> None:
+    """Ensure the 4 sample videos are present (reference dataset.py:86-103)."""
+    path = _abspath(VIDEO_DATA_PATH)
+    os.makedirs(path, exist_ok=True)
+    if len(SAMPLE_VIDEO_URLS) != len(os.listdir(path)):
+        try:
+            download_list_of_urls(SAMPLE_VIDEO_URLS, VIDEO_DATA_PATH)
+        except Exception as exc:  # noqa: BLE001 - offline environments
+            get_logger().warning(
+                "Could not download sample videos (%s); the video dataset "
+                "falls back to synthetic clips if none are present.", exc,
+            )
+
+
+def download_coco_images() -> None:
+    """Ensure COCO images are present (reference dataset.py:106-122).
+
+    Reads ``image_info_test2017.json`` for per-image URLs. If the manifest is
+    missing (it is not shipped — reference ``.MISSING_LARGE_BLOBS``) or the
+    network is unreachable, logs and returns; the loader then uses whatever
+    images exist or the synthetic fallback.
+    """
+    json_file_path = _abspath(os.path.join(BASE_COCO_PATH, "image_info_test2017.json"))
+    image_dir = _abspath(IMAGE_FOLDER_PATH)
+    os.makedirs(image_dir, exist_ok=True)
+    if not os.path.isfile(json_file_path):
+        get_logger().info(
+            "COCO manifest %s not found; skipping download.", json_file_path
+        )
+        return
+    with open(json_file_path) as f:
+        images_urls = [x["coco_url"] for x in json.load(f)["images"]]
+    if len(images_urls) != len(os.listdir(image_dir)):
+        try:
+            download_list_of_urls(images_urls, IMAGE_FOLDER_PATH)
+        except Exception as exc:  # noqa: BLE001
+            get_logger().warning("COCO download interrupted/unavailable: %s", exc)
