@@ -58,6 +58,8 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
     if packed:
         from styletransfer_tpu.data.packed import get_packed_loader
 
+        if not os.path.isabs(packed):
+            packed = os.path.join(constants.PROJECT_ROOT_PATH, packed)
         test_loader, train_loader = get_packed_loader(
             packed, batch_size=batch_size, test_split=0.10, test_limit=20
         )

@@ -207,7 +207,9 @@ def static_train(
         vgg_params, style_grams, style_weight, content_weight,
         compute_dtype=compute_dtype,
     )
-    eval_step = make_eval_step(vgg_params, style_grams, style_weight)
+    eval_step = make_eval_step(
+        vgg_params, style_grams, style_weight, compute_dtype=compute_dtype
+    )
     opt_state = mesh_lib.replicate(opt.init(params), mesh)
 
     if train_loader is None or test_loader is None:
@@ -282,6 +284,14 @@ def static_train(
                 epoch, n_in_epoch, dt, n_in_epoch * batch_size / dt,
             )
         ckpt.save_epoch(params, MODEL_NAME, style_name, epoch, models_path)
+        if step_checkpoint_every:
+            # Keep the step state ahead of the epoch checkpoint so a crash
+            # right after an epoch save resumes with the *current* optimizer
+            # moments instead of the epoch-skip path re-initializing them.
+            ckpt.save_step_state(
+                params, opt_state, epoch + 1, iteration,
+                MODEL_NAME, style_name, models_path,
+            )
 
     writer.close()
     return params

@@ -96,7 +96,10 @@ def _run_adam(
     return pixels, losses
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "style_weight", "content_weight"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "style_weight", "content_weight", "compute_dtype"),
+)
 def _run_lbfgs(
     vgg_params,
     content_image,
@@ -104,8 +107,12 @@ def _run_lbfgs(
     steps: int,
     style_weight: float,
     content_weight: float,
+    compute_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    loss_fn = make_loss_fn(vgg_params, content_image, style_grams, style_weight, content_weight)
+    loss_fn = make_loss_fn(
+        vgg_params, content_image, style_grams, style_weight, content_weight,
+        compute_dtype=compute_dtype,
+    )
     opt = optax.lbfgs()
     pixels0 = content_image
     opt_state0 = opt.init(pixels0)
@@ -165,6 +172,7 @@ def train_gatys(
         pixels, losses = _run_lbfgs(
             vgg_params, content_image, style_grams, steps,
             float(style_weight), float(content_weight),
+            compute_dtype=compute_dtype,
         )
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}; use 'adam' or 'lbfgs'")

@@ -273,7 +273,12 @@ def video_train(
                     if it % 20 == 0:
                         writer.add_scalar("data/fst_train_loss", float(total), it)
                         logger.info("Epoch: %d\tBatch Loss: %.4f", epoch, float(total))
-                if any((iteration + i) % 50 == 0 for i in range(len(totals))):
+                image_steps = [
+                    iteration + i
+                    for i in range(len(totals))
+                    if (iteration + i) % 50 == 0
+                ]
+                if image_steps:
                     # Preview image: stylize the carry frame pair. Reference
                     # indexes batch[2] assuming batch>=3 (network.py:1054);
                     # guard with a clamped index.
@@ -288,7 +293,7 @@ def video_train(
                         img_utils.to_uint8(np.asarray(old_content[b_idx : b_idx + 1])),
                         axis=1,
                     )
-                    writer.add_image("data/fst_images", pair, iteration)
+                    writer.add_image("data/fst_images", pair, image_steps[0])
                 iteration += len(totals)
 
         ckpt.save_epoch(params, MODEL_NAME, style_name, epoch, models_path)

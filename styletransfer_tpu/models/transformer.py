@@ -94,8 +94,9 @@ def apply(
 
     With ``compute_dtype=jnp.bfloat16`` activations stay bfloat16 between
     ops (instance-norm statistics are always float32); the output is cast
-    back to the input dtype. ``use_pallas`` controls the fused
-    instance-norm kernels (default: on for TPU backends).
+    back to the input dtype. ``use_pallas=True`` opts into the fused Pallas
+    instance-norm kernels (default off — XLA's own fusion currently
+    measures faster; see ops/pallas/instance_norm.py).
     """
     in_dtype = x.dtype
     if compute_dtype is not None:

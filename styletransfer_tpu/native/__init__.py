@@ -29,6 +29,10 @@ def _build(src_name: str, lib_name: str) -> Optional[str]:
     """Compile ``src_name`` to a cached shared library; None on failure."""
     src = os.path.join(_SRC_DIR, src_name)
     lib = os.path.join(_CACHE_DIR, lib_name)
+    if not os.path.isfile(src):
+        # Source not shipped (or stripped install): use a cached build if
+        # one exists, else fall back to pure Python.
+        return lib if os.path.isfile(lib) else None
     if os.path.isfile(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
         return lib
     os.makedirs(_CACHE_DIR, exist_ok=True)

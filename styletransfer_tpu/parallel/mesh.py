@@ -85,18 +85,3 @@ def replicate(tree: Any, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
-
-
-def pad_batch_to_devices(batch: np.ndarray, n_devices: int) -> np.ndarray:
-    """Pad the batch dim up to a multiple of the mesh size (static shapes).
-
-    Training uses drop_last so batches are always full; inference over
-    arbitrary counts pads by repeating the last element (callers slice the
-    output back).
-    """
-    b = batch.shape[0]
-    rem = b % n_devices
-    if rem == 0:
-        return batch
-    pad = n_devices - rem
-    return np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)], axis=0)

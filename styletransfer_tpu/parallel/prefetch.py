@@ -6,13 +6,18 @@ device compute. Here a background thread pulls batches from the (already
 thread-decoded) loader and issues asynchronous sharded ``device_put``s a few
 batches ahead, so HBM always holds the next batch when the jitted step
 finishes the current one.
+
+The generator cleans up after itself: if the consumer abandons it early
+(``break``, exception, ``max_steps_per_epoch``), the producer thread is
+signalled to stop and the queued device batches are released — no leaked
+threads or pinned HBM across epochs.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 from jax.sharding import Mesh
 
@@ -33,48 +38,47 @@ def prefetch_to_device(
     mesh's data axis. Errors in the producer propagate to the consumer.
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
     err: list = []
+
+    def _put(item) -> bool:
+        """Blocking put that gives up when the consumer has stopped."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer() -> None:
         try:
             for batch in iterable:
-                q.put(mesh_lib.shard_batch(batch, mesh, axis_name))
+                if not _put(mesh_lib.shard_batch(batch, mesh, axis_name)):
+                    return
         except Exception as exc:  # noqa: BLE001 - re-raised on consumer side
             err.append(exc)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
 
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
-
-
-def prefetch_iter(iterable: Iterable, size: int = 2) -> Iterator:
-    """Plain lookahead prefetch (no device transfer) for host-side stages."""
-    q: "queue.Queue" = queue.Queue(maxsize=size)
-    err: list = []
-
-    def producer() -> None:
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # Consumer is done (normally or abandoned): unblock + stop producer
+        # and drop any queued device batches so HBM is released.
+        stop.set()
         try:
-            for item in iterable:
-                q.put(item)
-        except Exception as exc:  # noqa: BLE001
-            err.append(exc)
-        finally:
-            q.put(_SENTINEL)
-
-    threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        thread.join(timeout=5)

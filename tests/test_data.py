@@ -142,3 +142,29 @@ def test_dataloader_sharding_disjoint_and_complete():
     assert all_imgs.shape[0] == 16
     uniq = {a.tobytes() for a in all_imgs}
     assert len(uniq) == 16
+
+
+def test_prefetch_cleans_up_on_early_abandonment():
+    import threading
+
+    mesh = mesh_lib.get_mesh()
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield np.ones((8, 2, 2, 3), np.float32) * i
+
+    before = threading.active_count()
+    it = prefetch.prefetch_to_device(gen(), mesh, size=2)
+    next(it)
+    it.close()  # consumer abandons the generator (break / exception path)
+    # Producer must stop promptly instead of blocking on a full queue.
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        import time
+
+        time.sleep(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before
+    assert len(produced) < 100  # did not run the whole epoch
