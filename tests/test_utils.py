@@ -1,0 +1,62 @@
+"""Tests for misc infra: compile cache config, logging, downloads offline."""
+
+import logging
+import os
+
+from styletransfer_tpu.utils import cache
+from styletransfer_tpu.utils.logging import TqdmLoggingHandler, get_logger
+
+
+def test_persistent_cache_configured():
+    # Package import enables it (conftest imported the package already).
+    import jax
+
+    cache.enable_persistent_cache()
+    assert jax.config.jax_compilation_cache_dir  # non-empty path
+
+
+def test_logger_singleton_and_handlers():
+    a = get_logger()
+    b = get_logger()
+    assert a is b
+    assert a.name == "StyleTransfer"
+    assert any(isinstance(h, TqdmLoggingHandler) for h in a.handlers)
+    assert a.level == logging.INFO
+
+
+def test_logger_emits_through_tqdm(capsys):
+    logger = get_logger()
+    logger.info("hello from test %d", 42)
+    captured = capsys.readouterr()
+    assert "hello from test 42" in captured.out + captured.err
+
+
+def test_download_coco_missing_manifest_is_noop(tmp_path, monkeypatch):
+    from styletransfer_tpu import constants
+    from styletransfer_tpu.data import download
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    # No manifest -> logs and returns without network access.
+    download.download_coco_images()
+    assert os.path.isdir(tmp_path / "data" / "coco_dataset" / "images")
+
+
+def test_download_videos_offline_graceful(tmp_path, monkeypatch):
+    from styletransfer_tpu import constants
+    from styletransfer_tpu.data import download
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    # Zero-egress: must warn and return, not raise.
+    download.download_videos_dataset()
+    assert os.path.isdir(tmp_path / "data" / "video")
+
+
+def test_demo_assets_deterministic(tmp_path):
+    from styletransfer_tpu.utils import demo
+
+    p1 = demo.ensure_demo_assets(str(tmp_path / "a"))
+    p2 = demo.ensure_demo_assets(str(tmp_path / "b"))
+    a = open(p1["content"], "rb").read()
+    b = open(p2["content"], "rb").read()
+    assert a == b
+    assert os.path.isfile(p1["style"])
