@@ -212,6 +212,8 @@ def get_coco_loader(
     image_dir: str = IMAGE_FOLDER_PATH,
     synthetic_fallback: bool = True,
     seed: int = 0,
+    shard_index: int = 0,
+    shard_count: int = 1,
 ) -> Tuple[DataLoader, DataLoader]:
     """Build (test_loader, train_loader) — same signature and split semantics
     as the reference ``get_coco_loader`` (dataset.py:314-360).
@@ -237,5 +239,8 @@ def get_coco_loader(
         logger.info("Test set has %d entries", len(test_ds))
 
     test_loader = DataLoader(test_ds, batch_size, shuffle=True, drop_last=True, seed=seed)
-    train_loader = DataLoader(train_ds, batch_size, shuffle=True, drop_last=True, seed=seed + 1)
+    train_loader = DataLoader(
+        train_ds, batch_size, shuffle=True, drop_last=True, seed=seed + 1,
+        shard_index=shard_index, shard_count=shard_count,
+    )
     return test_loader, train_loader

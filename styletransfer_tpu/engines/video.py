@@ -187,12 +187,15 @@ def video_train(
     runs_dir: Optional[str] = None,
     models_path: Optional[str] = None,
     precision: str = "f32",
+    step_checkpoint_every: Optional[int] = None,
 ):
     """Train the video transform net (network.py:905-1069).
 
     Keeps: per-epoch checkpoint/resume, the freeze-epoch-0 schedule when
     warm-starting from fast_st weights, loss composition and weights, and the
     TB cadences/tags (scalars every 20 frames, image every 50).
+    ``step_checkpoint_every`` additionally saves resumable mid-epoch state
+    (at chunk granularity) every >=N frame updates, like ``static_train``.
     """
     logger = get_logger()
     mesh = mesh or mesh_lib.auto_mesh(batch_size)
@@ -235,7 +238,21 @@ def video_train(
         video_loader = video_data.VideoDataset(batch_size=batch_size)
 
     iteration = 0
-    for epoch in range(epochs):
+    start_epoch = 0
+    last_step_save = 0
+    if step_checkpoint_every:
+        state = ckpt.load_step_state(
+            jax.device_get(params), jax.device_get(opt_state),
+            MODEL_NAME, style_name, models_path,
+        )
+        if state is not None:
+            params = mesh_lib.replicate(state["params"], mesh)
+            opt_state = mesh_lib.replicate(state["opt_state"], mesh)
+            start_epoch = int(state["epoch"])
+            iteration = int(state["iteration"])
+            last_step_save = iteration
+
+    for epoch in range(start_epoch, epochs):
         if ckpt.epoch_checkpoint_exists(MODEL_NAME, style_name, epoch, models_path):
             params, _ = ckpt.load_latest_transformer(
                 MODEL_NAME, style_name, params, models_path
@@ -295,8 +312,25 @@ def video_train(
                     )
                     writer.add_image("data/fst_images", pair, image_steps[0])
                 iteration += len(totals)
+                if (
+                    step_checkpoint_every
+                    and iteration - last_step_save >= step_checkpoint_every
+                ):
+                    ckpt.save_step_state(
+                        params, opt_state, epoch, iteration,
+                        MODEL_NAME, style_name, models_path,
+                    )
+                    last_step_save = iteration
 
         ckpt.save_epoch(params, MODEL_NAME, style_name, epoch, models_path)
+        if step_checkpoint_every:
+            # Keep the step state ahead of the epoch checkpoint (see
+            # static_train) so post-epoch crashes keep optimizer moments.
+            ckpt.save_step_state(
+                params, opt_state, epoch + 1, iteration,
+                MODEL_NAME, style_name, models_path,
+            )
+            last_step_save = iteration
 
     writer.close()
     return params

@@ -1,0 +1,80 @@
+"""Data-parallel correctness: the mesh-sharded train step must compute the
+same updates as the single-device step (XLA's inserted gradient reduction is
+exact up to float reassociation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from styletransfer_tpu.engines import fast
+from styletransfer_tpu.models import transformer, vgg
+from styletransfer_tpu.parallel import mesh as mesh_lib
+
+SIZE = 16
+
+
+def _setup():
+    vgg_params = vgg.init_params(jax.random.PRNGKey(0))
+    style = jax.random.normal(jax.random.PRNGKey(1), (1, SIZE, SIZE, 3)) * 0.5
+    grams = vgg.style_gram_targets(vgg_params, style)
+    params = transformer.init_params(jax.random.PRNGKey(2))
+    batch = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (8, SIZE, SIZE, 3)) * 0.5,
+        dtype=np.float32,
+    )
+    return vgg_params, grams, params, batch
+
+
+def test_dp_loss_and_grads_match_single_device():
+    """The sharded loss and gradients equal the single-device ones up to
+    float reassociation in the batch reduction. (Post-Adam params are NOT
+    compared: the first Adam update is ~sign(grad)*lr, which amplifies
+    reassociation noise unboundedly.)"""
+    vgg_params, grams, params, batch = _setup()
+
+    def loss_fn(p, b):
+        total, _ = fast.loss_fn(p, b, vgg_params, grams, 1000.0, 1.0)
+        return total
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    mesh1 = mesh_lib.get_mesh(num_devices=1)
+    l1, g1 = grad_fn(
+        mesh_lib.replicate(params, mesh1), mesh_lib.shard_batch(batch, mesh1)
+    )
+
+    mesh8 = mesh_lib.get_mesh(num_devices=8)
+    l8, g8 = grad_fn(
+        mesh_lib.replicate(params, mesh8), mesh_lib.shard_batch(batch, mesh8)
+    )
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    # Individual leaves with near-cancelling sums (e.g. bias grads reduced
+    # over batch*H*W) amplify reassociation noise; the meaningful invariant
+    # is the full gradient vector.
+    v1 = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g1)])
+    v8 = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g8)])
+    np.testing.assert_allclose(
+        np.linalg.norm(v1), np.linalg.norm(v8), rtol=1e-4
+    )
+    cosine = float(v1 @ v8 / (np.linalg.norm(v1) * np.linalg.norm(v8)))
+    assert cosine > 0.99999, cosine
+
+
+def test_auto_mesh_divisibility():
+    assert mesh_lib.auto_mesh(8).size == 8
+    assert mesh_lib.auto_mesh(4).size == 4
+    assert mesh_lib.auto_mesh(6).size == 6  # 6 divides by 6 devices
+    assert mesh_lib.auto_mesh(7).size == 7
+    assert mesh_lib.auto_mesh(5).size == 5
+    assert mesh_lib.auto_mesh(3).size == 3
+    assert mesh_lib.auto_mesh(1).size == 1
+
+
+def test_shard_frames_axis1():
+    mesh = mesh_lib.get_mesh(num_devices=4)
+    chunk = np.zeros((3, 4, 8, 8, 3), np.float32)
+    dev = mesh_lib.shard_frames(chunk, mesh)
+    # Batch axis (1) sharded, time axis (0) replicated.
+    spec = dev.sharding.spec
+    assert spec[0] is None and spec[1] == "data"

@@ -69,3 +69,25 @@ def test_static_train_step_checkpoint_resume(tmp_path):
     state = ckpt.load_step_state(template, opt_state_t, "fast_st", "sc", mp)
     assert state is not None
     assert int(state["iteration"]) >= 2
+
+
+def test_video_train_step_checkpoint(tmp_path):
+    from styletransfer_tpu.data import video as video_data
+    from styletransfer_tpu.engines import video
+
+    vgg_params = vgg.init_params(jax.random.PRNGKey(0))
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+    mp = str(tmp_path / "models")
+    loader = video_data.VideoDataset(videos=[0, 1], batch_size=2, size=SIZE)
+    loader.synthetic = True
+    video.video_train(
+        style, style_name="vsc", epochs=1, batch_size=2,
+        vgg_params=vgg_params, video_loader=loader,
+        chunk_size=4, max_frames=6, models_path=mp,
+        runs_dir=str(tmp_path / "runs"), step_checkpoint_every=4,
+    )
+    template = transformer.init_video_params(jax.random.PRNGKey(0))
+    opt_t = fast.make_optimizer().init(template)
+    state = ckpt.load_step_state(template, opt_t, "video_st", "vsc", mp)
+    assert state is not None
+    assert int(state["epoch"]) == 1  # post-epoch save puts resume at epoch+1
