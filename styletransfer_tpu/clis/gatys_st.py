@@ -32,8 +32,11 @@ LOGGER = get_logger()
 @click.option("--learning-rate", default=0.05, help="Adam learning rate")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="VGG tower activation precision (bf16 is faster; pixels stay f32)")
+@click.option("--size", default=None, type=int,
+              help="Working resolution (default 256)")
 def gatys_st(content_image_path, style_image_path, out_name, steps,
-             content_weight, style_weight, optimizer, learning_rate, precision):
+             content_weight, style_weight, optimizer, learning_rate, precision,
+             size):
     """
     Run the original Gatys style transfer. Both `style-image` and
     `content-image` should be the paths to the image we want to take the
@@ -49,8 +52,11 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
     style_image_path = os.path.join(constants.PROJECT_ROOT_PATH, style_image_path)
     content_image_path = os.path.join(constants.PROJECT_ROOT_PATH, content_image_path)
 
-    style_image = jnp.asarray(images.load_image(style_image_path))
-    content_image = jnp.asarray(images.load_image(content_image_path))
+    from styletransfer_tpu import constants as c
+
+    imsize = size or c.IMSIZE
+    style_image = jnp.asarray(images.load_image(style_image_path, size=imsize))
+    content_image = jnp.asarray(images.load_image(content_image_path, size=imsize))
 
     vgg_params = vgg.load_params()
 

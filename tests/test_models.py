@@ -218,3 +218,27 @@ def test_num_params_close_to_reference():
     params = transformer.init_params(jax.random.PRNGKey(0))
     n = transformer.num_params(params)
     assert 1_600_000 < n < 1_800_000
+
+
+def test_vgg_import_full_torchvision_dict(rng):
+    """A full 16-conv torchvision VGG19 state dict imports correctly — only
+    the first 5 convs (up to the deepest tap) are read, at the right module
+    indices (0,2,5,7,10)."""
+    cfgs = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+            (256, 256), (256, 256), (256, 512), (512, 512), (512, 512),
+            (512, 512), (512, 512), (512, 512), (512, 512), (512, 512)]
+    sd = {}
+    for (cin, cout), idx in zip(cfgs, vgg._TORCHVISION_CONV_IDX):
+        sd[f"features.{idx}.weight"] = rng.standard_normal(
+            (cout, cin, 3, 3)
+        ).astype(np.float32)
+        sd[f"features.{idx}.bias"] = rng.standard_normal(cout).astype(np.float32)
+    params = vgg.import_torch_state_dict(sd)
+    assert set(params) == {f"Conv2d_{i}" for i in range(1, 6)}
+    np.testing.assert_allclose(
+        np.asarray(params["Conv2d_5"]["kernel"]),
+        np.transpose(sd["features.10.weight"], (2, 3, 1, 0)),
+    )
+    # And the imported tower runs.
+    feats = vgg.extract_features(params, jnp.zeros((1, 32, 32, 3)))
+    assert feats["Conv2d_5"].shape == (1, 8, 8, 256)
