@@ -54,14 +54,19 @@ class ImageioFrameReader(FrameReader):
 
         self._reader = imageio.get_reader(path)
         self._size = size
+        self._index = 0
 
     def next_frame(self) -> Optional[np.ndarray]:
         try:
-            frame = self._reader.get_next_data()
+            # Explicit indexed reads: imageio v2's get_next_data initializes
+            # last_index to 0 on some backends (Pillow/GIF), silently
+            # skipping frame 0.
+            frame = self._reader.get_data(self._index)
         except (IndexError, EOFError, StopIteration):
             # ffmpeg readers raise IndexError at end-of-stream
             # (dataset.py:308-311); the Pillow GIF backend raises EOFError.
             return None
+        self._index += 1
         return img_utils.from_array(frame, self._size)
 
     def close(self) -> None:

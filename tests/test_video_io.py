@@ -1,0 +1,79 @@
+"""End-to-end process_video test on tiny frames (CPU): read a clip, stylize
+recurrently in chunks, write the output animation (GIF backend)."""
+
+import os
+
+import imageio
+import jax
+import numpy as np
+import pytest
+
+from styletransfer_tpu import ckpt
+from styletransfer_tpu.data.coco import synthetic_image
+from styletransfer_tpu.engines import video
+from styletransfer_tpu.models import transformer
+
+SIZE = 16
+
+
+@pytest.fixture
+def clip(tmp_path):
+    path = str(tmp_path / "clip.gif")
+    w = imageio.get_writer(path, duration=41.7, loop=0)
+    for i in range(7):
+        frame = (np.roll(synthetic_image(5, SIZE), i, axis=1) * 255).astype(np.uint8)
+        w.append_data(frame)
+    w.close()
+    return path
+
+
+def test_process_video_end_to_end(tmp_path, clip, monkeypatch):
+    from styletransfer_tpu import constants
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    # Pretend a trained checkpoint exists.
+    params = transformer.init_video_params(jax.random.PRNGKey(0))
+    models = str(tmp_path / "models")
+    ckpt.save_epoch(params, "video_st", "sty", 0, models)
+
+    out = video.process_video(
+        clip, style_name="sty", out_dir=str(tmp_path / "results"),
+        models_path=models, chunk_size=4,
+    )
+    assert os.path.isfile(out)
+    frames = list(imageio.get_reader(out))
+    # 7 input frames -> 7 output frames (tail padding not written).
+    assert len(frames) == 7
+
+
+def test_process_video_save_frames_workdir(tmp_path, clip, monkeypatch):
+    from styletransfer_tpu import constants
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    params = transformer.init_video_params(jax.random.PRNGKey(0))
+    models = str(tmp_path / "models")
+    ckpt.save_epoch(params, "video_st", "sty", 0, models)
+
+    video.process_video(
+        clip, style_name="sty", out_dir=str(tmp_path / "results"),
+        working_dir=str(tmp_path / "workdir") + "/", models_path=models,
+        chunk_size=4, save_frames=True,
+    )
+    # Reference contract: per-frame PNGs named {i}.png (network.py:1133-1134).
+    names = sorted(os.listdir(tmp_path / "workdir"), key=lambda x: int(x.split(".")[0]))
+    assert names == [f"{i}.png" for i in range(7)]
+
+
+def test_process_video_respects_max_frames(tmp_path, clip, monkeypatch):
+    from styletransfer_tpu import constants
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    params = transformer.init_video_params(jax.random.PRNGKey(0))
+    models = str(tmp_path / "models")
+    ckpt.save_epoch(params, "video_st", "sty", 0, models)
+
+    out = video.process_video(
+        clip, style_name="sty", out_dir=str(tmp_path / "results"),
+        models_path=models, chunk_size=4, max_frames=3,
+    )
+    assert len(list(imageio.get_reader(out))) == 3
