@@ -168,3 +168,29 @@ def test_prefetch_cleans_up_on_early_abandonment():
         deadline -= 1
     assert threading.active_count() <= before
     assert len(produced) < 100  # did not run the whole epoch
+
+
+def test_imageio_reader_yields_all_frames(tmp_path):
+    """Real GIF through ImageioFrameReader: frame 0 included, EOF -> None."""
+    import imageio
+
+    from styletransfer_tpu.data.coco import synthetic_image
+
+    path = str(tmp_path / "c.gif")
+    w = imageio.get_writer(path, duration=41.7, loop=0)
+    for i in range(5):
+        w.append_data((np.roll(synthetic_image(2, 16), i, 1) * 255).astype(np.uint8))
+    w.close()
+
+    reader = video.ImageioFrameReader(path, size=16)
+    frames = []
+    while True:
+        f = reader.next_frame()
+        if f is None:
+            break
+        frames.append(f)
+    reader.close()
+    assert len(frames) == 5
+    assert frames[0].shape == (1, 16, 16, 3)
+    # frames are distinct (no skipped/duplicated first frame)
+    assert not np.allclose(frames[0], frames[1])
