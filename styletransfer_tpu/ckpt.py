@@ -153,11 +153,13 @@ def save_step_state(
     model_name: str,
     style_name: str,
     models_path: Optional[str] = None,
+    extra: Optional[Dict[str, int]] = None,
 ) -> str:
     """Atomically save mid-training state (params + optimizer + position).
 
-    Written via a temp file + rename so a crash mid-write never corrupts the
-    resumable state.
+    ``extra`` holds additional integer run flags that must survive a resume
+    (e.g. the video trainer's warm-start flag). Written via a temp file +
+    rename so a crash mid-write never corrupts the resumable state.
     """
     path = step_state_path(model_name, style_name, models_path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -166,6 +168,7 @@ def save_step_state(
         "opt_state": jax.device_get(opt_state),
         "epoch": np.int64(epoch),
         "iteration": np.int64(iteration),
+        "extra": {k: np.int64(v) for k, v in (extra or {}).items()},
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -180,6 +183,7 @@ def load_step_state(
     model_name: str,
     style_name: str,
     models_path: Optional[str] = None,
+    extra_keys: Tuple[str, ...] = (),
 ):
     """Load mid-training state if present; returns the state dict or None."""
     path = step_state_path(model_name, style_name, models_path)
@@ -190,6 +194,7 @@ def load_step_state(
         "opt_state": opt_state_template,
         "epoch": np.int64(0),
         "iteration": np.int64(0),
+        "extra": {k: np.int64(0) for k in extra_keys},
     }
     with open(path, "rb") as f:
         state = serialization.from_bytes(template, f.read())

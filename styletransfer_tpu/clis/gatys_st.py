@@ -52,9 +52,7 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
     style_image_path = os.path.join(constants.PROJECT_ROOT_PATH, style_image_path)
     content_image_path = os.path.join(constants.PROJECT_ROOT_PATH, content_image_path)
 
-    from styletransfer_tpu import constants as c
-
-    imsize = size or c.IMSIZE
+    imsize = size or constants.IMSIZE
     style_image = jnp.asarray(images.load_image(style_image_path, size=imsize))
     content_image = jnp.asarray(images.load_image(content_image_path, size=imsize))
 

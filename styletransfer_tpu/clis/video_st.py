@@ -37,8 +37,11 @@ def video_st():
                    "same style name)")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="Activation precision (params/optimizer stay f32)")
+@click.option("--step-checkpoint-every", default=None, type=int,
+              help="Also save mid-epoch resumable state every N frame updates")
 def train(style_image_path, epochs, batch_size, content_weight, style_weight,
-          temporal_weight, use_pretrained_fast_st, precision):
+          temporal_weight, use_pretrained_fast_st, precision,
+          step_checkpoint_every):
     """
     Perform the training for the video style transfer network. A checkpoint
     will be created at the end of each epoch in the `data/models/` directory.
@@ -67,6 +70,7 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
         temporal_weight=temporal_weight,
         use_pretrained_fast_st=use_pretrained_fast_st,
         precision=precision,
+        step_checkpoint_every=step_checkpoint_every,
     )
 
 

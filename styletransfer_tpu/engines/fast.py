@@ -231,6 +231,13 @@ def static_train(
             opt_state = mesh_lib.replicate(state["opt_state"], mesh)
             start_epoch = int(state["epoch"])
             iteration = int(state["iteration"])
+            if start_epoch >= epochs:
+                logger.warning(
+                    "Step state is at epoch %d >= requested epochs %d — "
+                    "nothing to train. Delete %s to retrain from scratch.",
+                    start_epoch, epochs,
+                    ckpt.step_state_path(MODEL_NAME, style_name, models_path),
+                )
 
     for epoch in range(start_epoch, epochs):
         if ckpt.epoch_checkpoint_exists(MODEL_NAME, style_name, epoch, models_path):

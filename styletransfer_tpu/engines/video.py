@@ -244,6 +244,7 @@ def video_train(
         state = ckpt.load_step_state(
             jax.device_get(params), jax.device_get(opt_state),
             MODEL_NAME, style_name, models_path,
+            extra_keys=("has_external_weights",),
         )
         if state is not None:
             params = mesh_lib.replicate(state["params"], mesh)
@@ -251,6 +252,19 @@ def video_train(
             start_epoch = int(state["epoch"])
             iteration = int(state["iteration"])
             last_step_save = iteration
+            # The freeze schedule must not silently change across a resume
+            # (re-deriving it from the fast_st checkpoint's presence is
+            # fragile if that file moved between crash and resume).
+            has_external_weights = bool(int(state["extra"]["has_external_weights"]))
+            if start_epoch >= epochs:
+                logger.warning(
+                    "Step state is at epoch %d >= requested epochs %d — "
+                    "nothing to train. Delete %s to retrain from scratch.",
+                    start_epoch, epochs,
+                    ckpt.step_state_path(MODEL_NAME, style_name, models_path),
+                )
+
+    step_extra = {"has_external_weights": int(has_external_weights)}
 
     for epoch in range(start_epoch, epochs):
         if ckpt.epoch_checkpoint_exists(MODEL_NAME, style_name, epoch, models_path):
@@ -318,7 +332,7 @@ def video_train(
                 ):
                     ckpt.save_step_state(
                         params, opt_state, epoch, iteration,
-                        MODEL_NAME, style_name, models_path,
+                        MODEL_NAME, style_name, models_path, extra=step_extra,
                     )
                     last_step_save = iteration
 
@@ -328,7 +342,7 @@ def video_train(
             # static_train) so post-epoch crashes keep optimizer moments.
             ckpt.save_step_state(
                 params, opt_state, epoch + 1, iteration,
-                MODEL_NAME, style_name, models_path,
+                MODEL_NAME, style_name, models_path, extra=step_extra,
             )
             last_step_save = iteration
 

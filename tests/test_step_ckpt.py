@@ -88,6 +88,10 @@ def test_video_train_step_checkpoint(tmp_path):
     )
     template = transformer.init_video_params(jax.random.PRNGKey(0))
     opt_t = fast.make_optimizer().init(template)
-    state = ckpt.load_step_state(template, opt_t, "video_st", "vsc", mp)
+    state = ckpt.load_step_state(
+        template, opt_t, "video_st", "vsc", mp,
+        extra_keys=("has_external_weights",),
+    )
     assert state is not None
     assert int(state["epoch"]) == 1  # post-epoch save puts resume at epoch+1
+    assert int(state["extra"]["has_external_weights"]) == 0
