@@ -1,0 +1,66 @@
+"""Golden numeric regression tests.
+
+Pins the exact numerics of the seeded model forward passes and losses
+against stored reference values (``tests/golden/golden.npz``, generated on
+the CPU backend). Catches silent numeric drift from refactors — torch-parity
+tests verify semantics, these verify *stability*.
+
+Regenerate (only when an intentional numeric change lands):
+see the generation snippet in this file's git history / docs.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from styletransfer_tpu.models import transformer, vgg
+from styletransfer_tpu.ops import losses
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "golden.npz")
+
+
+def _data():
+    return np.load(GOLDEN)
+
+
+def test_transformer_forward_golden():
+    d = _data()
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    out = np.asarray(transformer.apply(params, jnp.asarray(d["input"])))
+    np.testing.assert_allclose(out, d["transformer_out"], rtol=1e-4, atol=1e-5)
+
+
+def test_gram_golden():
+    d = _data()
+    g = np.asarray(losses.gram_matrix(jnp.asarray(d["input"])))
+    np.testing.assert_allclose(g, d["gram"], rtol=1e-5, atol=1e-7)
+
+
+def test_vgg_tap_means_golden():
+    d = _data()
+    params = vgg.init_params(jax.random.PRNGKey(0))
+    feats = vgg.extract_features(params, jnp.asarray(d["input"]))
+    for name, f in feats.items():
+        np.testing.assert_allclose(
+            float(np.mean(np.asarray(f))), float(d[f"tapmean_{name}"]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+def test_perceptual_loss_golden():
+    d = _data()
+    params = vgg.init_params(jax.random.PRNGKey(0))
+    # The golden style image is the second draw of the seed-42 generator
+    # (the first draw produced the stored input); replay the sequence.
+    rng = np.random.default_rng(42)
+    _ = rng.standard_normal((1, 16, 16, 3))  # input draw
+    style = rng.standard_normal((1, 16, 16, 3)).astype(np.float32) * 0.5
+    grams = vgg.style_gram_targets(params, jnp.asarray(style))
+    total, comps = vgg.perceptual_loss(
+        params, jnp.asarray(d["input"]), jnp.asarray(style), grams
+    )
+    np.testing.assert_allclose(float(total), float(d["perceptual_total"]), rtol=1e-4)
+    np.testing.assert_allclose(float(comps["style"]), float(d["perceptual_style"]), rtol=1e-4)
+    np.testing.assert_allclose(float(comps["content"]), float(d["perceptual_content"]), rtol=1e-4)
