@@ -266,7 +266,9 @@ def static_train(
                 # Packed-path batches are uint8; normalize before the net
                 # and for the side-by-side ground truth.
                 preview_in = img_utils.maybe_normalize_on_device(batch[:1])
-                preview = transformer.apply(params, preview_in)
+                # Same precision as training — avoids compiling a separate
+                # f32 preview program under --precision bf16.
+                preview = transformer.apply(params, preview_in, compute_dtype=compute_dtype)
                 pair = img_utils.concat_images(
                     img_utils.to_uint8(np.asarray(preview)),
                     img_utils.to_uint8(np.asarray(preview_in)),
