@@ -88,15 +88,27 @@ def make_train_step(
     content_weight: float = 1.0,
     optimizer: Optional[optax.GradientTransformation] = None,
     compute_dtype=None,
+    remat: bool = False,
 ):
     """Build the jitted (params, opt_state, batch) -> (params, opt_state,
     metrics) step. Gradient reduction across the mesh is XLA-inserted from
-    the shardings (batch sharded, params replicated)."""
+    the shardings (batch sharded, params replicated).
+
+    ``remat=True`` checkpoints the loss computation (``jax.checkpoint``):
+    the backward pass recomputes forward activations instead of storing
+    them, trading ~1/3 more FLOPs for a large HBM saving — needed for very
+    large batch x resolution products (e.g. batch 256 at 256px exceeds HBM
+    without it).
+    """
     opt = optimizer or make_optimizer()
+
+    objective = loss_fn
+    if remat:
+        objective = jax.checkpoint(loss_fn, static_argnums=(4, 5, 6))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (_, metrics), grads = jax.value_and_grad(objective, has_aux=True)(
             params, batch, vgg_params, style_grams,
             style_weight, content_weight, compute_dtype,
         )

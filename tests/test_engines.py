@@ -213,3 +213,22 @@ def test_gatys_bf16_precision_mode(vgg_params, content_style):
     )
     assert out.dtype == jnp.float32  # pixels stay f32
     assert np.isfinite(losses).all()
+
+
+def test_remat_train_step_matches_plain(vgg_params):
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+    grams = vgg.style_gram_targets(vgg_params, style)
+    batch = jax.random.normal(jax.random.PRNGKey(3), (4, SIZE, SIZE, 3)) * 0.5
+
+    results = []
+    for remat in (False, True):
+        params = transformer.init_params(jax.random.PRNGKey(0))
+        opt, step = fast.make_train_step(
+            vgg_params, grams, style_weight=1000.0, remat=remat
+        )
+        p, s, m = step(params, opt.init(params), batch)
+        results.append((p, float(m["total"])))
+    (p0, l0), (p1, l1) = results
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
