@@ -79,6 +79,27 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
 
 
 @fast_st.command()
+@click.argument("image-dir")
+@click.argument("out-path")
+@click.option("--size", default=256, help="Crop size for packed images")
+@click.option("--limit", default=None, type=int, help="Max images to pack")
+def pack_dataset(image_dir, out_path, size, limit):
+    """
+    Pack a directory of images into a single memory-mapped dataset file for
+    zero-decode training (use with `fast_st train --packed OUT_PATH`).
+
+    Each image is center-cropped square, resized to SIZE and stored as raw
+    uint8; non-RGB and unreadable files are skipped.
+    """
+    from styletransfer_tpu.data.packed import pack_images
+
+    image_dir = os.path.join(constants.PROJECT_ROOT_PATH, image_dir)
+    out_path = os.path.join(constants.PROJECT_ROOT_PATH, out_path)
+    n = pack_images(image_dir, out_path, size=size, limit=limit)
+    LOGGER.info("Packed %d images into %s", n, out_path)
+
+
+@fast_st.command()
 @click.argument("image-path")
 @click.argument("style-name")
 @click.option("-o", "--out-dir", default="results/",
