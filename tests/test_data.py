@@ -194,3 +194,28 @@ def test_imageio_reader_yields_all_frames(tmp_path):
     assert frames[0].shape == (1, 16, 16, 3)
     # frames are distinct (no skipped/duplicated first frame)
     assert not np.allclose(frames[0], frames[1])
+
+
+def test_video_dataset_with_real_gifs(tmp_path):
+    """VideoDataset over actual video files (GIF backend), not synthetic."""
+    import imageio
+
+    from styletransfer_tpu.data.coco import synthetic_image
+
+    paths = []
+    for v in range(2):
+        p = str(tmp_path / f"v{v}.gif")
+        w = imageio.get_writer(p, duration=41.7, loop=0)
+        for i in range(4):
+            w.append_data(
+                (np.roll(synthetic_image(v, 16), i, 1) * 255).astype(np.uint8)
+            )
+        w.close()
+        paths.append(p)
+
+    ds = video.VideoDataset(videos=paths, batch_size=2, size=16)
+    batches = list(ds)
+    assert len(batches) == 1
+    frames = list(video.iterate_on_video_batches(batches[0]))
+    assert len(frames) == 4
+    assert frames[0].shape == (2, 16, 16, 3)
