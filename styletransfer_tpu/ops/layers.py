@@ -89,12 +89,17 @@ def instance_norm(
     """Affine instance normalization over spatial dims of NHWC input.
 
     Matches ``nn.InstanceNorm2d(C, affine=True)``: per-sample, per-channel
-    mean/var (biased) over H*W, then scale/shift.
+    mean/var (biased) over H*W, then scale/shift. ``scale``/``bias`` may be
+    ``[C]`` (shared affine) or ``[B, C]`` (conditional/per-sample affine, the
+    multi-style "conditional instance normalization" of Dumoulin et al.).
     """
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
+    if scale.ndim == 2:  # [B, C] -> broadcast over H, W
+        scale = scale[:, None, None, :]
+        bias = bias[:, None, None, :]
     out = (x32 - mean) * inv * scale + bias
     return out.astype(x.dtype)
 

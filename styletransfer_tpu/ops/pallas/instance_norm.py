@@ -34,12 +34,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _xla_reference(x, scale, bias, residual=None, relu=False, eps=1e-5):
-    """Pure-XLA semantics the kernel must match (and the VJP source)."""
+    """Pure-XLA semantics the kernel must match (and the VJP source).
+
+    ``scale``/``bias`` may be [C] (shared) or [B, C] (conditional affine,
+    the multi-style path — models/multistyle.py)."""
     x32 = x.astype(jnp.float32)
     if residual is not None:
         x32 = x32 + residual.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    if scale.ndim == 2:
+        scale = scale[:, None, None, :]
+        bias = bias[:, None, None, :]
     out = (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
     if relu:
         out = jnp.maximum(out, 0.0)

@@ -1,0 +1,114 @@
+"""Tests for the multi-style (conditional instance norm) extension."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from styletransfer_tpu.engines import multistyle as ms_engine
+from styletransfer_tpu.models import multistyle, transformer, vgg
+
+SIZE = 16
+S = 3  # styles
+
+
+@pytest.fixture(scope="module")
+def vgg_params():
+    return vgg.init_params(jax.random.PRNGKey(0))
+
+
+def test_param_shapes():
+    params = multistyle.init_params(jax.random.PRNGKey(0), num_styles=S)
+    assert multistyle.num_styles(params) == S
+    assert params["in1"]["scale"].shape == (S, 32)
+    assert params["res2"]["in2"]["bias"].shape == (S, 128)
+    # conv weights unchanged (shared across styles)
+    assert params["conv1"]["kernel"].shape == (9, 9, 3, 32)
+
+
+def test_style_selection_matches_single_style_net():
+    """With embeddings copied from a single-style net, every style index
+    must reproduce that net's output exactly."""
+    single = transformer.init_params(jax.random.PRNGKey(1))
+    params = multistyle.init_params(jax.random.PRNGKey(1), num_styles=S)
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, SIZE, SIZE, 3)) * 0.5
+    ref = np.asarray(transformer.apply(single, x, use_pallas=False))
+    for s in range(S):
+        out = np.asarray(
+            multistyle.apply(params, x, jnp.full((2,), s, jnp.int32))
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_different_styles_give_different_outputs():
+    params = multistyle.init_params(jax.random.PRNGKey(0), num_styles=S)
+    # Perturb style 1's embeddings.
+    params["in1"]["scale"] = params["in1"]["scale"].at[1].mul(2.0)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+    out0 = np.asarray(multistyle.apply(params, x, jnp.array([0])))
+    out1 = np.asarray(multistyle.apply(params, x, jnp.array([1])))
+    assert not np.allclose(out0, out1)
+
+
+def test_mixed_batch_equals_per_style_calls():
+    params = multistyle.init_params(jax.random.PRNGKey(0), num_styles=S)
+    params["in2"]["bias"] = params["in2"]["bias"].at[2].add(0.5)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, SIZE, SIZE, 3)) * 0.5
+    mixed = np.asarray(multistyle.apply(params, x, jnp.array([0, 2])))
+    solo0 = np.asarray(multistyle.apply(params, x[:1], jnp.array([0])))
+    solo2 = np.asarray(multistyle.apply(params, x[1:], jnp.array([2])))
+    np.testing.assert_allclose(mixed[0], solo0[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(mixed[1], solo2[0], rtol=1e-5, atol=1e-6)
+
+
+def test_blend_endpoints_match_hard_selection():
+    params = multistyle.init_params(jax.random.PRNGKey(0), num_styles=2)
+    params["in3"]["scale"] = params["in3"]["scale"].at[1].mul(1.5)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, SIZE, SIZE, 3)) * 0.5
+    hard = np.asarray(multistyle.apply(params, x, jnp.array([1])))
+    blend = np.asarray(
+        multistyle.apply_blend(params, x, jnp.array([[0.0, 1.0]]))
+    )
+    np.testing.assert_allclose(blend, hard, rtol=1e-5, atol=1e-6)
+    # A 50/50 blend is neither endpoint.
+    mid = np.asarray(multistyle.apply_blend(params, x, jnp.array([[0.5, 0.5]])))
+    assert not np.allclose(mid, hard)
+
+
+def test_multistyle_training_step(vgg_params):
+    styles = jax.random.normal(jax.random.PRNGKey(5), (S, SIZE, SIZE, 3)) * 0.5
+    grams = ms_engine.stack_style_grams(vgg_params, styles)
+    assert grams["Conv2d_1"].shape[0] == S
+
+    params = multistyle.init_params(jax.random.PRNGKey(0), num_styles=S)
+    opt, step = ms_engine.make_train_step(vgg_params, grams, style_weight=1000.0)
+    opt_state = opt.init(params)
+
+    batch = jax.random.normal(jax.random.PRNGKey(6), (4, SIZE, SIZE, 3)) * 0.5
+    idx = jnp.array([0, 1, 2, 0])
+    emb_before = np.asarray(params["in1"]["scale"]).copy()
+    params, opt_state, metrics = step(params, opt_state, batch, idx)
+    assert np.isfinite(float(metrics["total"]))
+    emb_after = np.asarray(params["in1"]["scale"])
+    # Styles present in the batch trained; conv weights also updated.
+    assert not np.allclose(emb_after[0], emb_before[0])
+    assert not np.allclose(emb_after[1], emb_before[1])
+
+
+def test_unused_style_embedding_gets_no_gradient(vgg_params):
+    styles = jax.random.normal(jax.random.PRNGKey(5), (S, SIZE, SIZE, 3)) * 0.5
+    grams = ms_engine.stack_style_grams(vgg_params, styles)
+    params = multistyle.init_params(jax.random.PRNGKey(0), num_styles=S)
+
+    def loss(p):
+        total, _ = ms_engine.multistyle_loss(
+            p, jax.random.normal(jax.random.PRNGKey(6), (2, SIZE, SIZE, 3)),
+            jnp.array([0, 1]), vgg_params, grams, 1000.0, 1.0,
+        )
+        return total
+
+    g = jax.grad(loss)(params)
+    # Style 2 never selected -> zero gradient on its embeddings.
+    np.testing.assert_allclose(np.asarray(g["in1"]["scale"][2]), 0.0)
+    assert float(np.abs(np.asarray(g["in1"]["scale"][0])).max()) > 0
