@@ -79,6 +79,89 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
 
 
 @fast_st.command()
+@click.argument("style-image-paths", nargs=-1, required=True)
+@click.option("-n", "--name", default="multi", help="Name for the multi-style model")
+@click.option("-e", "--epochs", default=50)
+@click.option("-b", "--batch-size", default=4)
+@click.option("-cw", "--content-weight", default=1)
+@click.option("-sw", "--style-weight", default=100_000)
+@click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]))
+def train_multi(style_image_paths, name, epochs, batch_size, content_weight,
+                style_weight, precision):
+    """
+    Train ONE network on MULTIPLE styles (conditional instance norm).
+
+    Pass several style image paths; at inference select a style by index or
+    blend styles continuously (`convert-image-multi`). Checkpoints are saved
+    as `fast_multi_st_{name}_epoch{e}.msgpack`.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from styletransfer_tpu.engines import multistyle as ms
+    from styletransfer_tpu.utils import images
+
+    stack = np.concatenate(
+        [
+            images.load_image(os.path.join(constants.PROJECT_ROOT_PATH, p))
+            for p in style_image_paths
+        ],
+        axis=0,
+    )
+    LOGGER.info("Training multi-style network '%s' on %d styles", name, len(stack))
+    ms.train(
+        jnp.asarray(stack), style_name=name, epochs=epochs, batch_size=batch_size,
+        style_weight=style_weight, content_weight=content_weight,
+        precision=precision,
+    )
+
+
+@fast_st.command()
+@click.argument("image-path")
+@click.argument("name")
+@click.option("--style-index", default=0, help="Which trained style to apply")
+@click.option("--blend", default=None,
+              help="Comma-separated style weights (overrides --style-index), e.g. '0.5,0.5'")
+@click.option("-o", "--out-dir", default="results/")
+@click.option("--num-styles", required=True, type=int,
+              help="Number of styles the checkpoint was trained with")
+def convert_image_multi(image_path, name, style_index, blend, out_dir, num_styles):
+    """
+    Stylize an image with a multi-style network trained by `train-multi`,
+    selecting a style by index or blending several.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from styletransfer_tpu import ckpt
+    from styletransfer_tpu.engines import multistyle as ms
+    from styletransfer_tpu.models import multistyle
+    from styletransfer_tpu.utils import images
+
+    template = multistyle.init_params(jax.random.PRNGKey(0), num_styles=num_styles)
+    params, _ = ckpt.load_latest_transformer(ms.MODEL_NAME, name, template)
+
+    img = jnp.asarray(
+        images.load_image(os.path.join(constants.PROJECT_ROOT_PATH, image_path))
+    )
+    if blend:
+        w = np.asarray([float(v) for v in blend.split(",")], dtype=np.float32)
+        w = w / w.sum()
+        out = ms.stylize_blend(params, img, jnp.asarray(w)[None])
+        tag = "blend"
+    else:
+        out = ms.stylize(params, img, jnp.asarray([style_index], dtype=jnp.int32))
+        tag = f"style{style_index}"
+
+    out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    out_file = os.path.join(out_dir, f"converted_fast_multi_st_{name}_{tag}.png")
+    images.save_image(np.asarray(out), out_file)
+    LOGGER.info("Saved stylized image to %s", out_file)
+
+
+@fast_st.command()
 @click.argument("image-dir")
 @click.argument("out-path")
 @click.option("--size", default=256, help="Crop size for packed images")

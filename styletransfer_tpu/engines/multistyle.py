@@ -96,6 +96,92 @@ def make_train_step(
     return opt, train_step
 
 
+MODEL_NAME = "fast_multi_st"
+
+
+def train(
+    style_images: jnp.ndarray,
+    style_name: str = "multi",
+    epochs: int = 50,
+    batch_size: int = 4,
+    style_weight: float = 100_000.0,
+    content_weight: float = 1.0,
+    vgg_params=None,
+    params=None,
+    train_loader=None,
+    seed: int = 0,
+    models_path: Optional[str] = None,
+    max_steps_per_epoch: Optional[int] = None,
+    precision: str = "f32",
+):
+    """Train one network on a stack of styles [S, H, W, 3].
+
+    Each batch element draws a uniform-random style index per step. Keeps
+    the per-epoch checkpoint/resume contract under the model name
+    ``fast_multi_st``. Returns the trained params.
+    """
+    import numpy as np
+
+    from styletransfer_tpu import ckpt
+    from styletransfer_tpu.data import coco
+    from styletransfer_tpu.parallel import mesh as mesh_lib
+    from styletransfer_tpu.parallel import prefetch
+    from styletransfer_tpu.utils.logging import get_logger
+
+    logger = get_logger()
+    mesh = mesh_lib.auto_mesh(batch_size)
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else None
+
+    if vgg_params is None:
+        vgg_params = vgg.load_params()
+    n_styles = style_images.shape[0]
+    grams = stack_style_grams(vgg_params, style_images)
+    vgg_params = mesh_lib.replicate(vgg_params, mesh)
+    grams = mesh_lib.replicate(grams, mesh)
+
+    if params is None:
+        params = multistyle.init_params(
+            jax.random.PRNGKey(seed), num_styles=n_styles
+        )
+    params = mesh_lib.replicate(params, mesh)
+
+    opt, train_step = make_train_step(
+        vgg_params, grams, style_weight, content_weight,
+        compute_dtype=compute_dtype,
+    )
+    opt_state = mesh_lib.replicate(opt.init(params), mesh)
+
+    if train_loader is None:
+        _, train_loader = coco.get_coco_loader(batch_size=batch_size, seed=seed)
+
+    rng = np.random.default_rng(seed)
+    iteration = 0
+    for epoch in range(epochs):
+        if ckpt.epoch_checkpoint_exists(MODEL_NAME, style_name, epoch, models_path):
+            params, _ = ckpt.load_latest_transformer(
+                MODEL_NAME, style_name, params, models_path
+            )
+            params = mesh_lib.replicate(params, mesh)
+            opt_state = mesh_lib.replicate(opt.init(params), mesh)
+            logger.info("Epoch %d checkpoint exists; skipping", epoch)
+            continue
+        logger.info("Starting multi-style epoch %d (%d styles)", epoch, n_styles)
+        n = 0
+        for batch in prefetch.prefetch_to_device(train_loader, mesh):
+            idx = mesh_lib.shard_batch(
+                rng.integers(0, n_styles, batch.shape[0]).astype(np.int32), mesh
+            )
+            params, opt_state, metrics = train_step(params, opt_state, batch, idx)
+            if iteration % 20 == 0:
+                logger.info("Batch Loss: %.8f", float(metrics["total"]))
+            iteration += 1
+            n += 1
+            if max_steps_per_epoch and n >= max_steps_per_epoch:
+                break
+        ckpt.save_epoch(params, MODEL_NAME, style_name, epoch, models_path)
+    return params
+
+
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def stylize(params, images, style_idx, compute_dtype=None):
     """Stylize a batch with per-sample hard style selection."""

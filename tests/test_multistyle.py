@@ -112,3 +112,45 @@ def test_unused_style_embedding_gets_no_gradient(vgg_params):
     # Style 2 never selected -> zero gradient on its embeddings.
     np.testing.assert_allclose(np.asarray(g["in1"]["scale"][2]), 0.0)
     assert float(np.abs(np.asarray(g["in1"]["scale"][0])).max()) > 0
+
+
+def test_multistyle_train_and_convert_cli(tmp_path, monkeypatch, vgg_params):
+    """End-to-end: engine train (tiny) -> convert-image-multi CLI (index + blend)."""
+    from click.testing import CliRunner
+    from PIL import Image as PILImage
+
+    from styletransfer_tpu import constants
+    from styletransfer_tpu.clis import cli
+    from styletransfer_tpu.data import coco as coco_data
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+
+    styles = jax.random.normal(jax.random.PRNGKey(5), (2, SIZE, SIZE, 3)) * 0.5
+    loader = coco_data.DataLoader(coco_data.SyntheticDataset(8, SIZE), batch_size=4)
+    ms_engine.train(
+        styles, style_name="duo", epochs=1, batch_size=4,
+        vgg_params=vgg_params, train_loader=loader,
+        models_path=str(tmp_path / "data" / "models"), max_steps_per_epoch=2,
+    )
+
+    rng = np.random.default_rng(0)
+    PILImage.fromarray(
+        rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    ).save(tmp_path / "photo.png")
+
+    runner = CliRunner()
+    r1 = runner.invoke(cli, [
+        "fast_st", "convert-image-multi", "photo.png", "duo",
+        "--style-index", "1", "--num-styles", "2",
+    ])
+    assert r1.exit_code == 0, r1.output + repr(r1.exception)
+    r2 = runner.invoke(cli, [
+        "fast_st", "convert-image-multi", "photo.png", "duo",
+        "--blend", "0.3,0.7", "--num-styles", "2",
+    ])
+    assert r2.exit_code == 0, r2.output + repr(r2.exception)
+    results = sorted((tmp_path / "results").iterdir())
+    assert [p.name for p in results] == [
+        "converted_fast_multi_st_duo_blend.png",
+        "converted_fast_multi_st_duo_style1.png",
+    ]
