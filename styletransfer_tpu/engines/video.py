@@ -134,10 +134,14 @@ def make_scan_train_step(
 def freeze_mask(params, freeze_all_but_first: bool):
     """Gradient mask for the warm-start schedule (network.py:940-955).
 
-    When active, only ``conv1``/``in1`` (the reference's layer ``0.*``) train.
+    When active, only ``conv1`` trains: the reference keeps exactly the
+    params whose name starts with ``'0.'`` trainable (network.py:946-951),
+    which is the first *conv* only — the first instance norm is module
+    index 1 and stays frozen (it is warm-started by the surgery,
+    network.py:868-877).
     """
     def mask_for(path_key: str):
-        trainable = (not freeze_all_but_first) or path_key in ("conv1", "in1")
+        trainable = (not freeze_all_but_first) or path_key == "conv1"
         return 1.0 if trainable else 0.0
 
     return {

@@ -65,20 +65,22 @@ def init_params(
     return params
 
 
-def _conv_in_relu(x, conv, inorm, stride, compute_dtype, use_pallas=None):
-    x = layers.conv2d(x, conv["kernel"], conv["bias"], stride, compute_dtype=compute_dtype)
+def _conv_in_relu(x, conv, inorm, stride, compute_dtype, use_pallas=None,
+                  reflect=True):
+    x = layers.conv2d(x, conv["kernel"], conv["bias"], stride,
+                      reflect=reflect, compute_dtype=compute_dtype)
     return fused_instance_norm(
         x, inorm["scale"], inorm["bias"], relu=True, use_pallas=use_pallas
     )
 
 
-def _residual_block(x, p, compute_dtype, use_pallas=None):
+def _residual_block(x, p, compute_dtype, use_pallas=None, reflect=True):
     """conv-IN-ReLU-conv, add input, then IN (post-add norm, network.py:494-506).
 
     The residual add is fused into the second instance norm's kernel."""
-    out = _conv_in_relu(x, p["conv1"], p["in1"], 1, compute_dtype, use_pallas)
+    out = _conv_in_relu(x, p["conv1"], p["in1"], 1, compute_dtype, use_pallas, reflect)
     out = layers.conv2d(out, p["conv2"]["kernel"], p["conv2"]["bias"], 1,
-                        compute_dtype=compute_dtype)
+                        reflect=reflect, compute_dtype=compute_dtype)
     return fused_instance_norm(
         out, p["in2"]["scale"], p["in2"]["bias"], residual=x, use_pallas=use_pallas
     )
@@ -89,6 +91,7 @@ def apply(
     x: jnp.ndarray,
     compute_dtype: Optional[jnp.dtype] = None,
     use_pallas: Optional[bool] = None,
+    pad_mode: str = "reflect",
 ) -> jnp.ndarray:
     """Forward pass: NHWC in (3 or 6 channels), NHWC stylized image out.
 
@@ -97,22 +100,34 @@ def apply(
     back to the input dtype. ``use_pallas=True`` opts into the fused Pallas
     instance-norm kernels (default off — XLA's own fusion currently
     measures faster; see ops/pallas/instance_norm.py).
+
+    ``pad_mode``: ``"reflect"`` (default) is the reference author's written
+    intent (``padding_mode='reflection'``, network.py:530 et al.) and the
+    Johnson et al. recipe. ``"zeros"`` reproduces the reference *as it
+    actually executed*: under its pinned torch 1.1.0, ``Conv2d.forward``
+    special-cased only ``'circular'`` and silently fell back to zero padding
+    for the unrecognized ``'reflection'`` string — so checkpoints trained by
+    the original code used zero padding. Use ``pad_mode="zeros"`` when
+    running imported reference ``.pth`` weights for bit-faithful outputs.
     """
+    if pad_mode not in ("reflect", "zeros"):
+        raise ValueError(f"pad_mode must be 'reflect' or 'zeros', got {pad_mode!r}")
+    reflect = pad_mode == "reflect"
     in_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    x = _conv_in_relu(x, params["conv1"], params["in1"], 1, compute_dtype, use_pallas)
-    x = _conv_in_relu(x, params["conv2"], params["in2"], 2, compute_dtype, use_pallas)
-    x = _conv_in_relu(x, params["conv3"], params["in3"], 2, compute_dtype, use_pallas)
+    x = _conv_in_relu(x, params["conv1"], params["in1"], 1, compute_dtype, use_pallas, reflect)
+    x = _conv_in_relu(x, params["conv2"], params["in2"], 2, compute_dtype, use_pallas, reflect)
+    x = _conv_in_relu(x, params["conv3"], params["in3"], 2, compute_dtype, use_pallas, reflect)
     for i in range(NUM_RESIDUAL_BLOCKS):
-        x = _residual_block(x, params[f"res{i + 1}"], compute_dtype, use_pallas)
+        x = _residual_block(x, params[f"res{i + 1}"], compute_dtype, use_pallas, reflect)
     x = layers.upsample_nearest(x, 2)
-    x = _conv_in_relu(x, params["up1_conv"], params["up1_in"], 1, compute_dtype, use_pallas)
+    x = _conv_in_relu(x, params["up1_conv"], params["up1_in"], 1, compute_dtype, use_pallas, reflect)
     x = layers.upsample_nearest(x, 2)
-    x = _conv_in_relu(x, params["up2_conv"], params["up2_in"], 1, compute_dtype, use_pallas)
+    x = _conv_in_relu(x, params["up2_conv"], params["up2_in"], 1, compute_dtype, use_pallas, reflect)
     out = layers.conv2d(
         x, params["conv_out"]["kernel"], params["conv_out"]["bias"], 1,
-        compute_dtype=compute_dtype,
+        reflect=reflect, compute_dtype=compute_dtype,
     )
     return out.astype(in_dtype)
 
@@ -132,14 +147,15 @@ def init_video_params(
     Input is [current frame ⊕ previous stylized frame] on channels
     (network.py:850-855). If ``fast_params`` (a trained ImageTransformNet)
     is given, every layer except the first conv is warm-started from it —
-    the reference's state-dict surgery that deletes ``0.weight``/``0.bias``
-    before merging (network.py:860-881).
+    the reference's state-dict surgery deletes exactly ``0.weight`` and
+    ``0.bias`` before merging (network.py:868-877), so the first *instance
+    norm* (index 1) IS warm-started; only the 6-channel conv is fresh.
     """
     params = init_params(key, in_channels=6, dtype=dtype)
     if fast_params is not None:
-        fresh_conv1, fresh_in1 = params["conv1"], params["in1"]
+        fresh_conv1 = params["conv1"]
         params = jax.tree_util.tree_map(lambda x: x, fast_params)  # copy
-        params["conv1"], params["in1"] = fresh_conv1, fresh_in1
+        params["conv1"] = fresh_conv1
     return params
 
 

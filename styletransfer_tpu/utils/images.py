@@ -48,8 +48,11 @@ def center_crop_resize(image: Image.Image, size: int = constants.IMSIZE) -> np.n
     """
     w, h = image.size
     side = min(w, h)
-    left = (w - side) // 2
-    top = (h - side) // 2
+    # torchvision CenterCrop offsets are int(round(delta / 2.)) — Python-3
+    # banker's rounding — not floor; for (delta % 4 == 3) they differ by one
+    # pixel, so match exactly (torchvision functional center_crop).
+    left = int(round((w - side) / 2.0))
+    top = int(round((h - side) / 2.0))
     image = image.crop((left, top, left + side, top + side))
     image = image.resize((size, size), Image.BILINEAR)
     arr = np.asarray(image, dtype=np.float32) / 255.0

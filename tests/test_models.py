@@ -208,6 +208,11 @@ def test_video_net_six_channels_and_warm_start():
     np.testing.assert_allclose(
         np.asarray(video["conv_out"]["kernel"]), np.asarray(fast["conv_out"]["kernel"])
     )
+    # The surgery deletes only 0.weight/0.bias (the conv), so the first
+    # instance norm IS warm-started (network.py:868-877).
+    np.testing.assert_allclose(
+        np.asarray(video["in1"]["scale"]), np.asarray(fast["in1"]["scale"])
+    )
     # conv1 must NOT equal the fast net's conv1 (different shape anyway)
     y = transformer.apply(video, jnp.zeros((1, 32, 32, 6)))
     assert y.shape == (1, 32, 32, 3)
