@@ -27,22 +27,33 @@ LOGGER = get_logger()
               help="The weight we will assign to the content loss during the optimization")
 @click.option("-sw", "--style-weight", default=100_000,
               help="The weight we will assign to the style loss during the optimization")
-@click.option("--optimizer", default="adam", type=click.Choice(["adam", "lbfgs"]),
-              help="On-device optimizer for the pixel optimization")
+@click.option("--optimizer", default="lbfgs", type=click.Choice(["adam", "lbfgs"]),
+              help="On-device optimizer for the pixel optimization. lbfgs is "
+                   "the reference's optimizer (network.py:435); adam is "
+                   "faster per step on TPU.")
+@click.option("-b", "--batch", default=0, type=int,
+              help="If CONTENT-IMAGE-PATH is a directory, stylize up to this "
+                   "many images from it in ONE batched on-device "
+                   "optimization (0 = all).")
 @click.option("--learning-rate", default=0.05, help="Adam learning rate")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="VGG tower activation precision (bf16 is faster; pixels stay f32)")
 @click.option("--size", default=None, type=int,
               help="Working resolution (default 256)")
 def gatys_st(content_image_path, style_image_path, out_name, steps,
-             content_weight, style_weight, optimizer, learning_rate, precision,
-             size):
+             content_weight, style_weight, optimizer, batch, learning_rate,
+             precision, size):
     """
     Run the original Gatys style transfer. Both `style-image` and
     `content-image` should be the paths to the image we want to take the
     content from and the one we want to take the style from (respectively).
+
+    CONTENT-IMAGE-PATH may also be a directory: every image in it is
+    stylized in a single batched on-device optimization (see --batch).
     """
     # Heavy imports deferred so `--help` stays instant.
+    import numpy as np
+
     import jax.numpy as jnp
 
     from styletransfer_tpu.engines import gatys
@@ -54,7 +65,25 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
 
     imsize = size or constants.IMSIZE
     style_image = jnp.asarray(images.load_image(style_image_path, size=imsize))
-    content_image = jnp.asarray(images.load_image(content_image_path, size=imsize))
+
+    if os.path.isdir(content_image_path):
+        names = sorted(
+            n for n in os.listdir(content_image_path)
+            if n.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+        )
+        if batch:
+            names = names[:batch]
+        if not names:
+            raise click.ClickException(
+                f"No images found in directory {content_image_path}"
+            )
+        content_image = jnp.asarray(np.concatenate([
+            images.load_image(os.path.join(content_image_path, n), size=imsize)
+            for n in names
+        ]))
+    else:
+        names = [None]
+        content_image = jnp.asarray(images.load_image(content_image_path, size=imsize))
 
     vgg_params = vgg.load_params()
 
@@ -72,6 +101,9 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
 
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, "results")
     os.makedirs(out_dir, exist_ok=True)
-    out_file = os.path.join(out_dir, out_name)
-    images.save_image(converted, out_file)
-    LOGGER.info("Done! Transformed image has been saved to: %s", out_file)
+    stem, ext = os.path.splitext(out_name)
+    for i, name in enumerate(names):
+        suffix = f"_{os.path.splitext(name)[0]}" if name is not None else ""
+        out_file = os.path.join(out_dir, f"{stem}{suffix}{ext}")
+        images.save_image(converted[i : i + 1], out_file)
+        LOGGER.info("Done! Transformed image has been saved to: %s", out_file)

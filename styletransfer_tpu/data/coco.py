@@ -183,6 +183,11 @@ class DataLoader:
                     break
             batch: List[np.ndarray] = []
             fallback: Optional[np.ndarray] = None
+            # Bad images decoded before the FIRST good one can't substitute
+            # backwards yet; count them and fill the slots once a good image
+            # exists, so leading failures never shrink the epoch (the
+            # reference substitutes a random image, dataset.py:188-197).
+            pending = 0
             while window:
                 fut = window.popleft()
                 nxt = next(it, None)
@@ -193,13 +198,16 @@ class DataLoader:
                     # Substitute the most recent good image (reference keeps
                     # training through bad files, dataset.py:188-197).
                     if fallback is None:
+                        pending += 1
                         continue
                     arr = fallback
                 fallback = arr
-                batch.append(arr)
-                if len(batch) == bs:
-                    yield np.stack(batch)
-                    batch = []
+                for a in [arr] * (pending + 1):
+                    batch.append(a)
+                    if len(batch) == bs:
+                        yield np.stack(batch)
+                        batch = []
+                pending = 0
             if batch and not self.drop_last:
                 yield np.stack(batch)
 

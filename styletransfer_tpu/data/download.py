@@ -36,30 +36,54 @@ def _abspath(path: str) -> str:
     return path if os.path.isabs(path) else os.path.join(constants.PROJECT_ROOT_PATH, path)
 
 
+# (connect, read) timeouts so a dead network fails fast instead of hanging
+# training startup (VideoDataset.__init__ calls download_videos_dataset).
+_TIMEOUT = (10, 30)
+_MAX_ATTEMPTS = 3
+
+
 def download_from_url(url: str, dst: str) -> int:
     """Resumable single-file download (reference dataset.py:35-59).
 
-    HEADs for Content-Length, resumes from the local size with a Range
-    header, streams in chunks with a progress bar. Returns total size.
+    HEADs for Content-Length, resumes from the local size with an
+    open-ended Range header (the reference's ``bytes=N-size`` end offset is
+    one past the last byte; strict servers reject it with 416), streams in
+    chunks with a progress bar, and retries transient failures up to
+    :data:`_MAX_ATTEMPTS` times — each retry resumes from the bytes already
+    on disk. Returns total size.
     """
     import requests
     from tqdm import tqdm
 
-    file_size = int(requests.head(url).headers["Content-Length"])
-    first_byte = os.path.getsize(dst) if os.path.exists(dst) else 0
-    if first_byte >= file_size:
-        return file_size
-    header = {"Range": f"bytes={first_byte}-{file_size}"}
-    pbar = tqdm(total=file_size, initial=first_byte, unit="B", unit_scale=True,
-                desc=url.split("/")[-1])
-    req = requests.get(url, headers=header, stream=True)
-    with open(dst, "ab") as f:
-        for chunk in req.iter_content(chunk_size=64 * 1024):
-            if chunk:
-                f.write(chunk)
-                pbar.update(len(chunk))
-    pbar.close()
-    return file_size
+    file_size = int(
+        requests.head(url, timeout=_TIMEOUT).headers["Content-Length"]
+    )
+    last_exc: Exception = OSError(f"download of {url} incomplete after retries")
+    for attempt in range(_MAX_ATTEMPTS):
+        first_byte = os.path.getsize(dst) if os.path.exists(dst) else 0
+        if first_byte >= file_size:
+            return file_size
+        try:
+            header = {"Range": f"bytes={first_byte}-"}
+            pbar = tqdm(total=file_size, initial=first_byte, unit="B",
+                        unit_scale=True, desc=url.split("/")[-1])
+            req = requests.get(url, headers=header, stream=True, timeout=_TIMEOUT)
+            with open(dst, "ab") as f:
+                for chunk in req.iter_content(chunk_size=64 * 1024):
+                    if chunk:
+                        f.write(chunk)
+                        pbar.update(len(chunk))
+            pbar.close()
+        except (requests.RequestException, OSError) as exc:
+            last_exc = exc
+            get_logger().warning(
+                "Download of %s interrupted (attempt %d/%d): %s",
+                url, attempt + 1, _MAX_ATTEMPTS, exc,
+            )
+            continue
+        if os.path.getsize(dst) >= file_size:
+            return file_size
+    raise last_exc
 
 
 def download_list_of_urls(urls: List[str], destination_folder: str = VIDEO_DATA_PATH) -> None:

@@ -135,20 +135,28 @@ def train_gatys(
     vgg_params,
     style_image: jnp.ndarray,
     content_image: jnp.ndarray,
-    steps: int = 300,
+    steps: int = 550,
     style_weight: float = 100_000.0,
     content_weight: float = 1.0,
-    optimizer: str = "adam",
+    optimizer: str = "lbfgs",
     learning_rate: float = 0.05,
     log_every: Optional[int] = 50,
     precision: str = "f32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stylize ``content_image`` with the style of ``style_image``.
 
-    Drop-in equivalent of ``train_gatys`` (network.py:411-458; CLI default
-    steps=300, clis/gatys_st.py:14). Returns ``(image, loss_history)`` where
-    ``image`` is NHWC in normalized space and ``loss_history`` has one entry
-    per optimizer step.
+    Drop-in equivalent of ``train_gatys``, with the reference's *method*
+    defaults: steps=550 and L-BFGS over the pixels (network.py:413, 435).
+    The CLI layer passes steps=300 by default, mirroring the reference CLI
+    (clis/gatys_st.py:14). Returns ``(image, loss_history)`` where ``image``
+    is NHWC in normalized space and ``loss_history`` has one entry per
+    optimizer step.
+
+    ``content_image`` may be batched ([N, H, W, 3]): the whole batch
+    optimizes in one scanned program against the same style — per-pixel
+    gradients never cross images, so each batch element follows (up to the
+    1/N loss scale, which Adam/L-BFGS renormalize) its independent
+    trajectory.
 
     The optimization itself never leaves the device; ``log_every`` only
     controls post-hoc logging of the returned loss history (the reference

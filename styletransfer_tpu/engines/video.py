@@ -272,8 +272,11 @@ def video_train(
 
     for epoch in range(start_epoch, epochs):
         if ckpt.epoch_checkpoint_exists(MODEL_NAME, style_name, epoch, models_path):
-            params, _ = ckpt.load_latest_transformer(
-                MODEL_NAME, style_name, params, models_path
+            # Load THIS epoch's own file (the reference's per-epoch resume,
+            # network.py:959-965) — the overall-latest could be a later epoch.
+            params = ckpt.load(
+                ckpt.checkpoint_path(MODEL_NAME, style_name, epoch, models_path),
+                params,
             )
             params = mesh_lib.replicate(params, mesh)
             opt_state = mesh_lib.replicate(opt.init(params), mesh)

@@ -15,9 +15,11 @@
 #include <stdint.h>
 
 static uint32_t table[8][256];
-static int initialized = 0;
 
-static void init_tables(void) {
+/* Tables are built eagerly at library load (GCC/Clang constructor): a lazy
+ * flag-guarded init is not thread-safe — a second thread could read
+ * partially built tables while the first is still filling them. */
+__attribute__((constructor)) static void init_tables(void) {
     const uint32_t poly = 0x82F63B78u; /* reflected CRC32C polynomial */
     for (int n = 0; n < 256; n++) {
         uint32_t crc = (uint32_t)n;
@@ -32,11 +34,9 @@ static void init_tables(void) {
             table[k][n] = crc;
         }
     }
-    initialized = 1;
 }
 
 uint32_t crc32c(const uint8_t *data, size_t len) {
-    if (!initialized) init_tables();
     uint32_t crc = 0xFFFFFFFFu;
     /* 8 bytes at a time */
     while (len >= 8) {

@@ -195,6 +195,9 @@ def fused_instance_norm(
     """
     if use_pallas is None:
         use_pallas = False
-    if not use_pallas or not pallas_supported(x.shape):
+    # Conditional [B, C] affines (the multi-style path) are XLA-only: the
+    # kernel's channel BlockSpec assumes rank-1 scale/bias, so dispatching a
+    # rank-2 affine to Pallas would fail at trace time.
+    if not use_pallas or not pallas_supported(x.shape) or scale.ndim == 2:
         return _xla_reference(x, scale, bias, residual, relu, eps)
     return _fused(x, scale, bias, residual, relu, eps, False)

@@ -22,6 +22,22 @@ def test_gatys_options_match_reference():
     assert defaults["style_weight"] == 100_000
     assert defaults["content_weight"] == 1
     assert defaults["out_name"] == "gatys_converted.png"
+    # The reference CLI has no optimizer flag: train_gatys runs L-BFGS
+    # (network.py:435), so the CLI default must be lbfgs for output parity.
+    assert defaults["optimizer"] == "lbfgs"
+
+
+def test_gatys_engine_defaults_match_reference_method():
+    """Engine defaults are the reference METHOD defaults (network.py:413,
+    435): steps=550 and L-BFGS; the CLI layer passes steps=300 (reference
+    clis/gatys_st.py:14)."""
+    import inspect
+
+    from styletransfer_tpu.engines import gatys
+
+    sig = inspect.signature(gatys.train_gatys)
+    assert sig.parameters["steps"].default == 550
+    assert sig.parameters["optimizer"].default == "lbfgs"
 
 
 def test_fast_st_subcommands_and_defaults():

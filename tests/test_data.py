@@ -59,6 +59,27 @@ def test_dataloader_substitutes_bad_images(tmp_path):
     assert len(batches) == 2
 
 
+def test_dataloader_substitutes_leading_bad_images(tmp_path):
+    """Bad files at the FRONT of the (unshuffled) order must still be
+    substituted once a good image exists — leading failures must not
+    shrink the epoch (the reference substitutes a random image,
+    dataset.py:188-197)."""
+    d = tmp_path / "imgs"
+    d.mkdir(parents=True)
+    # '!' sorts before '0', so the bad files decode first.
+    (d / "!bad0.png").write_bytes(b"not an image")
+    (d / "!bad1.png").write_bytes(b"also not an image")
+    _write_images(d, 2)
+    names = sorted(p.name for p in d.iterdir())
+    assert names[0] == "!bad0.png" and names[1] == "!bad1.png"
+    ds = coco.CocoDataset(image_dir=str(d), size=16)
+    loader = coco.DataLoader(ds, batch_size=2, drop_last=True, shuffle=False)
+    batches = list(loader)
+    # 2 good + 2 substituted = 4 images -> 2 full batches
+    assert len(batches) == 2
+    assert all(b.shape == (2, 16, 16, 3) for b in batches)
+
+
 def test_synthetic_dataset_deterministic():
     a = coco.SyntheticDataset(4, 16).load(2)
     b = coco.SyntheticDataset(4, 16).load(2)
