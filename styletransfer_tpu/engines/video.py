@@ -89,23 +89,30 @@ def make_scan_train_step(
     """Build the chunked scan train step.
 
     Signature of the returned jitted fn:
-    ``(params, opt_state, frames[T,B,H,W,3], old_content, old_stylized,
-    grad_mask) -> (params, opt_state, old_content, old_stylized, metrics[T])``
+    ``(params, opt_state, frames[T,B,H,W,3], valid[T], old_content,
+    old_stylized, grad_mask) -> (params, opt_state, old_content,
+    old_stylized, metrics[T])``
 
     One Adam update per frame inside the scan; the carry's stylized frame is
     stop-gradient'ed exactly like the reference's detached ``old_images``
     (network.py:1022-1024). ``grad_mask`` is a {0,1} pytree implementing the
     warm-start freeze epoch.
+
+    ``valid`` marks real frames: padded tail frames (``_chunk_frames``
+    repeats the last frame to keep one compiled shape) take NO update and
+    leave the carry untouched — the reference trains only on real frames
+    (network.py:974-1037). ``lax.cond`` skips the grad computation for
+    padded steps entirely at runtime.
     """
     opt = optimizer or make_optimizer(ADAM_LR)
 
+    _METRIC_KEYS = ("total", "style", "content", "tv", "temporal")
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def scan_step(params, opt_state, frames, old_content, old_stylized, grad_mask):
-        def body(carry, frame):
-            params, opt_state, old_c, old_s = carry
-            # Normalize up front so the carry always holds float frames
-            # (uint8 packed-path inputs convert once; float is a no-op).
-            frame = img_utils.maybe_normalize_on_device(frame)
+    def scan_step(params, opt_state, frames, valid, old_content, old_stylized,
+                  grad_mask):
+        def do_update(operand):
+            params, opt_state, old_c, old_s, frame = operand
             grads, (transformed, metrics) = jax.grad(
                 frame_loss_fn, has_aux=True
             )(
@@ -115,16 +122,32 @@ def make_scan_train_step(
             grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, grad_mask)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            new_carry = (
+            carry = (
                 params,
                 opt_state,
                 jax.lax.stop_gradient(frame),
                 jax.lax.stop_gradient(transformed),
             )
-            return new_carry, metrics
+            return carry, metrics
+
+        def skip_update(operand):
+            params, opt_state, old_c, old_s, _frame = operand
+            metrics = {k: jnp.float32(0.0) for k in _METRIC_KEYS}
+            return (params, opt_state, old_c, old_s), metrics
+
+        def body(carry, xs):
+            params, opt_state, old_c, old_s = carry
+            frame, is_valid = xs
+            # Normalize up front so the carry always holds float frames
+            # (uint8 packed-path inputs convert once; float is a no-op).
+            frame = img_utils.maybe_normalize_on_device(frame)
+            return jax.lax.cond(
+                is_valid, do_update, skip_update,
+                (params, opt_state, old_c, old_s, frame),
+            )
 
         (params, opt_state, old_c, old_s), metrics = jax.lax.scan(
-            body, (params, opt_state, old_content, old_stylized), frames
+            body, (params, opt_state, old_content, old_stylized), (frames, valid)
         )
         return params, opt_state, old_c, old_s, metrics
 
@@ -152,24 +175,27 @@ def freeze_mask(params, freeze_all_but_first: bool):
 
 def _chunk_frames(
     frame_iter: Iterator[np.ndarray], chunk: int, pad_tail: bool = False
-) -> Iterator[np.ndarray]:
-    """Group per-frame [B,H,W,3] arrays into [T,B,H,W,3] chunks.
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Group per-frame [B,H,W,3] arrays into ``(frames[T,B,H,W,3], valid[T])``.
 
     Each distinct T is a separate XLA compile, so with ``pad_tail`` the
     ragged tail is padded by repeating its last frame up to ``chunk`` —
-    keeping exactly one compiled shape. (Training on a handful of repeated
-    tail frames is benign: the temporal loss of a repeated frame is ~0 and
-    the perceptual terms see an already-seen frame.)"""
+    keeping exactly one compiled shape. ``valid`` is False for the padded
+    suffix so consumers can mask updates / skip outputs (the reference
+    processes only real frames, network.py:974-1037)."""
     buf = []
     for f in frame_iter:
         buf.append(f)
         if len(buf) == chunk:
-            yield np.stack(buf)
+            yield np.stack(buf), np.ones(chunk, dtype=bool)
             buf = []
     if buf:
+        n_real = len(buf)
         if pad_tail:
-            buf.extend([buf[-1]] * (chunk - len(buf)))
-        yield np.stack(buf)
+            buf.extend([buf[-1]] * (chunk - n_real))
+        valid = np.zeros(len(buf), dtype=bool)
+        valid[:n_real] = True
+        yield np.stack(buf), valid
 
 
 def video_train(
@@ -296,16 +322,19 @@ def video_train(
             # the first frame *trained on*, inside the first chunk, so every
             # chunk shares one compiled shape.
             old_content = None
-            for chunk in _chunk_frames(frame_iter, chunk_size, pad_tail=True):
+            for chunk, valid in _chunk_frames(frame_iter, chunk_size, pad_tail=True):
                 if old_content is None:
                     old_content = mesh_lib.shard_batch(chunk[0], mesh)
                     old_stylized = old_content
                 chunk_dev = mesh_lib.shard_frames(chunk, mesh)
                 params, opt_state, old_content, old_stylized, metrics = scan_step(
-                    params, opt_state, chunk_dev, old_content, old_stylized, mask
+                    params, opt_state, chunk_dev, jnp.asarray(valid),
+                    old_content, old_stylized, mask
                 )
-                # Post-hoc logging at the reference cadences over the chunk.
-                totals = np.asarray(metrics["total"])
+                # Post-hoc logging at the reference cadences over the chunk;
+                # padded tail frames took no update and are not counted in
+                # `iteration` (valid padding is always a suffix).
+                totals = np.asarray(metrics["total"])[: int(valid.sum())]
                 for i, total in enumerate(totals):
                     it = iteration + i
                     if it % 20 == 0:
@@ -458,7 +487,7 @@ def process_video(
     logger.info("Starting to process video into stylized frames")
     old_stylized = None
     frame_idx = 0
-    for chunk in _chunk_frames(frame_stream(), chunk_size, pad_tail=True):
+    for chunk, _valid in _chunk_frames(frame_stream(), chunk_size, pad_tail=True):
         # pad_tail keeps a single compiled shape; padded outputs beyond the
         # real frame count are skipped when writing.
         frames = jnp.asarray(chunk)  # [chunk,1,H,W,3]

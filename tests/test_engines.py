@@ -131,13 +131,14 @@ def test_video_scan_train_step_and_freeze_mask(vgg_params):
     frames = jax.random.normal(jax.random.PRNGKey(4), (3, 2, SIZE, SIZE, 3)) * 0.5
     old = frames[0]
     mask = video.freeze_mask(params, freeze_all_but_first=True)
+    valid = jnp.ones(3, dtype=bool)
 
     # The step donates params/opt_state; snapshot compared leaves first.
     res1_before = np.asarray(params["res1"]["conv1"]["kernel"]).copy()
     conv1_before = np.asarray(params["conv1"]["kernel"]).copy()
 
     new_params, opt_state, old_c, old_s, metrics = scan_step(
-        params, opt_state, frames, old, old, mask
+        params, opt_state, frames, valid, old, old, mask
     )
     assert metrics["total"].shape == (3,)
     assert np.isfinite(np.asarray(metrics["total"])).all()
@@ -148,6 +149,55 @@ def test_video_scan_train_step_and_freeze_mask(vgg_params):
     assert not np.allclose(np.asarray(new_params["conv1"]["kernel"]), conv1_before)
     # Carry holds the last content frame.
     np.testing.assert_allclose(np.asarray(old_c), np.asarray(frames[-1]), atol=1e-6)
+
+
+def test_padded_tail_frames_take_no_update(vgg_params):
+    """5 frames trained with chunk=4 (tail padded by repeating frame 5) must
+    produce BITWISE-identical params to chunk=5 (no padding): padded frames
+    take no optimizer update and are excluded from iteration counting — the
+    reference trains only on real frames (network.py:974-1037)."""
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+    grams = vgg.style_gram_targets(vgg_params, style)
+    frames = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(4), (5, 1, SIZE, SIZE, 3)) * 0.5
+    )
+
+    def run(chunk_size):
+        fast_params = transformer.init_params(jax.random.PRNGKey(0))
+        params = transformer.init_video_params(jax.random.PRNGKey(1), fast_params)
+        opt, scan_step = video.make_scan_train_step(vgg_params, grams)
+        opt_state = opt.init(params)
+        mask = video.freeze_mask(params, False)
+        old_c = old_s = None
+        n_updates = 0
+        for chunk, valid in video._chunk_frames(
+            iter(list(frames)), chunk_size, pad_tail=True
+        ):
+            chunk = jnp.asarray(chunk)
+            if old_c is None:
+                old_c = chunk[0]
+                old_s = old_c
+            params, opt_state, old_c, old_s, _ = scan_step(
+                params, opt_state, chunk, jnp.asarray(valid), old_c, old_s, mask
+            )
+            n_updates += int(valid.sum())
+        return params, n_updates
+
+    p4, n4 = run(4)
+    p5, n5 = run(5)
+    assert n4 == n5 == 5
+    for a, b in zip(jax.tree_util.tree_leaves(p4), jax.tree_util.tree_leaves(p5)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunk_frames_validity_masks():
+    frames = [np.zeros((1, 4, 4, 3), np.float32) for _ in range(5)]
+    chunks = list(video._chunk_frames(iter(frames), 4, pad_tail=True))
+    assert len(chunks) == 2
+    (c0, v0), (c1, v1) = chunks
+    assert c0.shape == c1.shape == (4, 1, 4, 4, 3)
+    assert v0.all()
+    np.testing.assert_array_equal(v1, [True, False, False, False])
 
 
 def test_video_train_end_to_end_synthetic(tmp_path, vgg_params):
