@@ -85,9 +85,14 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
 @click.option("-b", "--batch-size", default=4)
 @click.option("-cw", "--content-weight", default=1)
 @click.option("-sw", "--style-weight", default=100_000)
+@click.option("--packed", default=None, type=str,
+              help="Path to a packed dataset file (see data.packed.pack_images); "
+                   "zero-decode mmap reads instead of per-image JPEG decode")
+@click.option("--step-checkpoint-every", default=None, type=int,
+              help="Also save mid-epoch resumable state every N steps")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]))
 def train_multi(style_image_paths, name, epochs, batch_size, content_weight,
-                style_weight, precision):
+                style_weight, packed, step_checkpoint_every, precision):
     """
     Train ONE network on MULTIPLE styles (conditional instance norm).
 
@@ -108,11 +113,23 @@ def train_multi(style_image_paths, name, epochs, batch_size, content_weight,
         ],
         axis=0,
     )
+    loaders = {}
+    if packed:
+        from styletransfer_tpu.data.packed import get_packed_loader
+
+        if not os.path.isabs(packed):
+            packed = os.path.join(constants.PROJECT_ROOT_PATH, packed)
+        test_loader, train_loader = get_packed_loader(
+            packed, batch_size=batch_size, test_split=0.10, test_limit=20
+        )
+        loaders = {"test_loader": test_loader, "train_loader": train_loader}
     LOGGER.info("Training multi-style network '%s' on %d styles", name, len(stack))
     ms.train(
         jnp.asarray(stack), style_name=name, epochs=epochs, batch_size=batch_size,
         style_weight=style_weight, content_weight=content_weight,
+        step_checkpoint_every=step_checkpoint_every,
         precision=precision,
+        **loaders,
     )
 
 

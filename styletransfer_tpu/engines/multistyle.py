@@ -99,6 +99,34 @@ def make_train_step(
 MODEL_NAME = "fast_multi_st"
 
 
+def make_eval_step(
+    vgg_params, style_grams: Dict[str, jnp.ndarray],
+    style_weight: float = 100_000.0, feature_weight: float = 1.0,
+    compute_dtype=None,
+):
+    """Jitted multi-style eval: style + feature loss on the clamped output
+    with per-sample style selection — the multi-style analogue of
+    ``static_test`` (network.py:772-796), same clamp quirk included."""
+
+    @jax.jit
+    def eval_step(params, batch, style_idx):
+        batch = img_utils.maybe_normalize_on_device(batch)
+        transformed = multistyle.apply(params, batch, style_idx, compute_dtype)
+        clamped = jnp.clip(transformed, 0.0, 255.0)
+        feats = vgg.extract_features(
+            vgg_params, clamped, vgg.STYLE_LAYERS, compute_dtype
+        )
+        s_loss = jnp.float32(0.0)
+        for name in vgg.STYLE_LAYERS:
+            g = losses.gram_matrix(feats[name])
+            tgt = style_grams[name][style_idx]
+            s_loss = s_loss + jnp.mean(jnp.square(g - tgt))
+        f_loss = vgg.feature_loss(vgg_params, clamped, batch, compute_dtype=compute_dtype)
+        return style_weight * s_loss + feature_weight * f_loss
+
+    return eval_step
+
+
 def train(
     style_images: jnp.ndarray,
     style_name: str = "multi",
@@ -106,31 +134,52 @@ def train(
     batch_size: int = 4,
     style_weight: float = 100_000.0,
     content_weight: float = 1.0,
+    mesh=None,
     vgg_params=None,
     params=None,
     train_loader=None,
+    test_loader=None,
     seed: int = 0,
+    log_cadence: Tuple[int, int, int] = (20, 50, 150),
+    runs_dir: Optional[str] = None,
     models_path: Optional[str] = None,
     max_steps_per_epoch: Optional[int] = None,
+    step_checkpoint_every: Optional[int] = None,
     precision: str = "f32",
 ):
     """Train one network on a stack of styles [S, H, W, 3].
 
-    Each batch element draws a uniform-random style index per step. Keeps
-    the per-epoch checkpoint/resume contract under the model name
-    ``fast_multi_st``. Returns the trained params.
+    Each batch element draws a uniform-random style index per step. Full
+    parity with ``static_train``'s training contract (mirrored from
+    engines/fast.py): TB scalars/images/eval at the reference cadences
+    (20/50/150 — network.py:733-761), per-epoch checkpoint/resume under the
+    model name ``fast_multi_st``, and optional atomic mid-epoch step states.
+    Returns the trained params.
     """
+    import time
+
     import numpy as np
 
-    from styletransfer_tpu import ckpt
+    from styletransfer_tpu import ckpt, constants
     from styletransfer_tpu.data import coco
     from styletransfer_tpu.parallel import mesh as mesh_lib
     from styletransfer_tpu.parallel import prefetch
+    from styletransfer_tpu.utils import tb
     from styletransfer_tpu.utils.logging import get_logger
 
     logger = get_logger()
-    mesh = mesh_lib.auto_mesh(batch_size)
+    mesh = mesh or mesh_lib.auto_mesh(batch_size)
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
+    scalar_every, image_every, eval_every = log_cadence
+
+    import os
+
+    writer = tb.get_tensorboard_writer(
+        runs_dir
+        or os.path.join(
+            constants.RUNS_PATH, f"fast-image-style-transfer-multi_{style_name}"
+        )
+    )
 
     if vgg_params is None:
         vgg_params = vgg.load_params()
@@ -149,36 +198,126 @@ def train(
         vgg_params, grams, style_weight, content_weight,
         compute_dtype=compute_dtype,
     )
+    eval_step = make_eval_step(
+        vgg_params, grams, style_weight, compute_dtype=compute_dtype
+    )
     opt_state = mesh_lib.replicate(opt.init(params), mesh)
 
-    if train_loader is None:
-        _, train_loader = coco.get_coco_loader(batch_size=batch_size, seed=seed)
+    if train_loader is None or test_loader is None:
+        made_test, made_train = coco.get_coco_loader(
+            batch_size=batch_size, test_split=0.10, test_limit=20, seed=seed
+        )
+        train_loader = train_loader or made_train
+        test_loader = test_loader or made_test
+
+    logger.info(
+        "Training fast_multi_st (%d styles) with Adam on a %d-device mesh",
+        n_styles, mesh.size,
+    )
 
     rng = np.random.default_rng(seed)
     iteration = 0
-    for epoch in range(epochs):
+    start_epoch = 0
+    if step_checkpoint_every:
+        state = ckpt.load_step_state(
+            jax.device_get(params), jax.device_get(opt_state),
+            MODEL_NAME, style_name, models_path,
+        )
+        if state is not None:
+            params = mesh_lib.replicate(state["params"], mesh)
+            opt_state = mesh_lib.replicate(state["opt_state"], mesh)
+            start_epoch = int(state["epoch"])
+            iteration = int(state["iteration"])
+            if start_epoch >= epochs:
+                logger.warning(
+                    "Step state is at epoch %d >= requested epochs %d — "
+                    "nothing to train. Delete %s to retrain from scratch.",
+                    start_epoch, epochs,
+                    ckpt.step_state_path(MODEL_NAME, style_name, models_path),
+                )
+
+    def eval_indices(batch_len: int) -> jnp.ndarray:
+        # Deterministic round-robin so every style is evaluated each pass.
+        return jnp.arange(batch_len, dtype=jnp.int32) % n_styles
+
+    for epoch in range(start_epoch, epochs):
         if ckpt.epoch_checkpoint_exists(MODEL_NAME, style_name, epoch, models_path):
-            params, _ = ckpt.load_latest_transformer(
-                MODEL_NAME, style_name, params, models_path
+            # Load THIS epoch's own file (the reference's per-epoch resume,
+            # network.py:681-685) — the overall-latest could be a later epoch.
+            params = ckpt.load(
+                ckpt.checkpoint_path(MODEL_NAME, style_name, epoch, models_path),
+                params,
             )
             params = mesh_lib.replicate(params, mesh)
             opt_state = mesh_lib.replicate(opt.init(params), mesh)
             logger.info("Epoch %d checkpoint exists; skipping", epoch)
             continue
+
         logger.info("Starting multi-style epoch %d (%d styles)", epoch, n_styles)
-        n = 0
+        t0 = time.time()
+        n_in_epoch = 0
         for batch in prefetch.prefetch_to_device(train_loader, mesh):
             idx = mesh_lib.shard_batch(
                 rng.integers(0, n_styles, batch.shape[0]).astype(np.int32), mesh
             )
             params, opt_state, metrics = train_step(params, opt_state, batch, idx)
-            if iteration % 20 == 0:
-                logger.info("Batch Loss: %.8f", float(metrics["total"]))
+
+            if iteration % scalar_every == 0:
+                total = float(metrics["total"])
+                writer.add_scalar("data/fst_train_loss", total, iteration)
+                logger.info("Batch Loss: %.8f", total)
+            if iteration % eval_every == 0:
+                evals = []
+                for test_batch in test_loader:
+                    test_batch = mesh_lib.shard_batch(test_batch, mesh)
+                    test_idx = mesh_lib.shard_batch(
+                        np.asarray(eval_indices(test_batch.shape[0])), mesh
+                    )
+                    evals.append(float(eval_step(params, test_batch, test_idx)))
+                avg = float(np.mean(evals)) if evals else float("nan")
+                logger.info("Average test loss: %.8f", avg)
+                writer.add_scalar("data/fst_test_loss", avg, iteration)
+            if iteration % image_every == 0:
+                preview_in = img_utils.maybe_normalize_on_device(batch[:1])
+                preview = stylize(
+                    params, preview_in,
+                    jnp.asarray([iteration % n_styles], dtype=jnp.int32),
+                    compute_dtype=compute_dtype,
+                )
+                pair = img_utils.concat_images(
+                    img_utils.to_uint8(np.asarray(preview)),
+                    img_utils.to_uint8(np.asarray(preview_in)),
+                    axis=1,
+                )
+                writer.add_image("data/fst_images", pair, iteration)
+
             iteration += 1
-            n += 1
-            if max_steps_per_epoch and n >= max_steps_per_epoch:
+            n_in_epoch += 1
+            if step_checkpoint_every and iteration % step_checkpoint_every == 0:
+                ckpt.save_step_state(
+                    params, opt_state, epoch, iteration,
+                    MODEL_NAME, style_name, models_path,
+                )
+            if max_steps_per_epoch and n_in_epoch >= max_steps_per_epoch:
                 break
+
+        dt = time.time() - t0
+        if n_in_epoch:
+            logger.info(
+                "Epoch %d: %d steps in %.1fs (%.2f img/s)",
+                epoch, n_in_epoch, dt, n_in_epoch * batch_size / dt,
+            )
         ckpt.save_epoch(params, MODEL_NAME, style_name, epoch, models_path)
+        if step_checkpoint_every:
+            # Keep the step state ahead of the epoch checkpoint so a crash
+            # right after an epoch save resumes with the *current* optimizer
+            # moments instead of the epoch-skip path re-initializing them.
+            ckpt.save_step_state(
+                params, opt_state, epoch + 1, iteration,
+                MODEL_NAME, style_name, models_path,
+            )
+
+    writer.close()
     return params
 
 

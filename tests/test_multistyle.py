@@ -127,11 +127,24 @@ def test_multistyle_train_and_convert_cli(tmp_path, monkeypatch, vgg_params):
 
     styles = jax.random.normal(jax.random.PRNGKey(5), (2, SIZE, SIZE, 3)) * 0.5
     loader = coco_data.DataLoader(coco_data.SyntheticDataset(8, SIZE), batch_size=4)
+    test_loader = coco_data.DataLoader(
+        coco_data.SyntheticDataset(4, SIZE), batch_size=4
+    )
     ms_engine.train(
         styles, style_name="duo", epochs=1, batch_size=4,
-        vgg_params=vgg_params, train_loader=loader,
+        vgg_params=vgg_params, train_loader=loader, test_loader=test_loader,
+        runs_dir=str(tmp_path / "runs" / "multi_duo"),
         models_path=str(tmp_path / "data" / "models"), max_steps_per_epoch=2,
+        step_checkpoint_every=1,
     )
+
+    # House-standard training contract (same as static_train): TB events
+    # written, mid-epoch step state saved alongside the epoch checkpoint.
+    event_files = list((tmp_path / "runs" / "multi_duo").glob("events.out.tfevents.*"))
+    assert event_files and event_files[0].stat().st_size > 0
+    assert (
+        tmp_path / "data" / "models" / "fast_multi_st_duo_step_state.msgpack"
+    ).exists()
 
     rng = np.random.default_rng(0)
     PILImage.fromarray(
