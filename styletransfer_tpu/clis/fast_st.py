@@ -37,12 +37,23 @@ def fast_st():
               help="Also save mid-epoch resumable state every N steps")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="Activation precision (params/optimizer stay f32)")
+@click.option("--distributed", is_flag=True, default=False,
+              help="Initialize jax.distributed for a multi-host run "
+                   "(coordinator/rank from STX_COORDINATOR_ADDRESS / "
+                   "STX_NUM_PROCESSES / STX_PROCESS_ID; BATCH-SIZE is the "
+                   "GLOBAL batch)")
 def train(style_image_path, epochs, batch_size, content_weight, style_weight,
-          packed, step_checkpoint_every, precision):
+          packed, step_checkpoint_every, precision, distributed):
     """
     Perform the training for the fast style transfer network. A checkpoint
     will be created at the end of each epoch in the `data/models/` directory.
     """
+    if distributed:
+        # Must run before any JAX backend touch.
+        from styletransfer_tpu.parallel import distributed as dist
+
+        dist.initialize()
+
     import jax.numpy as jnp
 
     from styletransfer_tpu.engines import fast
@@ -91,8 +102,12 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
 @click.option("--step-checkpoint-every", default=None, type=int,
               help="Also save mid-epoch resumable state every N steps")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]))
+@click.option("--distributed", is_flag=True, default=False,
+              help="Initialize jax.distributed for a multi-host run "
+                   "(see `fast_st train --help`)")
 def train_multi(style_image_paths, name, epochs, batch_size, content_weight,
-                style_weight, packed, step_checkpoint_every, precision):
+                style_weight, packed, step_checkpoint_every, precision,
+                distributed):
     """
     Train ONE network on MULTIPLE styles (conditional instance norm).
 
@@ -100,6 +115,11 @@ def train_multi(style_image_paths, name, epochs, batch_size, content_weight,
     blend styles continuously (`convert-image-multi`). Checkpoints are saved
     as `fast_multi_st_{name}_epoch{e}.msgpack`.
     """
+    if distributed:
+        from styletransfer_tpu.parallel import distributed as dist
+
+        dist.initialize()
+
     import jax.numpy as jnp
     import numpy as np
 

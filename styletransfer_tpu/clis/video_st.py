@@ -39,9 +39,12 @@ def video_st():
               help="Activation precision (params/optimizer stay f32)")
 @click.option("--step-checkpoint-every", default=None, type=int,
               help="Also save mid-epoch resumable state every N frame updates")
+@click.option("--distributed", is_flag=True, default=False,
+              help="Initialize jax.distributed for a multi-host run "
+                   "(see `fast_st train --help`)")
 def train(style_image_path, epochs, batch_size, content_weight, style_weight,
           temporal_weight, use_pretrained_fast_st, precision,
-          step_checkpoint_every):
+          step_checkpoint_every, distributed):
     """
     Perform the training for the video style transfer network. A checkpoint
     will be created at the end of each epoch in the `data/models/` directory.
@@ -49,6 +52,12 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
     Optionally warm-starts from pretrained fast style transfer weights of the
     same style name (latest epoch).
     """
+    if distributed:
+        # Must run before any JAX backend touch.
+        from styletransfer_tpu.parallel import distributed as dist
+
+        dist.initialize()
+
     import jax.numpy as jnp
 
     from styletransfer_tpu.engines import video

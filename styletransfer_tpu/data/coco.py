@@ -246,7 +246,13 @@ def get_coco_loader(
         logger.info("Train set has %d entries", len(train_ds))
         logger.info("Test set has %d entries", len(test_ds))
 
-    test_loader = DataLoader(test_ds, batch_size, shuffle=True, drop_last=True, seed=seed)
+    # Both loaders are host-sharded: in a multi-host run every process
+    # decodes a disjoint slice and contributes its rows of the global batch
+    # (parallel/mesh.py assembles with make_array_from_process_local_data).
+    test_loader = DataLoader(
+        test_ds, batch_size, shuffle=True, drop_last=True, seed=seed,
+        shard_index=shard_index, shard_count=shard_count,
+    )
     train_loader = DataLoader(
         train_ds, batch_size, shuffle=True, drop_last=True, seed=seed + 1,
         shard_index=shard_index, shard_count=shard_count,

@@ -106,7 +106,12 @@ class VideoDataset:
         size: int = constants.IMSIZE,
         synthetic_fallback: bool = True,
         synthetic_count: int = 4,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """``shard_index``/``shard_count`` give each host of a multi-host
+        run a disjoint strided slice of the video corpus (same contract as
+        the COCO ``DataLoader`` sharding — data/coco.py)."""
         logger = get_logger()
         self.size = size
         self.synthetic = False
@@ -128,6 +133,8 @@ class VideoDataset:
 
         if data_limit:
             videos = videos[:data_limit]
+        if shard_count > 1:
+            videos = videos[shard_index::shard_count]
 
         if batch_size > len(videos):
             logger.warning(

@@ -36,6 +36,7 @@ from styletransfer_tpu import ckpt, constants
 from styletransfer_tpu.data import coco
 from styletransfer_tpu.models import transformer, vgg
 from styletransfer_tpu.ops import losses
+from styletransfer_tpu.parallel import distributed
 from styletransfer_tpu.parallel import mesh as mesh_lib
 from styletransfer_tpu.parallel import prefetch
 from styletransfer_tpu.utils import images as img_utils
@@ -225,11 +226,19 @@ def static_train(
     opt_state = mesh_lib.replicate(opt.init(params), mesh)
 
     if train_loader is None or test_loader is None:
+        # Multi-host: each process decodes a disjoint corpus shard and loads
+        # its slice of the global batch (parallel/distributed.py).
+        proc_idx, proc_cnt = distributed.process_info()
         test_loader, train_loader = coco.get_coco_loader(
-            batch_size=batch_size, test_split=0.10, test_limit=20, seed=seed
+            batch_size=distributed.local_batch_size(batch_size),
+            test_split=0.10, test_limit=20, seed=seed,
+            shard_index=proc_idx, shard_count=proc_cnt,
         )
 
-    logger.info("Training fast_st with Adam on a %d-device mesh", mesh.size)
+    logger.info(
+        "Training fast_st with Adam on a %d-device mesh (%d process(es))",
+        mesh.size, jax.process_count(),
+    )
 
     iteration = 0
     start_epoch = 0
@@ -277,7 +286,10 @@ def static_train(
             if iteration % eval_every == 0:
                 avg = static_test(params, test_loader, eval_step, mesh)
                 writer.add_scalar("data/fst_test_loss", avg, iteration)
-            if iteration % image_every == 0:
+            if iteration % image_every == 0 and jax.process_count() == 1:
+                # (Multi-host runs skip image previews: slicing the global
+                # batch would touch non-addressable shards. Scalars/eval use
+                # replicated values and work everywhere.)
                 # Packed-path batches are uint8; normalize before the net
                 # and for the side-by-side ground truth.
                 preview_in = img_utils.maybe_normalize_on_device(batch[:1])

@@ -204,8 +204,13 @@ def train(
     opt_state = mesh_lib.replicate(opt.init(params), mesh)
 
     if train_loader is None or test_loader is None:
+        from styletransfer_tpu.parallel import distributed
+
+        proc_idx, proc_cnt = distributed.process_info()
         made_test, made_train = coco.get_coco_loader(
-            batch_size=batch_size, test_split=0.10, test_limit=20, seed=seed
+            batch_size=distributed.local_batch_size(batch_size),
+            test_split=0.10, test_limit=20, seed=seed,
+            shard_index=proc_idx, shard_count=proc_cnt,
         )
         train_loader = train_loader or made_train
         test_loader = test_loader or made_test
@@ -277,7 +282,8 @@ def train(
                 avg = float(np.mean(evals)) if evals else float("nan")
                 logger.info("Average test loss: %.8f", avg)
                 writer.add_scalar("data/fst_test_loss", avg, iteration)
-            if iteration % image_every == 0:
+            if iteration % image_every == 0 and jax.process_count() == 1:
+                # (Multi-host runs skip image previews — see engines/fast.py.)
                 preview_in = img_utils.maybe_normalize_on_device(batch[:1])
                 preview = stylize(
                     params, preview_in,

@@ -265,7 +265,15 @@ def video_train(
     opt_state = mesh_lib.replicate(opt.init(params), mesh)
 
     if video_loader is None:
-        video_loader = video_data.VideoDataset(batch_size=batch_size)
+        # Multi-host: disjoint video shard per process, local slice of the
+        # global video batch (parallel/distributed.py).
+        from styletransfer_tpu.parallel import distributed
+
+        proc_idx, proc_cnt = distributed.process_info()
+        video_loader = video_data.VideoDataset(
+            batch_size=distributed.local_batch_size(batch_size),
+            shard_index=proc_idx, shard_count=proc_cnt,
+        )
 
     iteration = 0
     start_epoch = 0
@@ -345,6 +353,9 @@ def video_train(
                     for i in range(len(totals))
                     if (iteration + i) % 50 == 0
                 ]
+                if image_steps and jax.process_count() > 1:
+                    # Multi-host runs skip image previews — see engines/fast.py.
+                    image_steps = []
                 if image_steps:
                     # Preview image: stylize the carry frame pair. Reference
                     # indexes batch[2] assuming batch>=3 (network.py:1054);

@@ -1,0 +1,138 @@
+"""Multi-host (multi-process) distributed execution.
+
+The reference has no distributed code at all (SURVEY.md §2.2: no process
+groups, no collectives — one global torch device, constants.py:20). The
+TPU-native equivalent is ``jax.distributed.initialize`` + a global
+``jax.sharding.Mesh`` spanning every process's devices: each host decodes a
+disjoint shard of the corpus (``DataLoader(shard_index, shard_count)`` —
+data/coco.py), assembles its local slice of the global batch with
+``jax.make_array_from_process_local_data``, and the jitted train step is
+unchanged — XLA inserts the gradient all-reduce across ICI/DCN from the
+shardings exactly as it does single-host.
+
+Configuration is environment-driven (one process per host):
+
+- ``STX_COORDINATOR_ADDRESS`` — ``ip:port`` of process 0.
+- ``STX_NUM_PROCESSES`` — total process count.
+- ``STX_PROCESS_ID`` — this process's rank.
+
+(``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` are
+honored too, and on managed platforms — Cloud TPU pods, SLURM —
+``jax.distributed.initialize()`` auto-detects everything, so setting only
+``STX_DISTRIBUTED=1`` suffices there.)
+
+CLI surface: every trainer accepts ``--distributed``; the engines call
+:func:`process_info` when building their own loaders so host sharding is
+automatic once initialized.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+
+from styletransfer_tpu.utils.logging import get_logger
+
+_ENV_PREFIXES = ("STX", "JAX")
+
+_initialized = False
+
+
+def _env(name: str) -> Optional[str]:
+    for prefix in _ENV_PREFIXES:
+        value = os.environ.get(f"{prefix}_{name}")
+        if value:
+            return value
+    return None
+
+
+def is_configured() -> bool:
+    """True when the environment requests multi-process execution."""
+    return bool(
+        _env("COORDINATOR_ADDRESS")
+        or os.environ.get("STX_DISTRIBUTED")
+    )
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Initialize ``jax.distributed`` from args or the environment.
+
+    Idempotent: returns ``(process_index, process_count)`` without
+    reinitializing if the runtime is already up, and is a no-op returning
+    ``(0, 1)`` when nothing requests distribution — so trainers can call it
+    unconditionally.
+
+    Must run before the first JAX backend touch on each process (the same
+    contract as ``jax.distributed.initialize`` — for that reason this
+    function must NOT query the backend before deciding whether to
+    initialize).
+    """
+    global _initialized
+    logger = get_logger()
+
+    coordinator_address = coordinator_address or _env("COORDINATOR_ADDRESS")
+    if num_processes is None:
+        raw = _env("NUM_PROCESSES")
+        num_processes = int(raw) if raw else None
+    if process_id is None:
+        raw = _env("PROCESS_ID")
+        process_id = int(raw) if raw else None
+
+    if not (coordinator_address or os.environ.get("STX_DISTRIBUTED")):
+        return 0, 1  # single-process run; nothing to do
+    if _initialized:
+        return jax.process_index(), jax.process_count()
+
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as exc:
+        # Backend already up (e.g. the launcher initialized it, or a JAX
+        # computation ran first) — surface loudly but keep going with
+        # whatever runtime exists.
+        logger.warning("jax.distributed.initialize failed/skipped: %s", exc)
+    _initialized = True
+    logger.info(
+        "jax.distributed initialized: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
+    return jax.process_index(), jax.process_count()
+
+
+def process_info() -> Tuple[int, int]:
+    """(process_index, process_count) of the running JAX runtime.
+
+    Safe to call whether or not :func:`initialize` ran — single-process
+    returns (0, 1). Engines pass this straight into
+    ``DataLoader(shard_index=..., shard_count=...)`` so each host decodes a
+    disjoint corpus shard.
+    """
+    return jax.process_index(), jax.process_count()
+
+
+def local_batch_size(global_batch_size: int) -> int:
+    """This process's slice of a global batch.
+
+    The global batch must divide evenly across processes (static shapes —
+    the same constraint the mesh puts on devices).
+    """
+    count = jax.process_count()
+    if global_batch_size % count:
+        raise ValueError(
+            f"global batch size {global_batch_size} must be divisible by "
+            f"the process count {count}"
+        )
+    return global_batch_size // count

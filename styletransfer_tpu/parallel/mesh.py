@@ -64,24 +64,44 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Device-put a host batch, sharded across the mesh's data axis.
+def _put(tree: Any, sharding: NamedSharding):
+    """Place host data under ``sharding``, multi-process aware.
 
-    ``jax.device_put`` with a NamedSharding is asynchronous: the transfer
-    overlaps with whatever the device is currently executing, which is what
-    makes the prefetch pipeline effective.
+    Single-process: asynchronous ``jax.device_put`` (the transfer overlaps
+    whatever the device is executing — what makes prefetch effective).
+    Multi-process: each process holds only ITS shard of the global batch
+    (the loader's ``shard_index/shard_count`` split), so the global array is
+    assembled with ``jax.make_array_from_process_local_data``.
     """
-    sharding = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Place a batch sharded across the mesh's data axis.
+
+    Multi-process: ``batch`` is this process's local slice (global batch /
+    process count rows); the returned array is the global batch.
+    """
+    return _put(batch, batch_sharding(mesh, axis_name))
 
 
 def shard_frames(chunk: Any, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Device-put a [T, B, ...] frame-chunk sharded on the batch axis."""
-    sharding = frames_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), chunk)
+    """Place a [T, B, ...] frame-chunk sharded on the batch axis."""
+    return _put(chunk, frames_sharding(mesh, axis_name))
 
 
 def replicate(tree: Any, mesh: Mesh):
-    """Replicate a pytree (params/opt state) across the mesh."""
-    sharding = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-process: every process must hold the same host values (seeded
+    init / checkpoint load are deterministic, so they do); the full value is
+    each process's "local data" for the replicated global array.
+    """
+    return _put(tree, replicated_sharding(mesh))

@@ -187,7 +187,13 @@ def ref(tmp_path_factory):
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     # c_logging creates runs/runtime.log relative to CWD at import time;
-    # keep that out of the repo tree.
+    # keep that out of the repo tree. It also resets the shared
+    # "StyleTransfer" logger's handlers (c_logging.py:14-61) — snapshot ours
+    # and restore after import so other tests see the package's handlers.
+    import logging
+
+    app_logger = logging.getLogger("StyleTransfer")
+    saved_handlers = list(app_logger.handlers)
     cwd = os.getcwd()
     os.chdir(tmp_path_factory.mktemp("refimport"))
     try:
@@ -195,6 +201,8 @@ def ref(tmp_path_factory):
         import stransfer.network as ref_network
     finally:
         os.chdir(cwd)
+        if saved_handlers:
+            app_logger.handlers = saved_handlers
     ref_network.nn = _make_nn_shim()
     return types.SimpleNamespace(network=ref_network, img_utils=ref_img_utils)
 
