@@ -148,23 +148,43 @@ class DataLoader:
         self.num_threads = num_threads
         self.shard_index = shard_index
         self.shard_count = shard_count
-        self._rng = random.Random(seed)
+        self.seed = seed
         self._epoch = 0
+        self._skip_batches = 0
 
     def __len__(self) -> int:
         n = len(range(self.shard_index, len(self.dataset), self.shard_count))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _indices(self) -> List[int]:
+    def _indices(self, epoch: Optional[int] = None) -> List[int]:
         idx = list(range(len(self.dataset)))
         if self.shuffle:
-            self._rng.shuffle(idx)
+            # Per-epoch deterministic shuffle: the order for epoch e depends
+            # only on (seed, e), so a crash-resume can reconstruct exactly
+            # where an epoch left off (see set_position).
+            e = self._epoch if epoch is None else epoch
+            random.Random((self.seed << 32) ^ e).shuffle(idx)
         if self.shard_count > 1:
             idx = idx[self.shard_index :: self.shard_count]
         return idx
 
+    def set_position(self, epoch: int, batches_consumed: int) -> None:
+        """Resume mid-epoch: the NEXT ``__iter__`` yields epoch ``epoch``'s
+        order with its first ``batches_consumed`` batches skipped (without
+        decoding them). Step-level crash recovery uses this so resumed
+        training does not replay data (ckpt step states store the position).
+        """
+        self._epoch = epoch
+        self._skip_batches = batches_consumed
+
     def __iter__(self) -> Iterator[np.ndarray]:
         indices = self._indices()
+        if self._skip_batches:
+            # Skipping index slots, not decoded batches: bad-image
+            # substitution can shift batch contents slightly vs the original
+            # pass, but no successfully-trained batch is ever replayed.
+            indices = indices[self._skip_batches * self.batch_size :]
+            self._skip_batches = 0
         self._epoch += 1
         bs = self.batch_size
 

@@ -189,10 +189,11 @@ def static_train(
     Keeps the reference's epoch-checkpoint/resume contract: if the epoch's
     checkpoint file exists the epoch is skipped and its weights loaded
     (network.py:681-685). With ``step_checkpoint_every`` set, a mid-epoch
-    step state (params + optimizer + position) is additionally saved
-    atomically every N steps; on restart training resumes from the start of
-    the stored epoch with the stored params/optimizer (step-level crash
-    recovery — SURVEY.md §5). Returns the trained params.
+    step state (params + optimizer + epoch/batch position) is additionally
+    saved atomically every N steps; on restart training resumes from the
+    exact stored batch position — the loader's per-epoch deterministic
+    shuffle is fast-forwarded, so no already-trained batch is replayed
+    (step-level crash recovery — SURVEY.md §5). Returns the trained params.
     """
     logger = get_logger()
     mesh = mesh or mesh_lib.auto_mesh(batch_size)
@@ -242,16 +243,30 @@ def static_train(
 
     iteration = 0
     start_epoch = 0
+    resume_batches = 0
     if step_checkpoint_every:
         state = ckpt.load_step_state(
             jax.device_get(params), jax.device_get(opt_state),
             MODEL_NAME, style_name, models_path,
+            extra_keys=("batch_in_epoch",),
         )
         if state is not None:
             params = mesh_lib.replicate(state["params"], mesh)
             opt_state = mesh_lib.replicate(state["opt_state"], mesh)
             start_epoch = int(state["epoch"])
             iteration = int(state["iteration"])
+            resume_batches = int(state["extra"].get("batch_in_epoch", 0))
+            # Fast-forward the loader to where the crashed run stopped —
+            # resumed training must not replay already-trained batches.
+            if resume_batches and hasattr(train_loader, "set_position"):
+                train_loader.set_position(start_epoch, resume_batches)
+            elif resume_batches:
+                logger.warning(
+                    "Loader %s has no set_position; the resumed epoch "
+                    "replays its first %d batches.",
+                    type(train_loader).__name__, resume_batches,
+                )
+                resume_batches = 0
             if start_epoch >= epochs:
                 logger.warning(
                     "Step state is at epoch %d >= requested epochs %d — "
@@ -276,6 +291,8 @@ def static_train(
         logger.info("Starting epoch %d", epoch)
         t0 = time.time()
         n_in_epoch = 0
+        epoch_offset = resume_batches if epoch == start_epoch else 0
+        resume_batches = 0
         for batch in prefetch.prefetch_to_device(train_loader, mesh):
             params, opt_state, metrics = train_step(params, opt_state, batch)
 
@@ -309,6 +326,7 @@ def static_train(
                 ckpt.save_step_state(
                     params, opt_state, epoch, iteration,
                     MODEL_NAME, style_name, models_path,
+                    extra={"batch_in_epoch": epoch_offset + n_in_epoch},
                 )
             if max_steps_per_epoch and n_in_epoch >= max_steps_per_epoch:
                 break
@@ -327,6 +345,7 @@ def static_train(
             ckpt.save_step_state(
                 params, opt_state, epoch + 1, iteration,
                 MODEL_NAME, style_name, models_path,
+                extra={"batch_in_epoch": 0},
             )
 
     writer.close()

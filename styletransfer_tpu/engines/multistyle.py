@@ -223,16 +223,28 @@ def train(
     rng = np.random.default_rng(seed)
     iteration = 0
     start_epoch = 0
+    resume_batches = 0
     if step_checkpoint_every:
         state = ckpt.load_step_state(
             jax.device_get(params), jax.device_get(opt_state),
             MODEL_NAME, style_name, models_path,
+            extra_keys=("batch_in_epoch",),
         )
         if state is not None:
             params = mesh_lib.replicate(state["params"], mesh)
             opt_state = mesh_lib.replicate(state["opt_state"], mesh)
             start_epoch = int(state["epoch"])
             iteration = int(state["iteration"])
+            resume_batches = int(state["extra"].get("batch_in_epoch", 0))
+            if resume_batches and hasattr(train_loader, "set_position"):
+                train_loader.set_position(start_epoch, resume_batches)
+            elif resume_batches:
+                logger.warning(
+                    "Loader %s has no set_position; the resumed epoch "
+                    "replays its first %d batches.",
+                    type(train_loader).__name__, resume_batches,
+                )
+                resume_batches = 0
             if start_epoch >= epochs:
                 logger.warning(
                     "Step state is at epoch %d >= requested epochs %d — "
@@ -261,6 +273,8 @@ def train(
         logger.info("Starting multi-style epoch %d (%d styles)", epoch, n_styles)
         t0 = time.time()
         n_in_epoch = 0
+        epoch_offset = resume_batches if epoch == start_epoch else 0
+        resume_batches = 0
         for batch in prefetch.prefetch_to_device(train_loader, mesh):
             idx = mesh_lib.shard_batch(
                 rng.integers(0, n_styles, batch.shape[0]).astype(np.int32), mesh
@@ -303,6 +317,7 @@ def train(
                 ckpt.save_step_state(
                     params, opt_state, epoch, iteration,
                     MODEL_NAME, style_name, models_path,
+                    extra={"batch_in_epoch": epoch_offset + n_in_epoch},
                 )
             if max_steps_per_epoch and n_in_epoch >= max_steps_per_epoch:
                 break
@@ -321,6 +336,7 @@ def train(
             ckpt.save_step_state(
                 params, opt_state, epoch + 1, iteration,
                 MODEL_NAME, style_name, models_path,
+                extra={"batch_in_epoch": 0},
             )
 
     writer.close()

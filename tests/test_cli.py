@@ -27,6 +27,26 @@ def test_gatys_options_match_reference():
     assert defaults["optimizer"] == "lbfgs"
 
 
+def test_cli_docs_are_generated_and_fresh():
+    """docs/terminal_interface.md must be the output of scripts/gen_cli_docs.py
+    — the docs-can't-drift contract (the reference used sphinx-click,
+    /root/reference/docs/terminal_interface.rst:4-6)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_cli_docs", os.path.join(repo, "scripts", "gen_cli_docs.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open(os.path.join(repo, "docs", "terminal_interface.md")) as f:
+        on_disk = f.read()
+    assert on_disk == mod.render(), (
+        "docs/terminal_interface.md is stale — run: python scripts/gen_cli_docs.py"
+    )
+
+
 def test_gatys_engine_defaults_match_reference_method():
     """Engine defaults are the reference METHOD defaults (network.py:413,
     435): steps=550 and L-BFGS; the CLI layer passes steps=300 (reference

@@ -95,3 +95,67 @@ def test_video_train_step_checkpoint(tmp_path):
     assert state is not None
     assert int(state["epoch"]) == 1  # post-epoch save puts resume at epoch+1
     assert int(state["extra"]["has_external_weights"]) == 0
+
+
+class _CountingDataset(coco_data.SyntheticDataset):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.loads = 0
+
+    def load(self, idx):
+        self.loads += 1
+        return super().load(idx)
+
+
+def test_loader_set_position_skips_consumed_batches():
+    ds = coco_data.SyntheticDataset(8, SIZE)
+    loader = coco_data.DataLoader(ds, batch_size=2, shuffle=True, seed=5)
+    epoch0 = list(loader)
+    assert len(epoch0) == 4
+
+    resumed = coco_data.DataLoader(ds, batch_size=2, shuffle=True, seed=5)
+    resumed.set_position(0, 2)
+    tail = list(resumed)
+    assert len(tail) == 2
+    np.testing.assert_allclose(tail[0], epoch0[2])
+    np.testing.assert_allclose(tail[1], epoch0[3])
+    # Next epoch after a resumed one is epoch 1's full order.
+    epoch1_direct = list(coco_data.DataLoader(ds, batch_size=2, shuffle=True, seed=5))
+    # (iterate original loader again to get ITS epoch 1)
+    epoch1 = list(loader)
+    nxt = list(resumed)
+    assert len(nxt) == 4
+    for a, b in zip(nxt, epoch1):
+        np.testing.assert_allclose(a, b)
+    del epoch1_direct
+
+
+def test_static_train_resume_does_not_replay_batches(tmp_path):
+    """Crash-resume continues at the exact stored batch: with a step state
+    at (epoch 0, 2 of 4 batches consumed), the resumed run decodes only the
+    remaining 2 batches (VERDICT: loader position persisted in step state)."""
+    vgg_params = vgg.init_params(jax.random.PRNGKey(0))
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+    mp = str(tmp_path / "models")
+
+    # Simulate the crashed run's stored state: params/opt as static_train
+    # would have them (seed 0), position = epoch 0 / batch 2 / iteration 2.
+    params0 = transformer.init_params(jax.random.PRNGKey(0))
+    opt_state0 = fast.make_optimizer().init(params0)
+    ckpt.save_step_state(
+        params0, opt_state0, 0, 2, "fast_st", "nr", mp,
+        extra={"batch_in_epoch": 2},
+    )
+
+    train_ds = _CountingDataset(8, SIZE)
+    test_ds = _CountingDataset(8, SIZE)
+    fast.static_train(
+        style, style_name="nr", epochs=1, batch_size=2,
+        vgg_params=vgg_params, models_path=mp,
+        runs_dir=str(tmp_path / "runs"),
+        train_loader=coco_data.DataLoader(train_ds, 2, shuffle=True, seed=0),
+        test_loader=coco_data.DataLoader(test_ds, 2, shuffle=True, seed=0),
+        step_checkpoint_every=10,
+    )
+    # 4 batches/epoch, 2 already consumed -> exactly 2 batches (4 images).
+    assert train_ds.loads == 4, train_ds.loads
