@@ -59,12 +59,13 @@ def main():
         rng.standard_normal((16, 4, 256, 256, 3)), dtype=jnp.float32
     )
     old = frames[0]
-    vp, vs, oc, os_, m = vstep(vp, vs, frames, old, old, mask)
+    valid = jnp.ones(frames.shape[0], dtype=bool)
+    vp, vs, oc, os_, m = vstep(vp, vs, frames, valid, old, old, mask)
     float(m["total"][-1])
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        vp, vs, oc, os_, m = vstep(vp, vs, frames, oc, os_, mask)
+        vp, vs, oc, os_, m = vstep(vp, vs, frames, valid, oc, os_, mask)
     float(m["total"][-1])
     dt = time.perf_counter() - t0
     fps = n * frames.shape[0] * frames.shape[1] / dt

@@ -97,9 +97,22 @@ def apply(
 
     With ``compute_dtype=jnp.bfloat16`` activations stay bfloat16 between
     ops (instance-norm statistics are always float32); the output is cast
-    back to the input dtype. ``use_pallas=True`` opts into the fused Pallas
-    instance-norm kernels (default off — XLA's own fusion currently
-    measures faster; see ops/pallas/instance_norm.py).
+    back to the input dtype.
+
+    The default path is the **pad-early** formulation: each instance norm
+    writes its output already reflection-padded for the next conv (stats
+    come from the unpadded tensor, and normalization commutes exactly with
+    reflection padding), and IN statistics use the shifted one-pass
+    estimator (layers.instance_norm_stats). Measured on TPU v5e at
+    256px/b128 this cuts HBM traffic 179->109 MB/img and lifts throughput
+    2102->2612 img/s bf16 (1690->1756 f32) vs the naive stacked form —
+    see docs/performance.md. Outputs agree with the stacked form to ~1e-6
+    in exact arithmetic (any difference beyond that on TPU is bf16-ulp
+    noise from the MXU's default conv precision).
+
+    ``use_pallas=True`` selects the stacked form with the fused Pallas
+    instance-norm kernels (kept as the measured-but-slower native tier —
+    ops/pallas/instance_norm.py).
 
     ``pad_mode``: ``"reflect"`` (default) is the reference author's written
     intent (``padding_mode='reflection'``, network.py:530 et al.) and the
@@ -109,10 +122,19 @@ def apply(
     for the unrecognized ``'reflection'`` string — so checkpoints trained by
     the original code used zero padding. Use ``pad_mode="zeros"`` when
     running imported reference ``.pth`` weights for bit-faithful outputs.
+    (Zero padding is native to the conv, so the zeros path has no pads to
+    fuse and uses the stacked form.)
     """
     if pad_mode not in ("reflect", "zeros"):
         raise ValueError(f"pad_mode must be 'reflect' or 'zeros', got {pad_mode!r}")
-    reflect = pad_mode == "reflect"
+    if pad_mode == "zeros" or use_pallas:
+        return _apply_stacked(params, x, compute_dtype, use_pallas,
+                              reflect=pad_mode == "reflect")
+    return _apply_padearly(params, x, compute_dtype)
+
+
+def _apply_stacked(params, x, compute_dtype=None, use_pallas=None, reflect=True):
+    """The naive conv->IN->pad layer stack (zeros / Pallas paths)."""
     in_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -129,6 +151,75 @@ def apply(
         x, params["conv_out"]["kernel"], params["conv_out"]["bias"], 1,
         reflect=reflect, compute_dtype=compute_dtype,
     )
+    return out.astype(in_dtype)
+
+
+def _conv_valid(x, p, stride, compute_dtype):
+    return layers.conv2d(x, p["kernel"], p["bias"], stride,
+                         compute_dtype=compute_dtype, valid=True)
+
+
+def _in_pad(h, p, pad, relu=True, residual=None):
+    """IN(+residual)(+ReLU), output written PRE-PADDED for the next conv."""
+    s = h if residual is None else h + residual.astype(h.dtype)
+    mean, inv = layers.instance_norm_stats(s)
+    if pad:
+        s = layers.reflect_pad(s, pad)
+    return layers.instance_norm_affine(s, mean, inv, p["scale"], p["bias"], relu)
+
+
+def _apply_padearly(params, x, compute_dtype=None):
+    """Pad-early formulation (see ``apply`` docstring).
+
+    Every IN whose consumer is a conv emits a pre-padded output; the convs
+    run VALID. INs feeding an upsample (res5.in2, up1_in) stay unpadded —
+    padding before upsample would not be the next conv's padding.
+    """
+    in_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    cd = compute_dtype
+
+    x = layers.reflect_pad(x, 4)
+    h = _conv_valid(x, params["conv1"], 1, cd)
+    y = _in_pad(h, params["in1"], pad=1)                       # [B,H+2,W+2,32]
+    h = _conv_valid(y, params["conv2"], 2, cd)
+    y = _in_pad(h, params["in2"], pad=1)
+    h = _conv_valid(y, params["conv3"], 2, cd)
+    y = _in_pad(h, params["in3"], pad=1)
+
+    for i in range(NUM_RESIDUAL_BLOCKS):
+        r = params[f"res{i + 1}"]
+        h1 = _conv_valid(y, r["conv1"], 1, cd)
+        y1 = _in_pad(h1, r["in1"], pad=1)
+        h2 = _conv_valid(y1, r["conv2"], 1, cd)
+        res = y[:, 1:-1, 1:-1, :]  # the block's unpadded input
+        last = i == NUM_RESIDUAL_BLOCKS - 1
+        y = _in_pad(h2, r["in2"], pad=0 if last else 1, relu=False, residual=res)
+
+    u = layers.upsample_nearest(y, 2)
+    u = layers.reflect_pad(u, 1)
+    h = _conv_valid(u, params["up1_conv"], 1, cd)
+    y = _in_pad(h, params["up1_in"], pad=0)                    # feeds upsample
+    u = layers.upsample_nearest(y, 2)
+    u = layers.reflect_pad(u, 1)
+    h = _conv_valid(u, params["up2_conv"], 1, cd)
+    y = _in_pad(h, params["up2_in"], pad=4)                    # conv_out is 9x9
+    # Final 9x9 32->3 conv: 3 output channels use ~2% of the MXU's output
+    # tile, so run it in 4x4 space-to-depth phase form (3x3, 512->48 —
+    # dense MXU shapes; measured 9.1 -> 4.3 ms at b128 bf16). Requires the
+    # padded spatial dims divisible by 4 (any input H,W % 4 == 0).
+    if y.shape[1] % 4 == 0 and y.shape[2] % 4 == 0:
+        kp = layers.phase_conv_kernel(params["conv_out"]["kernel"], 4)
+        ys = layers.space_to_depth(y, 4)
+        out = layers.conv2d(
+            ys, kp, None, 1, compute_dtype=cd, valid=True
+        )
+        out = layers.depth_to_space(out, 4) + params["conv_out"]["bias"].astype(
+            out.dtype
+        )
+    else:
+        out = _conv_valid(y, params["conv_out"], 1, cd)
     return out.astype(in_dtype)
 
 

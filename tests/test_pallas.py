@@ -78,3 +78,39 @@ def test_fused_entrypoint_cpu_falls_back(data):
     out = pin.fused_instance_norm(x, scale, bias, relu=True)
     ref = pin._xla_reference(x, scale, bias, relu=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_fused_in_padded_matches_pad_of_reference(rng):
+    """The pad-writing kernel == reflect-pad of the XLA reference, across
+    pad widths, relu, and (padded-)residual variants."""
+    import jax.numpy as jnp
+
+    for (b, h, w, c), pad, relu, respad in [
+        ((2, 16, 16, 32), 1, True, None),
+        ((2, 16, 16, 32), 4, True, None),
+        ((2, 16, 16, 128), 1, False, 1),
+        ((2, 16, 16, 64), 0, False, 0),
+    ]:
+        x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        s = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        bb = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        residual = None
+        if respad is not None:
+            residual = jnp.asarray(
+                rng.standard_normal((b, h + 2 * respad, w + 2 * respad, c)),
+                jnp.float32,
+            )
+        got = pin.fused_instance_norm_padded(
+            x, s, bb, residual=residual, relu=relu, pad=pad,
+            res_is_padded=respad or 0, interpret=True,
+        )
+        res_inner = None
+        if residual is not None:
+            res_inner = (residual[:, respad:-respad, respad:-respad, :]
+                         if respad else residual)
+        want = pin._xla_reference(x, s, bb, res_inner, relu, 1e-5)
+        if pad:
+            want = jnp.pad(want, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                           mode="reflect")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
