@@ -228,7 +228,11 @@ def pack_dataset(image_dir, out_path, size, limit):
               help="Working resolution (default 256; the net is fully convolutional)")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="Activation precision")
-def convert_image(image_path, style_name, out_dir, size, precision):
+@click.option("--pad-mode", default="reflect", type=click.Choice(["reflect", "zeros"]),
+              help="Conv padding. Use 'zeros' for checkpoints trained by the "
+                   "ORIGINAL reference code (its pinned torch 1.1.0 silently "
+                   "used zero padding despite the 'reflection' string)")
+def convert_image(image_path, style_name, out_dir, size, precision, pad_mode):
     """
     Converts the image at `image-path` using the network pretrained with
     `style-name` and saves the resulting transformed image in `out-dir`.
@@ -241,5 +245,5 @@ def convert_image(image_path, style_name, out_dir, size, precision):
 
     fast.process_image(
         image_path=image_path, style_name=style_name, out_dir=out_dir,
-        size=size, precision=precision,
+        size=size, precision=precision, pad_mode=pad_mode,
     )

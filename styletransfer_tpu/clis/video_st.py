@@ -92,7 +92,11 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
               help="The FPS that will be used when saving the transformed video")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="Activation precision")
-def convert_video(video_path, style_name, out_dir, fps, precision):
+@click.option("--pad-mode", default="reflect", type=click.Choice(["reflect", "zeros"]),
+              help="Conv padding. Use 'zeros' for checkpoints trained by the "
+                   "ORIGINAL reference code (its pinned torch 1.1.0 silently "
+                   "used zero padding despite the 'reflection' string)")
+def convert_video(video_path, style_name, out_dir, fps, precision, pad_mode):
     """
     Converts the video at `video-path` using the network pretrained with
     `style-name` and saves the resulting transformed video in `out-dir`.
@@ -104,5 +108,5 @@ def convert_video(video_path, style_name, out_dir, fps, precision):
 
     video.process_video(
         video_path=video_path, style_name=style_name, out_dir=out_dir,
-        fps=fps, precision=precision,
+        fps=fps, precision=precision, pad_mode=pad_mode,
     )

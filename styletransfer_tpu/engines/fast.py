@@ -360,11 +360,15 @@ def process_image(
     models_path: Optional[str] = None,
     size: Optional[int] = None,
     precision: str = "f32",
+    pad_mode: str = "reflect",
 ) -> str:
     """Stylize one image with the latest trained weights (network.py:798-832).
 
     ``size`` overrides the working resolution (the net is fully
     convolutional; the reference always resizes to 256, we allow e.g. 512).
+    ``pad_mode="zeros"`` reproduces checkpoints trained by the original
+    reference code bit-faithfully (its pinned torch 1.1.0 silently used
+    zero padding — see models/transformer.py).
     Returns the output path (``converted_fast_st_{style}.png``).
     """
     if params is None:
@@ -381,6 +385,7 @@ def process_image(
         functools.partial(
             transformer.apply,
             compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
+            pad_mode=pad_mode,
         )
     )(params, jnp.asarray(input_image))
 

@@ -402,21 +402,24 @@ def video_train(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def _stylize_chunk(params, frames, old_stylized, compute_dtype=None):
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "pad_mode"))
+def _stylize_chunk(params, frames, old_stylized, compute_dtype=None,
+                   pad_mode="reflect"):
     """Scan-stylize a [T,B,H,W,3] chunk; carry is the previous stylized frame
     (recurrent feedback, network.py:1117-1131)."""
 
     def body(old, frame):
         net_input = jnp.concatenate([frame, old], axis=-1)
-        out = transformer.apply(params, net_input, compute_dtype=compute_dtype)
+        out = transformer.apply(params, net_input, compute_dtype=compute_dtype,
+                                pad_mode=pad_mode)
         return out, out
 
     _, outs = jax.lax.scan(body, old_stylized, frames)
     return outs
 
 
-def stylize_clip(params, frames: np.ndarray, precision: str = "f32") -> np.ndarray:
+def stylize_clip(params, frames: np.ndarray, precision: str = "f32",
+                 pad_mode: str = "reflect") -> np.ndarray:
     """Stylize a whole clip [T,H,W,3] (or [T,B,H,W,3]) in one scanned jit.
 
     The first frame pairs with itself (network.py:1120-1121).
@@ -426,7 +429,8 @@ def stylize_clip(params, frames: np.ndarray, precision: str = "f32") -> np.ndarr
         frames = frames[:, None]
     frames = jnp.asarray(frames)
     dt = jnp.bfloat16 if precision == "bf16" else None
-    outs = _stylize_chunk(params, frames, frames[0], compute_dtype=dt)
+    outs = _stylize_chunk(params, frames, frames[0], compute_dtype=dt,
+                          pad_mode=pad_mode)
     outs = np.asarray(outs)
     return outs[:, 0] if squeeze else outs
 
@@ -443,6 +447,7 @@ def process_video(
     save_frames: bool = False,
     max_frames: int = video_data.MAX_FRAMES_DEFAULT,
     precision: str = "f32",
+    pad_mode: str = "reflect",
 ) -> str:
     """Stylize a single video (network.py:1071-1158).
 
@@ -507,6 +512,7 @@ def process_video(
         outs = _stylize_chunk(
             params, frames, old_stylized,
             compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
+            pad_mode=pad_mode,
         )
         old_stylized = outs[-1]
         for t in range(outs.shape[0]):

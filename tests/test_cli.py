@@ -107,6 +107,31 @@ def test_gatys_end_to_end_tiny(tmp_path, monkeypatch):
     assert (tmp_path / "results" / "out.png").is_file()
 
 
+def test_gatys_batched_directory_cli(tmp_path, monkeypatch):
+    """CONTENT-IMAGE-PATH as a directory: one batched optimization, one
+    output per input image with the stem appended."""
+    from styletransfer_tpu import constants
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    rng = np.random.default_rng(0)
+    (tmp_path / "contents").mkdir()
+    for name in ("a.png", "b.png"):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / "contents" / name)
+    Image.fromarray(
+        rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    ).save(tmp_path / "style.png")
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli, ["gatys_st", "contents", "style.png", "-s", "2", "-n", "out.png",
+              "--optimizer", "adam"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    names = sorted(p.name for p in (tmp_path / "results").iterdir())
+    assert names == ["out_a.png", "out_b.png"]
+
+
 def test_pack_dataset_cli(tmp_path, monkeypatch, rng):
     from styletransfer_tpu import constants
     from styletransfer_tpu.data.packed import PackedDataset

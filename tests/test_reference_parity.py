@@ -344,6 +344,43 @@ def test_reference_pth_checkpoint_loads_and_matches(ref, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_process_image_zeros_pad_matches_reference_checkpoint(ref, tmp_path):
+    """End-to-end CLI-level contract for reference users: a .pth trained by
+    the original code + `--pad-mode zeros` reproduces the reference net's
+    own output (its torch 1.1.0 ran zero-padded convs)."""
+    import numpy as np
+
+    from styletransfer_tpu import constants
+    from styletransfer_tpu.engines import fast
+    from styletransfer_tpu.utils import images
+
+    _PAD_TRANSLATION["mode"] = "zeros"
+    tnet = ref.network.ImageTransformNet(torch.rand(1, 3, 8, 8), batch_size=1)
+    tnet.eval()
+    models_path = tmp_path / "models"
+    models_path.mkdir()
+    torch.save(tnet.state_dict(), models_path / "fast_st_wave_epoch1.pth")
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "in.png")
+
+    out_file = fast.process_image(
+        str(tmp_path / "in.png"), "wave", out_dir=str(tmp_path / "results"),
+        models_path=str(models_path), size=64, pad_mode="zeros",
+    )
+    got = np.asarray(Image.open(out_file))
+
+    inp = images.load_image(str(tmp_path / "in.png"), size=64)
+    with torch.no_grad():
+        ref_out = _nhwc(tnet(_nchw(inp.astype(np.float32))))
+    want = images.to_uint8(ref_out[0])
+    # Identical math up to the uint8 rounding boundary.
+    assert np.mean(np.abs(got.astype(int) - want.astype(int))) < 0.02
+    assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 1
+    del constants  # imported for parity with CLI path; not otherwise used
+
+
 def test_gram_matrix_matches_reference(ref):
     import jax.numpy as jnp
 
