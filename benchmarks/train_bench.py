@@ -5,6 +5,7 @@ with forced-completion timing (scalar readback per timed region — see
 docs/performance.md). Prints one JSON dict.
 
 Usage: ``python benchmarks/train_bench.py [batch ...]`` (default: 4 64).
+Set ``BENCH_PRECISION=bf16`` for mixed-precision steps.
 """
 
 from __future__ import annotations
@@ -31,8 +32,10 @@ def main():
     style = jnp.asarray(rng.standard_normal((1, 256, 256, 3)), dtype=jnp.float32)
     grams = vgg.style_gram_targets(vgg_params, style)
 
-    out = {}
-    opt, step = fast.make_train_step(vgg_params, grams)
+    precision = os.environ.get("BENCH_PRECISION", "f32")
+    cd = jnp.bfloat16 if precision == "bf16" else None
+    out = {"precision": precision}
+    opt, step = fast.make_train_step(vgg_params, grams, compute_dtype=cd)
     for bs in batches:
         # Fresh (non-donated) params per config — the step donates its inputs.
         p = transformer.init_params(jax.random.PRNGKey(1))
@@ -51,7 +54,7 @@ def main():
               file=sys.stderr, flush=True)
 
     # Video: scanned chunk of 16 frames, batch 4.
-    vopt, vstep = video.make_scan_train_step(vgg_params, grams)
+    vopt, vstep = video.make_scan_train_step(vgg_params, grams, compute_dtype=cd)
     vp = transformer.init_video_params(jax.random.PRNGKey(2))
     vs = vopt.init(vp)
     mask = video.freeze_mask(vp, False)
