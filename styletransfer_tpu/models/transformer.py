@@ -159,13 +159,58 @@ def _conv_valid(x, p, stride, compute_dtype):
                          compute_dtype=compute_dtype, valid=True)
 
 
-def _in_pad(h, p, pad, relu=True, residual=None):
-    """IN(+residual)(+ReLU), output written PRE-PADDED for the next conv."""
+def _in_pad(h, p, pad, relu=True, residual=None, mode="reflect"):
+    """IN(+residual)(+ReLU), output written PRE-PADDED for the next conv.
+
+    ``mode="edge"`` pre-pads for a phase-form upsample+conv consumer
+    (reflection on the upsampled grid is edge padding on the small grid —
+    see layers.upsample_phase_kernel).
+    """
     s = h if residual is None else h + residual.astype(h.dtype)
     mean, inv = layers.instance_norm_stats(s)
     if pad:
-        s = layers.reflect_pad(s, pad)
+        s = layers.edge_pad(s, pad) if mode == "edge" else layers.reflect_pad(s, pad)
     return layers.instance_norm_affine(s, mean, inv, p["scale"], p["bias"], relu)
+
+
+def _conv_phase_up(y_padded, p, cd):
+    """Phase-form ``upsample x2 -> reflect-pad 1 -> conv3x3``: one VALID conv
+    on the small grid (input pre-EDGE-padded by 1), output [B, h, w, 4*Cout]
+    with channel order (py, px, o). See layers.upsample_phase_kernel."""
+    kp = layers.upsample_phase_kernel(p["kernel"])
+    return layers.conv2d(y_padded, kp, jnp.tile(p["bias"], 4), 1,
+                         compute_dtype=cd, valid=True)
+
+
+def _in_phase_affine(h, p, relu=True):
+    """IN(+ReLU) of a phase-form tensor [B, h, w, 4C] (channel order
+    (py, px, o)), returned still in phase form.
+
+    Stats pool over space and phases — exactly the stats of the
+    depth_to_space-reassembled tensor."""
+    mean, inv = layers.instance_norm_stats_phased(h)  # [B, C] each
+    scale, bias = p["scale"], p["bias"]
+    if scale.ndim == 2:  # conditional [B, C] affines (multi-style)
+        scale = jnp.tile(scale, (1, 4))[:, None, None, :]
+        bias = jnp.tile(bias, (1, 4))[:, None, None, :]
+    else:
+        scale = jnp.tile(scale, 4)
+        bias = jnp.tile(bias, 4)
+    mean = jnp.tile(mean, (1, 4))[:, None, None, :]
+    inv = jnp.tile(inv, (1, 4))[:, None, None, :]
+    out = (h.astype(jnp.float32) - mean) * inv * scale + bias
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.astype(h.dtype)
+
+
+def _in_phase_pad(h, p, pad, mode="reflect", relu=True):
+    """IN(+ReLU) of a phase-form tensor, reassembled to pixel space
+    ([B, 2h, 2w, C]) and pre-padded for the next conv."""
+    out = layers.depth_to_space(_in_phase_affine(h, p, relu), 2)
+    if pad:
+        out = layers.edge_pad(out, pad) if mode == "edge" else layers.reflect_pad(out, pad)
+    return out
 
 
 def _apply_padearly(params, x, compute_dtype=None):
@@ -195,31 +240,33 @@ def _apply_padearly(params, x, compute_dtype=None):
         h2 = _conv_valid(y1, r["conv2"], 1, cd)
         res = y[:, 1:-1, 1:-1, :]  # the block's unpadded input
         last = i == NUM_RESIDUAL_BLOCKS - 1
-        y = _in_pad(h2, r["in2"], pad=0 if last else 1, relu=False, residual=res)
+        # The last block feeds a phase-form upsample conv, which wants its
+        # input EDGE-padded by 1 on the small grid (see _conv_phase_up).
+        y = _in_pad(h2, r["in2"], pad=1, relu=False, residual=res,
+                    mode="edge" if last else "reflect")
 
-    u = layers.upsample_nearest(y, 2)
-    u = layers.reflect_pad(u, 1)
-    h = _conv_valid(u, params["up1_conv"], 1, cd)
-    y = _in_pad(h, params["up1_in"], pad=0)                    # feeds upsample
-    u = layers.upsample_nearest(y, 2)
-    u = layers.reflect_pad(u, 1)
-    h = _conv_valid(u, params["up2_conv"], 1, cd)
-    y = _in_pad(h, params["up2_in"], pad=4)                    # conv_out is 9x9
+    # Decoder in 2x2 phase form: each nearest-upsample+conv runs as one
+    # dense small-grid conv — no upsampled broadcast is ever materialized,
+    # and the MXU sees contraction 9*Cin / output 4*Cout instead of the
+    # channel-starved upsampled conv (measured: the decoder was ~half the
+    # whole forward before this; see docs/performance.md).
+    h = _conv_phase_up(y, params["up1_conv"], cd)               # [B,h,w,4*64]
+    y = _in_phase_pad(h, params["up1_in"], pad=1, mode="edge")  # [B,2h+2,2w+2,64]
+    h = _conv_phase_up(y, params["up2_conv"], cd)               # [B,2h,2w,4*32]
+    y = _in_phase_pad(h, params["up2_in"], pad=4)               # conv_out is 9x9
     # Final 9x9 32->3 conv: 3 output channels use ~2% of the MXU's output
     # tile, so run it in 4x4 space-to-depth phase form (3x3, 512->48 —
-    # dense MXU shapes; measured 9.1 -> 4.3 ms at b128 bf16). Requires the
-    # padded spatial dims divisible by 4 (any input H,W % 4 == 0).
-    if y.shape[1] % 4 == 0 and y.shape[2] % 4 == 0:
-        kp = layers.phase_conv_kernel(params["conv_out"]["kernel"], 4)
-        ys = layers.space_to_depth(y, 4)
-        out = layers.conv2d(
-            ys, kp, None, 1, compute_dtype=cd, valid=True
-        )
-        out = layers.depth_to_space(out, 4) + params["conv_out"]["bias"].astype(
-            out.dtype
-        )
-    else:
-        out = _conv_valid(y, params["conv_out"], 1, cd)
+    # dense MXU shapes). The padded pixel dims 4h+8 are always divisible
+    # by 4. (An all-phase-space hand-off from up2 — per-phase reflection
+    # pad + one composite phase->s2d4 transpose, never materializing the
+    # pixel tensor — was built and measured slightly SLOWER end to end in
+    # both dtypes; see docs/performance.md. The pixel-space form stays.)
+    kp = layers.phase_conv_kernel(params["conv_out"]["kernel"], 4)
+    ys = layers.space_to_depth(y, 4)
+    out = layers.conv2d(ys, kp, None, 1, compute_dtype=cd, valid=True)
+    out = layers.depth_to_space(out, 4) + params["conv_out"]["bias"].astype(
+        out.dtype
+    )
     return out.astype(in_dtype)
 
 

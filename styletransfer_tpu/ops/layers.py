@@ -37,6 +37,19 @@ def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
+def edge_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Edge (replicate) padding of spatial dims.
+
+    This is the small-grid equivalent of reflection padding applied *after*
+    a 2x nearest upsample: with u = upsample2(s), the reflected border
+    u'[-1] = u[1] = s[0] — the edge pixel of s, not its reflection. Used by
+    the phase-form upsample+conv path (:func:`upsample_phase_kernel`).
+    """
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+
 def conv2d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -236,6 +249,80 @@ def phase_conv_kernel(kernel: jnp.ndarray, block: int = 4) -> jnp.ndarray:
     g = kpad[dy, dx]  # [ks, ks, b, b, b, b, C, O]
     bb = block * block
     return g.transpose(0, 1, 2, 3, 6, 4, 5, 7).reshape(ks, ks, bb * c, bb * o)
+
+
+# Tap-membership matrix for the 2x-upsample phase decomposition:
+# _UP_COMBOS[p][t][d] == 1 iff original kernel tap d contributes to phase p's
+# 2-tap kernel position t. Derivation: with u = upsample2(s),
+#   out[2Y+0] = K0*s[Y-1] + (K1+K2)*s[Y]      (taps u[2Y-1], u[2Y], u[2Y+1])
+#   out[2Y+1] = (K0+K1)*s[Y] + K2*s[Y+1]      (taps u[2Y], u[2Y+1], u[2Y+2])
+_UP_COMBOS = np.array(
+    [[[1, 0, 0], [0, 1, 1]], [[1, 1, 0], [0, 0, 1]]], np.float32
+)  # [phase, t, d]
+
+
+def upsample_phase_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a [3, 3, C, O] conv kernel so that a single VALID conv on the
+    SMALL grid computes ``nearest-upsample x2 -> reflect-pad 1 -> conv3x3``
+    in 2x2 space-to-depth phase form.
+
+    ``conv(edge_pad(s, 1), upsample_phase_kernel(K), VALID)`` equals
+    ``space_to_depth(conv3x3(reflect_pad(upsample2(s), 1), K), 2)`` exactly
+    (channel order (py, px, o)) — the regrouped sums are identical in exact
+    arithmetic.
+
+    Why: the reference's decoder (network.py:576-601) upsamples then
+    convolves; on TPU that materializes a 4x-sized broadcast and runs the
+    conv at 4x the spatial positions with 9 taps over duplicated pixels. In
+    phase form the conv runs on the small grid with a dense contraction
+    (9*C) and 4*O output channels — dense MXU shapes, no broadcast. Note
+    the boundary: reflection padding applied to the *upsampled* grid reads
+    the edge pixel of the small grid (u[-1] = u[1] = s[0]), i.e. EDGE
+    padding of ``s`` (:func:`edge_pad`), not reflection.
+
+    Each phase's true support is 2x2; it is placed at offset (py, px)
+    inside the 3x3 kernel (zeros elsewhere) so all four phases share one
+    conv. That spends the same MACs as the naive upsampled conv (9 taps x
+    1/4 positions x 4 phases, the zero taps are not skipped) but at much
+    higher MXU utilization; four separate 2x2 convs (one per phase) would
+    spend 4/9 the MACs but quadruple the input reads and halve the output
+    lane fill.
+    """
+    k, k2, c, o = kernel.shape
+    assert k == 3 and k2 == 3, "upsample_phase_kernel is for 3x3 kernels"
+    m = jnp.asarray(_UP_COMBOS, kernel.dtype)
+    # kp[py, px, ty, tx, c, o] = sum_{dy,dx} M[py,ty,dy] M[px,tx,dx] K[dy,dx,c,o]
+    kp = jnp.einsum("ptd,qse,deco->pqtsco", m, m, kernel)
+    blocks = []
+    for py in range(2):
+        row = []
+        for px in range(2):
+            row.append(
+                jnp.pad(kp[py, px], ((py, 1 - py), (px, 1 - px), (0, 0), (0, 0)))
+            )
+        blocks.append(jnp.stack(row, axis=3))  # [3,3,C,2(px),O]
+    k3 = jnp.stack(blocks, axis=3)  # [3,3,C,2(py),2(px),O]
+    return k3.reshape(3, 3, c, 4 * o)
+
+
+def instance_norm_stats_phased(
+    x: jnp.ndarray, phases: int = 4, eps: float = 1e-5
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Instance-norm stats of a phase-form tensor [B, h, w, phases*C]
+    (channel order (phase, c)): per-(sample, c) ``(mean, rsqrt(var+eps))``
+    pooled over space AND phases — exactly the stats of the
+    depth_to_space-reassembled tensor. Returns [B, C] arrays (one-pass
+    estimator; see :func:`instance_norm_stats` for the numerics contract).
+    """
+    x32 = x.astype(jnp.float32)
+    b, h, w, c4 = x.shape
+    c = c4 // phases
+    n = h * w * phases
+    s = jnp.sum(x32, axis=(1, 2)).reshape(b, phases, c).sum(axis=1)
+    sq = jnp.sum(x32 * x32, axis=(1, 2)).reshape(b, phases, c).sum(axis=1)
+    mean = s / n
+    var = jnp.maximum(sq / n - mean * mean, 0.0)
+    return mean, jax.lax.rsqrt(var + eps)
 
 
 def max_pool(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:

@@ -185,6 +185,61 @@ def test_transformer_matches_torch_reference(rng):
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
 
 
+def test_padearly_phase_decoder_matches_stacked(rng):
+    """The default pad-early/phase-form apply equals the naive stacked form
+    (which mirrors the reference layer-by-layer) — including at odd-ish
+    sizes and for the 6-channel video net."""
+    for in_ch, hw in ((3, 32), (3, 48), (6, 32)):
+        params = transformer.init_params(jax.random.PRNGKey(in_ch), in_channels=in_ch)
+        x = jnp.asarray(
+            rng.standard_normal((2, hw, hw, in_ch)).astype(np.float32) * 0.5
+        )
+        fast = transformer._apply_padearly(params, x)
+        naive = transformer._apply_stacked(params, x)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(naive), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_padearly_phase_decoder_conditional_affines(rng):
+    """Multi-style [B, C] affines ride the phase decoder correctly."""
+    from styletransfer_tpu.models import multistyle
+
+    params = multistyle.init_params(jax.random.PRNGKey(0), num_styles=3)
+    # give each style a distinct affine so a mix-up would show
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.1 * jnp.arange(p.shape[0])[:, None] if p.ndim == 2 else p,
+        params,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32) * 0.5)
+    idx = jnp.asarray([2, 1])
+    got = multistyle.apply(params, x, idx)
+    # per-sample single-style equivalents through the stacked path
+    sel = multistyle.select_styles(params, idx)
+    for b in range(2):
+        single = jax.tree_util.tree_map(
+            lambda p: p[b] if p.ndim == 2 else p, sel
+        )
+        want = transformer._apply_stacked(single, x[b : b + 1])
+        np.testing.assert_allclose(
+            np.asarray(got[b : b + 1]), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_padearly_phase_decoder_grad_flows():
+    """Gradients flow through the phase-form decoder to every parameter."""
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    x = jnp.ones((1, 16, 16, 3)) * 0.3
+
+    def loss(p):
+        return jnp.sum(jnp.square(transformer._apply_padearly(p, x)))
+
+    grads = jax.grad(loss)(params)
+    for path, g in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        assert np.isfinite(np.asarray(g)).all(), path
+        assert float(jnp.max(jnp.abs(g))) > 0.0, path
+
+
 def test_torch_state_dict_roundtrip():
     params = transformer.init_params(jax.random.PRNGKey(3))
     sd = transformer.export_torch_state_dict(params)
