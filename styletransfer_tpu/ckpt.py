@@ -154,12 +154,15 @@ def save_step_state(
     style_name: str,
     models_path: Optional[str] = None,
     extra: Optional[Dict[str, int]] = None,
+    arrays: Optional[Dict[str, Any]] = None,
 ) -> str:
     """Atomically save mid-training state (params + optimizer + position).
 
     ``extra`` holds additional integer run flags that must survive a resume
-    (e.g. the video trainer's warm-start flag). Written via a temp file +
-    rename so a crash mid-write never corrupts the resumable state.
+    (e.g. the video trainer's warm-start flag); ``arrays`` holds additional
+    array state (e.g. the video trainer's recurrent carry frames). Written
+    via a temp file + rename so a crash mid-write never corrupts the
+    resumable state.
     """
     path = step_state_path(model_name, style_name, models_path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -169,6 +172,7 @@ def save_step_state(
         "epoch": np.int64(epoch),
         "iteration": np.int64(iteration),
         "extra": {k: np.int64(v) for k, v in (extra or {}).items()},
+        "arrays": {k: np.asarray(jax.device_get(v)) for k, v in (arrays or {}).items()},
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -184,8 +188,15 @@ def load_step_state(
     style_name: str,
     models_path: Optional[str] = None,
     extra_keys: Tuple[str, ...] = (),
+    array_keys: Tuple[str, ...] = (),
 ):
-    """Load mid-training state if present; returns the state dict or None."""
+    """Load mid-training state if present; returns the state dict or None.
+
+    ``array_keys`` names entries of the saved ``arrays`` dict to restore
+    (shapes come from the stored data, so the template uses placeholders).
+    States saved before the ``arrays`` field existed load with
+    ``state["arrays"] == {}``.
+    """
     path = step_state_path(model_name, style_name, models_path)
     if not os.path.isfile(path):
         return None
@@ -195,9 +206,19 @@ def load_step_state(
         "epoch": np.int64(0),
         "iteration": np.int64(0),
         "extra": {k: np.int64(0) for k in extra_keys},
+        "arrays": {k: np.zeros(0, np.float32) for k in array_keys},
     }
     with open(path, "rb") as f:
-        state = serialization.from_bytes(template, f.read())
+        data = f.read()
+    try:
+        state = serialization.from_bytes(template, data)
+    except (KeyError, ValueError):
+        # Legacy state without the "arrays" field (or one whose arrays dict
+        # lacks the requested keys, e.g. a post-epoch save).
+        del template["arrays"]
+        state = serialization.from_bytes(template, data)
+        state["arrays"] = {}
+    state["arrays"] = {k: v for k, v in state["arrays"].items() if np.size(v)}
     get_logger().info(
         "Restored step state from %s (epoch %d, iteration %d)",
         path, int(state["epoch"]), int(state["iteration"]),

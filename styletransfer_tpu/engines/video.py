@@ -225,7 +225,11 @@ def video_train(
     warm-starting from fast_st weights, loss composition and weights, and the
     TB cadences/tags (scalars every 20 frames, image every 50).
     ``step_checkpoint_every`` additionally saves resumable mid-epoch state
-    (at chunk granularity) every >=N frame updates, like ``static_train``.
+    (at chunk granularity) every >=N frame updates, like ``static_train`` —
+    including the exact (video batch, chunk) position and the recurrent
+    carry frames, so a crash-resume replays no trained frame and produces
+    params identical to an uninterrupted run (skipped frames are decoded to
+    keep the readers in lockstep, but take no step).
     """
     logger = get_logger()
     mesh = mesh or mesh_lib.auto_mesh(batch_size)
@@ -278,11 +282,15 @@ def video_train(
     iteration = 0
     start_epoch = 0
     last_step_save = 0
+    resume_batches = 0
+    resume_chunks = 0
+    resume_carry = None
     if step_checkpoint_every:
         state = ckpt.load_step_state(
             jax.device_get(params), jax.device_get(opt_state),
             MODEL_NAME, style_name, models_path,
-            extra_keys=("has_external_weights",),
+            extra_keys=("has_external_weights", "batch_in_epoch", "chunk_in_batch"),
+            array_keys=("old_content", "old_stylized"),
         )
         if state is not None:
             params = mesh_lib.replicate(state["params"], mesh)
@@ -294,6 +302,26 @@ def video_train(
             # (re-deriving it from the fast_st checkpoint's presence is
             # fragile if that file moved between crash and resume).
             has_external_weights = bool(int(state["extra"]["has_external_weights"]))
+            # Exact mid-epoch position: the video batch index, the chunk
+            # index inside it, and the recurrent carry frames at that point.
+            # Skipped chunks are decoded (the readers must advance) but take
+            # no TPU step — no already-trained frame is replayed.
+            resume_batches = int(state["extra"].get("batch_in_epoch", 0))
+            resume_chunks = int(state["extra"].get("chunk_in_batch", 0))
+            if resume_chunks and {"old_content", "old_stylized"} <= set(
+                state["arrays"]
+            ):
+                resume_carry = (
+                    state["arrays"]["old_content"],
+                    state["arrays"]["old_stylized"],
+                )
+            elif resume_chunks:
+                logger.warning(
+                    "Step state has a mid-batch position but no carry "
+                    "frames; resuming from the start of video batch %d.",
+                    resume_batches,
+                )
+                resume_chunks = 0
             if start_epoch >= epochs:
                 logger.warning(
                     "Step state is at epoch %d >= requested epochs %d — "
@@ -322,18 +350,46 @@ def video_train(
             logger.info("Freezing fast-transfer weights for the first epoch")
         mask = mesh_lib.replicate(freeze_mask(params, frozen), mesh)
 
+        skip_batches = resume_batches if epoch == start_epoch else 0
+        skip_chunks = resume_chunks if epoch == start_epoch else 0
+        carry_restore = resume_carry if epoch == start_epoch else None
+        resume_batches = resume_chunks = 0
+        resume_carry = None
+
         logger.info("Starting epoch %d", epoch)
-        for readers in video_loader:
+        for batch_idx, readers in enumerate(video_loader):
+            if batch_idx < skip_batches:
+                # This video batch finished before the crash.
+                for r in readers:
+                    r.close()
+                continue
             frame_iter = video_data.iterate_on_video_batches(readers, max_frames)
             # First frame of each video batch initializes the carry with
             # itself (old = [batch, batch], network.py:972-978); it is also
             # the first frame *trained on*, inside the first chunk, so every
             # chunk shares one compiled shape.
             old_content = None
+            chunks_done = 0
             for chunk, valid in _chunk_frames(frame_iter, chunk_size, pad_tail=True):
+                if batch_idx == skip_batches and chunks_done < skip_chunks:
+                    # Trained before the crash: decode (the readers must
+                    # advance in lockstep) but take no update.
+                    chunks_done += 1
+                    continue
                 if old_content is None:
-                    old_content = mesh_lib.shard_batch(chunk[0], mesh)
-                    old_stylized = old_content
+                    if carry_restore is not None and batch_idx == skip_batches:
+                        # Mid-batch resume: the recurrent carry at the crash
+                        # point was stored with the step state.
+                        old_content = mesh_lib.shard_batch(
+                            jnp.asarray(carry_restore[0]), mesh
+                        )
+                        old_stylized = mesh_lib.shard_batch(
+                            jnp.asarray(carry_restore[1]), mesh
+                        )
+                        carry_restore = None
+                    else:
+                        old_content = mesh_lib.shard_batch(chunk[0], mesh)
+                        old_stylized = old_content
                 chunk_dev = mesh_lib.shard_frames(chunk, mesh)
                 params, opt_state, old_content, old_stylized, metrics = scan_step(
                     params, opt_state, chunk_dev, jnp.asarray(valid),
@@ -373,13 +429,31 @@ def video_train(
                     )
                     writer.add_image("data/fst_images", pair, image_steps[0])
                 iteration += len(totals)
+                chunks_done += 1
                 if (
                     step_checkpoint_every
                     and iteration - last_step_save >= step_checkpoint_every
                 ):
+                    # Position (video batch, chunk) plus the recurrent carry
+                    # make the resume exact: no trained frame is replayed.
+                    # (Carry frames are skipped in multi-host runs — a
+                    # process can only fetch its addressable shards; those
+                    # runs resume at the stored batch instead.)
+                    arrays = None
+                    if jax.process_count() == 1:
+                        arrays = {
+                            "old_content": old_content,
+                            "old_stylized": old_stylized,
+                        }
                     ckpt.save_step_state(
                         params, opt_state, epoch, iteration,
-                        MODEL_NAME, style_name, models_path, extra=step_extra,
+                        MODEL_NAME, style_name, models_path,
+                        extra={
+                            **step_extra,
+                            "batch_in_epoch": batch_idx,
+                            "chunk_in_batch": chunks_done,
+                        },
+                        arrays=arrays,
                     )
                     last_step_save = iteration
 
@@ -389,7 +463,8 @@ def video_train(
             # static_train) so post-epoch crashes keep optimizer moments.
             ckpt.save_step_state(
                 params, opt_state, epoch + 1, iteration,
-                MODEL_NAME, style_name, models_path, extra=step_extra,
+                MODEL_NAME, style_name, models_path,
+                extra={**step_extra, "batch_in_epoch": 0, "chunk_in_batch": 0},
             )
             last_step_save = iteration
 

@@ -97,6 +97,99 @@ def test_video_train_step_checkpoint(tmp_path):
     assert int(state["extra"]["has_external_weights"]) == 0
 
 
+class _CrashingReader(object):
+    """FrameReader proxy that raises once a shared decode budget is spent."""
+
+    def __init__(self, inner, count, limit_frames):
+        self._inner = inner
+        self._count = count
+        self._limit = limit_frames
+
+    def next_frame(self):
+        if self._count["n"] >= self._limit:
+            raise RuntimeError("simulated crash")
+        self._count["n"] += 1
+        return self._inner.next_frame()
+
+    def close(self):
+        self._inner.close()
+
+
+class _CrashingVideoLoader:
+    def __init__(self, inner, crash_after_frames):
+        self.inner = inner
+        self.crash_after = crash_after_frames
+        self.batch_size = inner.batch_size
+
+    def __iter__(self):
+        count = {"n": 0}
+        for readers in self.inner:
+            yield [_CrashingReader(r, count, self.crash_after) for r in readers]
+
+
+def _leaves(p):
+    return jax.tree_util.tree_leaves(jax.device_get(p))
+
+
+def test_video_train_exact_resume_mid_batch(tmp_path):
+    """Crash mid-video-batch, then resume: the step state's (batch, chunk)
+    position and stored recurrent carry make the resumed run produce
+    *identical* params to an uninterrupted run — no frame is replayed or
+    skipped (ROADMAP: video trainer exact-position resume)."""
+    from styletransfer_tpu.data import video as video_data
+    from styletransfer_tpu.engines import video
+
+    vgg_params = vgg.init_params(jax.random.PRNGKey(0))
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+    kw = dict(
+        style_name="xr", epochs=1, batch_size=2, vgg_params=vgg_params,
+        chunk_size=2, max_frames=6, seed=0,
+    )
+
+    def loader():
+        l = video_data.VideoDataset(videos=[0, 1], batch_size=2, size=SIZE)
+        l.synthetic = True
+        return l
+
+    # Uninterrupted reference: 3 chunks of 2 frame-steps.
+    ref = video.video_train(
+        style, video_loader=loader(), models_path=str(tmp_path / "ref"),
+        runs_dir=str(tmp_path / "runs_ref"), **kw,
+    )
+
+    # Crashed run: dies decoding the 3rd chunk; chunks 1-2 trained + saved.
+    mp = str(tmp_path / "crash")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        video.video_train(
+            style,
+            video_loader=_CrashingVideoLoader(loader(), crash_after_frames=4 * 2),
+            models_path=mp, runs_dir=str(tmp_path / "runs_a"),
+            step_checkpoint_every=2, **kw,
+        )
+    state = ckpt.load_step_state(
+        transformer.init_video_params(jax.random.PRNGKey(0)),
+        fast.make_optimizer().init(
+            transformer.init_video_params(jax.random.PRNGKey(0))
+        ),
+        "video_st", "xr", mp,
+        extra_keys=("batch_in_epoch", "chunk_in_batch"),
+        array_keys=("old_content", "old_stylized"),
+    )
+    assert int(state["extra"]["chunk_in_batch"]) == 2
+    assert state["arrays"]["old_stylized"].shape == (2, SIZE, SIZE, 3)
+
+    # Resume: skips the 2 trained chunks (decode-only), restores the carry,
+    # trains only the last chunk.
+    resumed = video.video_train(
+        style, video_loader=loader(), models_path=mp,
+        runs_dir=str(tmp_path / "runs_b"), step_checkpoint_every=2, **kw,
+    )
+    for a, b in zip(_leaves(ref), _leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
 class _CountingDataset(coco_data.SyntheticDataset):
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
