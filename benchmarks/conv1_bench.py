@@ -23,8 +23,11 @@ Run: python benchmarks/conv1_bench.py [batch] [iters]
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
