@@ -24,20 +24,45 @@ All feature tensors are NHWC.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
 def gram_matrix(features: jnp.ndarray) -> jnp.ndarray:
     """Batched Gram matrix of NHWC features, normalized by C*H*W.
 
     [B, H, W, C] -> [B, C, C]; G[b] = F_b^T F_b / (C*H*W) where F_b is the
     [H*W, C] feature matrix. This is one big batched matmul — exactly the
     MXU's shape — replacing the reference's ``torch.bmm`` (network.py:104).
+
+    Custom VJP: autodiff of the self-outer-product emits TWO [B, H*W, C]-
+    sized dots (one per ``f`` argument) plus layout copies — measured ~14%
+    of the whole fast_st train step at b128 (docs/performance.md). The
+    closed form needs ONE dot against a tiny symmetrized [B, C, C] factor:
+    dF = F (M + M^T) / (C*H*W).
     """
     b, h, w, c = features.shape
-    f = features.reshape(b, h * w, c).astype(jnp.float32)
+    f = features.reshape(b, h * w, c)
     g = jnp.einsum("bnc,bnd->bcd", f, f, preferred_element_type=jnp.float32)
     return g / (c * h * w)
+
+
+def _gram_fwd(features):
+    return gram_matrix(features), features
+
+
+def _gram_bwd(features, m):
+    b, h, w, c = features.shape
+    f = features.reshape(b, h * w, c)
+    # S = (M + M^T)/(C·H·W) is [B, C, C] — symmetric and tiny; the single
+    # heavy dot runs in the features' dtype with f32 accumulation.
+    s = ((m + jnp.swapaxes(m, 1, 2)) / (c * h * w)).astype(f.dtype)
+    df = jnp.einsum("bnd,bde->bne", f, s, preferred_element_type=jnp.float32)
+    return (df.astype(features.dtype).reshape(features.shape),)
+
+
+gram_matrix.defvjp(_gram_fwd, _gram_bwd)
 
 
 def style_loss(features: jnp.ndarray, target_gram: jnp.ndarray) -> jnp.ndarray:
