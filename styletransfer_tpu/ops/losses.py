@@ -56,7 +56,10 @@ def _gram_bwd(features, m):
     b, h, w, c = features.shape
     f = features.reshape(b, h * w, c)
     # S = (M + M^T)/(C·H·W) is [B, C, C] — symmetric and tiny; the single
-    # heavy dot runs in the features' dtype with f32 accumulation.
+    # heavy dot runs in the features' dtype with f32 accumulation. (An
+    # NHWC-form variant of this dot — no [B, N, C] reshape, hoping to skip
+    # the cotangent relayout copy before the VGG conv backward — measured
+    # slightly SLOWER end to end; keep the flattened form.)
     s = ((m + jnp.swapaxes(m, 1, 2)) / (c * h * w)).astype(f.dtype)
     df = jnp.einsum("bnd,bde->bne", f, s, preferred_element_type=jnp.float32)
     return (df.astype(features.dtype).reshape(features.shape),)
