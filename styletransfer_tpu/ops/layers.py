@@ -326,7 +326,12 @@ def instance_norm_stats_phased(
 
 
 def max_pool(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
-    """Max pooling (VGG's ``nn.MaxPool2d(2, 2)``) on NHWC."""
+    """Max pooling (VGG's ``nn.MaxPool2d(2, 2)``) on NHWC.
+
+    (A reshape + max-reduce form of the 2x2 case — same forward, eq-mask
+    backward instead of select_and_scatter — was measured SLOWER end to end
+    in the b128 train step, 462 vs 478 img/s; reduce_window stays.)
+    """
     return jax.lax.reduce_window(
         x,
         -jnp.inf,
