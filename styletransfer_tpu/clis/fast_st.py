@@ -247,3 +247,34 @@ def convert_image(image_path, style_name, out_dir, size, precision, pad_mode):
         image_path=image_path, style_name=style_name, out_dir=out_dir,
         size=size, precision=precision, pad_mode=pad_mode,
     )
+
+
+@fast_st.command("convert-dir")
+@click.argument("input-dir")
+@click.argument("style-name")
+@click.option("-b", "--batch-size", default=64,
+              help="Inference batch size (one compiled program; the ragged "
+                   "tail batch is padded and sliced)")
+@click.option("-o", "--out-dir", default="results/",
+              help="The results directory where converted images are saved")
+@click.option("--size", default=None, type=int,
+              help="Working resolution (default 256; the net is fully convolutional)")
+@click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
+              help="Activation precision")
+@click.option("--pad-mode", default="reflect", type=click.Choice(["reflect", "zeros"]),
+              help="Conv padding. Use 'zeros' for checkpoints trained by the "
+                   "ORIGINAL reference code")
+def convert_dir(input_dir, style_name, batch_size, out_dir, size, precision,
+                pad_mode):
+    """
+    Converts every image in `input-dir` (png/jpg/jpeg/bmp/webp) using the
+    network pretrained with `style-name` — the batched serving path: one
+    checkpoint load, one compiled program, threaded host decode. Outputs are
+    saved as `converted_fast_st_{style}_{name}.png` in `out-dir`.
+    """
+    from styletransfer_tpu.engines import fast
+
+    fast.process_dir(
+        input_dir=input_dir, style_name=style_name, batch_size=batch_size,
+        out_dir=out_dir, size=size, precision=precision, pad_mode=pad_mode,
+    )

@@ -395,3 +395,93 @@ def process_image(
     img_utils.save_image(np.asarray(transformed), out_file)
     get_logger().info("Saved stylized image to %s", out_file)
     return out_file
+
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def process_dir(
+    input_dir: str,
+    style_name: str,
+    out_dir: str = "results/",
+    batch_size: int = 64,
+    params=None,
+    models_path: Optional[str] = None,
+    size: Optional[int] = None,
+    precision: str = "f32",
+    pad_mode: str = "reflect",
+) -> list:
+    """Stylize every image in a directory with batched inference.
+
+    The serving-shaped sibling of :func:`process_image` (the reference only
+    converts one image per process, network.py:798-832): one checkpoint
+    load, ONE compiled program (the ragged tail batch is padded up to
+    ``batch_size`` and sliced after), threaded host decode overlapped
+    across batches, throughput logged. Unreadable files are skipped with a
+    warning. Returns the list of written output paths.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    logger = get_logger()
+    in_dir = os.path.join(constants.PROJECT_ROOT_PATH, input_dir)
+    files = sorted(
+        f for f in os.listdir(in_dir) if f.lower().endswith(IMAGE_EXTS)
+    )
+    if not files:
+        raise FileNotFoundError(f"No images ({'/'.join(IMAGE_EXTS)}) in {in_dir}")
+
+    if params is None:
+        template = transformer.init_params(jax.random.PRNGKey(0))
+        params, _ = ckpt.load_latest_transformer(
+            MODEL_NAME, style_name, template, models_path
+        )
+    apply_jit = jax.jit(
+        functools.partial(
+            transformer.apply,
+            compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
+            pad_mode=pad_mode,
+        )
+    )
+    sz = size or constants.IMSIZE
+    out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def decode(name):
+        try:
+            return name, img_utils.load_image(os.path.join(in_dir, name), size=sz)[0]
+        except Exception as exc:  # noqa: BLE001 - skip-and-continue contract
+            logger.warning("Skipping unreadable image %s (%s)", name, exc)
+            return name, None
+
+    # Single-batch directories compile at their natural size; larger runs
+    # compile once at batch_size and pad the ragged tail.
+    batch_size = min(batch_size, len(files))
+    out_paths = []
+    t0 = time.time()
+    n_done = 0
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        batches = [files[i : i + batch_size] for i in range(0, len(files), batch_size)]
+        decoded_iter = pool.map(lambda chunk: [decode(n) for n in chunk], batches)
+        for chunk in decoded_iter:
+            good = [(n, a) for n, a in chunk if a is not None]
+            if not good:
+                continue
+            arr = np.stack([a for _, a in good])
+            pad = batch_size - len(good)
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            out = np.asarray(apply_jit(params, jnp.asarray(arr)))[: len(good)]
+            for (name, _), img in zip(good, out):
+                stem = os.path.splitext(name)[0]
+                path = os.path.join(
+                    out_dir, f"converted_fast_st_{style_name}_{stem}.png"
+                )
+                img_utils.save_image(img[None], path)
+                out_paths.append(path)
+            n_done += len(good)
+    dt = time.time() - t0
+    logger.info(
+        "Stylized %d images in %.1fs (%.1f img/s incl. IO + compile) -> %s",
+        n_done, dt, n_done / dt if dt else 0.0, out_dir,
+    )
+    return out_paths

@@ -282,3 +282,39 @@ def test_remat_train_step_matches_plain(vgg_params):
     np.testing.assert_allclose(l0, l1, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_process_dir_batched_conversion(tmp_path, rng):
+    """convert-dir: every readable image in the directory is stylized with
+    one compiled program (ragged tail padded), unreadable files skipped."""
+    from PIL import Image
+
+    in_dir = tmp_path / "imgs"
+    in_dir.mkdir()
+    for i in range(5):
+        arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(in_dir / f"pic{i}.png")
+    (in_dir / "broken.jpg").write_bytes(b"not an image")
+    (in_dir / "notes.txt").write_text("ignored")
+
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    outs = fast.process_dir(
+        str(in_dir), style_name="tst", out_dir=str(tmp_path / "results"),
+        batch_size=2, params=params, size=32,
+    )
+    assert len(outs) == 5
+    assert all(os.path.isfile(p) for p in outs)
+    assert sorted(os.path.basename(p) for p in outs) == [
+        f"converted_fast_st_tst_pic{i}.png" for i in range(5)
+    ]
+    # Batched result == single-image result for the same input (both go
+    # through the same denormalize+clamp save path).
+    from styletransfer_tpu.utils import images as img_utils
+
+    one = transformer.apply(
+        params, jnp.asarray(img_utils.load_image(str(in_dir / "pic0.png"), size=32))
+    )
+    img_utils.save_image(np.asarray(one), str(tmp_path / "single.png"))
+    got = np.asarray(Image.open(outs[0])).astype(np.float32)
+    want = np.asarray(Image.open(str(tmp_path / "single.png"))).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=1.0)
