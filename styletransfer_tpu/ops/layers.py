@@ -21,6 +21,8 @@ checkpoint-import time (:mod:`styletransfer_tpu.ckpt`).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Tuple
 
 import jax
@@ -159,6 +161,66 @@ def instance_norm_stats(
     return mean, jax.lax.rsqrt(var + eps)
 
 
+def _in_affine_impl(relu, s, mean, inv, scale, bias):
+    if scale.ndim == 2:  # conditional [B, C] affines (multi-style)
+        scale = scale[:, None, None, :]
+        bias = bias[:, None, None, :]
+    out = (s.astype(jnp.float32) - mean) * inv * scale + bias
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.astype(s.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _in_affine(relu, s, mean, inv, scale, bias):
+    return _in_affine_impl(relu, s, mean, inv, scale, bias)
+
+
+def _in_affine_fwd(relu, s, mean, inv, scale, bias):
+    return _in_affine_impl(relu, s, mean, inv, scale, bias), (
+        s, mean, inv, scale, bias,
+    )
+
+
+def _in_affine_bwd(relu, res, g):
+    # Closed-form backward sharing ONE fused read for both channel sums.
+    # Autodiff of the f32 epilogue materializes a full-size f32 convert of
+    # the incoming cotangent (it has several consumers) plus per-term
+    # reductions — measured ~4.7 ms/step at b128. Here everything reduces
+    # to S1 = Σ_{hw} gm and S2 = Σ_{hw} gm·x̂ (f32 accumulation), and the
+    # full-size input cotangent is written directly in s.dtype:
+    #   ds      = gm · inv·scale
+    #   d_mean  = -inv·scale · S1          d_inv = scale/inv · S2
+    #   d_scale = Σ_b S2 (or S2)           d_bias = Σ_b S1 (or S1)
+    s, mean, inv, scale, bias = res
+    cond = scale.ndim == 2
+    scale_b = scale[:, None, None, :] if cond else scale
+    bias_b = bias[:, None, None, :] if cond else bias
+    s32 = s.astype(jnp.float32)
+    xhat = (s32 - mean) * inv
+    if relu:
+        pre = xhat * scale_b + bias_b
+        gm = jnp.where(pre > 0, g, jnp.zeros((), g.dtype))
+    else:
+        gm = g
+    gm32 = gm.astype(jnp.float32)
+    s1 = jnp.sum(gm32, axis=(1, 2), keepdims=True)          # [B,1,1,C]
+    s2 = jnp.sum(gm32 * xhat, axis=(1, 2), keepdims=True)   # [B,1,1,C]
+    ds = (gm32 * (inv * scale_b)).astype(s.dtype)
+    d_mean = (-(inv * scale_b) * s1).astype(mean.dtype)
+    d_inv = (scale_b / inv * s2).astype(inv.dtype)
+    if cond:
+        d_scale = s2[:, 0, 0, :].astype(scale.dtype)
+        d_bias = s1[:, 0, 0, :].astype(bias.dtype)
+    else:
+        d_scale = jnp.sum(s2, axis=(0, 1, 2)).astype(scale.dtype)
+        d_bias = jnp.sum(s1, axis=(0, 1, 2)).astype(bias.dtype)
+    return ds, d_mean, d_inv, d_scale, d_bias
+
+
+_in_affine.defvjp(_in_affine_fwd, _in_affine_bwd)
+
+
 def instance_norm_affine(
     s: jnp.ndarray,
     mean: jnp.ndarray,
@@ -174,14 +236,13 @@ def instance_norm_affine(
     reflection padding (the pad-early trick: XLA fuses the pad into this
     elementwise epilogue, so the padded tensor is written once instead of
     normalize-write + pad-rewrite).
+
+    Carries a custom VJP (see ``_in_affine_bwd``): the closed-form backward
+    needs two shared channel sums and writes the input cotangent in
+    ``s.dtype`` directly, instead of autodiff's materialized full-size f32
+    cotangent convert.
     """
-    if scale.ndim == 2:  # conditional [B, C] affines (multi-style)
-        scale = scale[:, None, None, :]
-        bias = bias[:, None, None, :]
-    out = (s.astype(jnp.float32) - mean) * inv * scale + bias
-    if relu:
-        out = jnp.maximum(out, 0.0)
-    return out.astype(s.dtype)
+    return _in_affine(bool(relu), s, mean, inv, scale, bias)
 
 
 def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:

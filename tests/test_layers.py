@@ -90,3 +90,46 @@ def test_max_pool_matches_torch(rng):
     ours = np.asarray(layers.max_pool(jnp.asarray(x)))
     theirs = F.max_pool2d(_nchw(x), 2, 2)
     np.testing.assert_allclose(ours, _to_nhwc(theirs))
+
+
+def test_instance_norm_affine_custom_vjp_matches_autodiff(rng):
+    """The closed-form IN-affine backward == autodiff of the plain formula
+    for every input (s, mean, inv, scale, bias), with and without ReLU,
+    shared and conditional affines."""
+    import jax
+
+    s = jnp.asarray(rng.standard_normal((2, 5, 4, 3)).astype(np.float32))
+    mean, inv = layers.instance_norm_stats(s)
+    for relu in (False, True):
+        for cond in (False, True):
+            if cond:
+                scale = jnp.asarray(rng.standard_normal((2, 3)).astype(np.float32))
+                bias = jnp.asarray(rng.standard_normal((2, 3)).astype(np.float32))
+            else:
+                scale = jnp.asarray(rng.standard_normal((3,)).astype(np.float32))
+                bias = jnp.asarray(rng.standard_normal((3,)).astype(np.float32))
+
+            def naive(s, mean, inv, scale, bias, relu=relu):
+                sc = scale[:, None, None, :] if scale.ndim == 2 else scale
+                b = bias[:, None, None, :] if bias.ndim == 2 else bias
+                out = (s.astype(jnp.float32) - mean) * inv * sc + b
+                if relu:
+                    out = jnp.maximum(out, 0.0)
+                return out.astype(s.dtype)
+
+            def loss_c(*args):
+                return jnp.sum(
+                    jnp.square(layers.instance_norm_affine(*args, relu=relu))
+                )
+
+            def loss_n(*args):
+                return jnp.sum(jnp.square(naive(*args)))
+
+            args = (s, mean, inv, scale, bias)
+            gc = jax.grad(loss_c, argnums=(0, 1, 2, 3, 4))(*args)
+            gn = jax.grad(loss_n, argnums=(0, 1, 2, 3, 4))(*args)
+            for c, n in zip(gc, gn):
+                np.testing.assert_allclose(
+                    np.asarray(c), np.asarray(n), rtol=2e-5, atol=1e-5,
+                    err_msg=f"relu={relu} cond={cond}",
+                )
