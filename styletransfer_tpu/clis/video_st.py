@@ -110,3 +110,34 @@ def convert_video(video_path, style_name, out_dir, fps, precision, pad_mode):
         video_path=video_path, style_name=style_name, out_dir=out_dir,
         fps=fps, precision=precision, pad_mode=pad_mode,
     )
+
+
+@video_st.command("convert-dir")
+@click.argument("input-dir")
+@click.argument("style-name")
+@click.option("-b", "--batch-size", default=4,
+              help="Clips stylized together per scanned program (one carry "
+                   "lane each; per-clip outputs identical to one-at-a-time)")
+@click.option("-o", "--out-dir", default="results/",
+              help="The results directory where converted videos are saved")
+@click.option("--fps", default=24.0,
+              help="The FPS that will be used when saving the transformed videos")
+@click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
+              help="Activation precision")
+@click.option("--pad-mode", default="reflect", type=click.Choice(["reflect", "zeros"]),
+              help="Conv padding. Use 'zeros' for checkpoints trained by the "
+                   "ORIGINAL reference code")
+def convert_dir(input_dir, style_name, batch_size, out_dir, fps, precision,
+                pad_mode):
+    """
+    Converts every video in `input-dir` (gif/mp4/avi/mov/webm/mkv) using the
+    network pretrained with `style-name` — batched serving for video: several
+    clips advance in lockstep through one compiled recurrent scan. Outputs
+    are saved as `video_st_{style}_{name}.mp4` (or `.gif`) in `out-dir`.
+    """
+    from styletransfer_tpu.engines import video
+
+    video.process_video_dir(
+        input_dir=input_dir, style_name=style_name, batch_size=batch_size,
+        out_dir=out_dir, fps=fps, precision=precision, pad_mode=pad_mode,
+    )

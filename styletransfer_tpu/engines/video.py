@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from typing import Dict, Iterator, Optional, Tuple
 
 import jax
@@ -607,3 +608,149 @@ def process_video(
     video_writer.close()
     logger.info("Done! Final stylized video can be found in: %s", final_path)
     return final_path
+
+
+VIDEO_EXTS = (".gif", ".mp4", ".avi", ".mov", ".webm", ".mkv")
+
+
+def _open_video_writer(base_path: str, fps: float, logger):
+    """mp4 writer, falling back to GIF when no codec backend exists
+    (same fallback contract as process_video). Returns (writer, path)."""
+    import imageio
+
+    try:
+        return imageio.get_writer(base_path + ".mp4", fps=fps), base_path + ".mp4"
+    except (ValueError, ImportError):
+        path = base_path + ".gif"
+        logger.warning(
+            "No mp4 encoder backend available; writing GIF instead: %s", path
+        )
+        return imageio.get_writer(path, duration=1000.0 / fps, loop=0), path
+
+
+def process_video_dir(
+    input_dir: str,
+    style_name: str = "nsp",
+    out_dir: str = "results/",
+    batch_size: int = 4,
+    fps: float = 24.0,
+    params=None,
+    models_path: Optional[str] = None,
+    chunk_size: int = 24,
+    max_frames: int = video_data.MAX_FRAMES_DEFAULT,
+    precision: str = "f32",
+    pad_mode: str = "reflect",
+) -> list:
+    """Stylize every video in a directory, several clips per scanned program.
+
+    The serving-shaped sibling of ``fast.process_dir`` for video: the
+    recurrent scan already takes [T, B, ...] (one carry lane per clip —
+    lanes never mix, since every op is per-sample), so clips in a group
+    advance in lockstep through ONE compiled program. Clips that end early
+    keep feeding their last frame (their outputs are discarded); the ragged
+    last group is padded with copies of its first lane so every chunk
+    shares one compiled shape. Per-clip outputs are bit-identical to
+    processing each clip alone. Returns the list of output paths.
+    """
+    logger = get_logger()
+    in_dir = os.path.join(constants.PROJECT_ROOT_PATH, input_dir)
+    files = sorted(f for f in os.listdir(in_dir) if f.lower().endswith(VIDEO_EXTS))
+    if not files:
+        raise FileNotFoundError(
+            f"No videos ({'/'.join(VIDEO_EXTS)}) in {in_dir}"
+        )
+    if params is None:
+        template = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+        params, _ = ckpt.load_latest_transformer(
+            MODEL_NAME, style_name, template, models_path
+        )
+    out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    cd = jnp.bfloat16 if precision == "bf16" else None
+
+    batch_size = min(batch_size, len(files))
+    outputs = []
+    t0 = time.time()
+    total_written = 0
+    for gstart in range(0, len(files), batch_size):
+        group = files[gstart : gstart + batch_size]
+        nb = len(group)
+        readers = [
+            video_data.ImageioFrameReader(os.path.join(in_dir, f)) for f in group
+        ]
+        counts = [0] * nb     # real frames read per lane
+        done = [False] * nb
+        last = [None] * nb
+
+        def rows():
+            for _ in range(max_frames):
+                any_live = False
+                row = []
+                for j in range(nb):
+                    f = None
+                    if not done[j]:
+                        f = readers[j].next_frame()
+                        if f is None:
+                            done[j] = True
+                    if f is not None:
+                        any_live = True
+                        last[j] = f
+                        counts[j] += 1
+                    row.append(last[j])
+                if not any_live:
+                    return
+                # A clip that yielded no frame at all rides a zero lane.
+                template_frame = next(r for r in row if r is not None)
+                row = [r if r is not None else np.zeros_like(template_frame)
+                       for r in row]
+                yield np.concatenate(row, axis=0)  # [nb, H, W, 3]
+
+        writers, paths = [], []
+        for f in group:
+            stem = os.path.splitext(f)[0]
+            w, p = _open_video_writer(
+                os.path.join(out_dir, f"video_st_{style_name}_{stem}"), fps, logger
+            )
+            writers.append(w)
+            paths.append(p)
+
+        old_stylized = None
+        tstep = 0
+        for chunk, _valid in _chunk_frames(rows(), chunk_size, pad_tail=True):
+            if nb < batch_size:  # ragged clip group: pad lanes, keep one shape
+                chunk = np.concatenate(
+                    [chunk] + [chunk[:, :1]] * (batch_size - nb), axis=1
+                )
+            frames = jnp.asarray(chunk)
+            if old_stylized is None:
+                old_stylized = frames[0]
+            outs = _stylize_chunk(
+                params, frames, old_stylized, compute_dtype=cd, pad_mode=pad_mode
+            )
+            old_stylized = outs[-1]
+            outs_np = np.asarray(outs)
+            for t in range(outs_np.shape[0]):
+                for j in range(nb):
+                    if tstep + t < counts[j]:
+                        writers[j].append_data(
+                            img_utils.to_uint8(outs_np[t, j : j + 1])
+                        )
+                        total_written += 1
+            tstep += outs_np.shape[0]
+
+        for r in readers:
+            r.close()
+        for j, w in enumerate(writers):
+            w.close()
+            if counts[j] == 0:
+                # Unreadable clip: drop its empty output file.
+                logger.warning("No frames decoded from %s; skipping", group[j])
+                os.remove(paths[j])
+            else:
+                outputs.append(paths[j])
+    dt = time.time() - t0
+    logger.info(
+        "Stylized %d clips (%d frames) in %.1fs (%.1f fps incl. IO + compile)",
+        len(outputs), total_written, dt, total_written / dt if dt else 0.0,
+    )
+    return outputs

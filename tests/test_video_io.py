@@ -77,3 +77,51 @@ def test_process_video_respects_max_frames(tmp_path, clip, monkeypatch):
         models_path=models, chunk_size=4, max_frames=3,
     )
     assert len(list(imageio.get_reader(out))) == 3
+
+
+def test_process_video_dir_batched(tmp_path, monkeypatch):
+    """convert-dir for video: different-length clips in one lockstep group
+    (plus a ragged group), per-clip frame counts preserved, and each clip's
+    output identical to converting it alone."""
+    from styletransfer_tpu import constants
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    in_dir = tmp_path / "clips"
+    in_dir.mkdir()
+    lengths = {"a": 5, "b": 7, "c": 3}  # batch of 2 -> group (a,b) + ragged (c)
+    for name, n in lengths.items():
+        w = imageio.get_writer(str(in_dir / f"{name}.gif"), duration=41.7, loop=0)
+        for i in range(n):
+            frame = (np.roll(synthetic_image(3, SIZE), i, axis=1) * 255).astype(
+                np.uint8
+            )
+            w.append_data(frame)
+        w.close()
+
+    params = transformer.init_video_params(jax.random.PRNGKey(0))
+    models = str(tmp_path / "models")
+    ckpt.save_epoch(params, "video_st", "sty", 0, models)
+
+    outs = video.process_video_dir(
+        str(in_dir), style_name="sty", out_dir=str(tmp_path / "results"),
+        models_path=models, batch_size=2, chunk_size=4,
+    )
+    assert sorted(os.path.basename(p) for p in outs) == [
+        "video_st_sty_a.gif", "video_st_sty_b.gif", "video_st_sty_c.gif",
+    ]
+    got_lengths = {
+        os.path.basename(p): len(list(imageio.get_reader(p))) for p in outs
+    }
+    assert got_lengths == {
+        "video_st_sty_a.gif": 5, "video_st_sty_b.gif": 7, "video_st_sty_c.gif": 3,
+    }
+    # Per-clip parity with the single-clip path (lanes never mix).
+    single = video.process_video(
+        str(in_dir / "b.gif"), style_name="sty",
+        out_dir=str(tmp_path / "single"), models_path=models, chunk_size=4,
+    )
+    ref = np.stack(list(imageio.get_reader(single)))
+    got = np.stack(
+        list(imageio.get_reader(str(tmp_path / "results" / "video_st_sty_b.gif")))
+    )
+    np.testing.assert_array_equal(got, ref)
