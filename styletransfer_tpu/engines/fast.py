@@ -418,9 +418,14 @@ def process_dir(
     load, ONE compiled program (the ragged tail batch is padded up to
     ``batch_size`` and sliced after), threaded host decode overlapped
     across batches, throughput logged. Unreadable files are skipped with a
-    warning. Returns the list of written output paths.
+    warning. Both transfers ride uint8 (normalize/denormalize run
+    in-graph — 4x less host<->device traffic than shipping f32); the
+    uint8 input path is bit-identical to host normalization. Returns the
+    list of written output paths.
     """
     from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
 
     logger = get_logger()
     in_dir = os.path.join(constants.PROJECT_ROOT_PATH, input_dir)
@@ -435,20 +440,26 @@ def process_dir(
         params, _ = ckpt.load_latest_transformer(
             MODEL_NAME, style_name, template, models_path
         )
-    apply_jit = jax.jit(
-        functools.partial(
-            transformer.apply,
+
+    @jax.jit
+    def serve_fn(params, batch_u8):
+        x = img_utils.maybe_normalize_on_device(batch_u8)
+        y = transformer.apply(
+            params, x,
             compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
             pad_mode=pad_mode,
         )
-    )
+        return img_utils.to_uint8_on_device(y)
+
     sz = size or constants.IMSIZE
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def decode(name):
         try:
-            return name, img_utils.load_image(os.path.join(in_dir, name), size=sz)[0]
+            return name, img_utils.load_image_uint8(
+                os.path.join(in_dir, name), size=sz
+            )[0]
         except Exception as exc:  # noqa: BLE001 - skip-and-continue contract
             logger.warning("Skipping unreadable image %s (%s)", name, exc)
             return name, None
@@ -470,13 +481,13 @@ def process_dir(
             pad = batch_size - len(good)
             if pad:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-            out = np.asarray(apply_jit(params, jnp.asarray(arr)))[: len(good)]
+            out = np.asarray(serve_fn(params, jnp.asarray(arr)))[: len(good)]
             for (name, _), img in zip(good, out):
                 stem = os.path.splitext(name)[0]
                 path = os.path.join(
                     out_dir, f"converted_fast_st_{style_name}_{stem}.png"
                 )
-                img_utils.save_image(img[None], path)
+                Image.fromarray(img).save(path)
                 out_paths.append(path)
             n_done += len(good)
     dt = time.time() - t0

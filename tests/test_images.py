@@ -59,3 +59,26 @@ def test_from_array_matches_load(tmp_path, rng):
     a = images.load_image(str(p), size=constants.IMSIZE)
     b = images.from_array(frame)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_uint8_serving_path_bit_exact(tmp_path, rng):
+    """load_image_uint8 + in-graph normalize == load_image's host-normalized
+    f32 path, bit for bit; to_uint8_on_device == host to_uint8."""
+    from PIL import Image
+
+    arr = rng.integers(0, 256, size=(70, 50, 3), dtype=np.uint8)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(arr).save(p)
+
+    import jax.numpy as jnp
+
+    f32 = images.load_image(p, size=32)
+    u8 = images.load_image_uint8(p, size=32)
+    dev = np.asarray(images.maybe_normalize_on_device(jnp.asarray(u8)))
+    np.testing.assert_array_equal(dev, f32)
+
+    model_space = jnp.asarray(rng.standard_normal((1, 8, 8, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(images.to_uint8_on_device(model_space))[0],
+        images.to_uint8(np.asarray(model_space)),
+    )
