@@ -591,11 +591,13 @@ def process_video(
             pad_mode=pad_mode,
         )
         old_stylized = outs[-1]
-        for t in range(outs.shape[0]):
+        # One bulk uint8 readback per chunk (denormalize/clamp/round run
+        # on-device) instead of a per-frame f32 transfer + host epilogue.
+        outs_u8 = np.asarray(img_utils.to_uint8_on_device(outs))
+        for t in range(outs_u8.shape[0]):
             if frame_idx >= real_count["n"]:
                 break
-            rgb = img_utils.to_uint8(np.asarray(outs[t]))
-            video_writer.append_data(rgb)
+            video_writer.append_data(outs_u8[t, 0])
             if save_frames:
                 img_utils.save_image(
                     np.asarray(outs[t]), os.path.join(working_dir, f"{frame_idx}.png")
@@ -728,15 +730,14 @@ def process_video_dir(
                 params, frames, old_stylized, compute_dtype=cd, pad_mode=pad_mode
             )
             old_stylized = outs[-1]
-            outs_np = np.asarray(outs)
-            for t in range(outs_np.shape[0]):
+            # Bulk uint8 readback (see process_video).
+            outs_u8 = np.asarray(img_utils.to_uint8_on_device(outs))
+            for t in range(outs_u8.shape[0]):
                 for j in range(nb):
                     if tstep + t < counts[j]:
-                        writers[j].append_data(
-                            img_utils.to_uint8(outs_np[t, j : j + 1])
-                        )
+                        writers[j].append_data(outs_u8[t, j])
                         total_written += 1
-            tstep += outs_np.shape[0]
+            tstep += outs_u8.shape[0]
 
         for r in readers:
             r.close()
