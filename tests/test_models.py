@@ -302,3 +302,20 @@ def test_vgg_import_full_torchvision_dict(rng):
     # And the imported tower runs.
     feats = vgg.extract_features(params, jnp.zeros((1, 32, 32, 3)))
     assert feats["Conv2d_5"].shape == (1, 8, 8, 256)
+
+
+def test_apply_non_multiple_of_four_sizes(rng):
+    """The phase decoder must handle inputs whose dims are not multiples of
+    4: the encoder's stride-2 convs floor odd dims, the phase upsamples
+    double them back, and conv_out's 4x4 space-to-depth form always sees
+    padded dims divisible by 4 (4h+8). Output dims follow torch's rule
+    (4 * floor(floor((H+1)/2 + 0.5)...) — same as the reference net)."""
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    for size in (250, 252, 260):
+        x = jnp.asarray(rng.standard_normal((1, size, size, 3)).astype(np.float32))
+        out = transformer.apply(params, x)
+        # Encoder: H -> H (conv1) -> floor((H-1)/2)+1 twice; decoder doubles twice.
+        h1 = (size - 1) // 2 + 1
+        h2 = (h1 - 1) // 2 + 1
+        assert out.shape == (1, 4 * h2, 4 * h2, 3)
+        assert bool(jnp.isfinite(out).all())
