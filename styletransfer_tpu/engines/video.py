@@ -675,11 +675,18 @@ def process_video_dir(
     t0 = time.time()
     total_written = 0
     for gstart in range(0, len(files), batch_size):
-        group = files[gstart : gstart + batch_size]
+        group, readers = [], []
+        for f in files[gstart : gstart + batch_size]:
+            try:
+                readers.append(
+                    video_data.ImageioFrameReader(os.path.join(in_dir, f))
+                )
+                group.append(f)
+            except Exception as exc:  # noqa: BLE001 - skip-and-continue contract
+                logger.warning("Skipping unreadable video %s (%s)", f, exc)
+        if not group:
+            continue
         nb = len(group)
-        readers = [
-            video_data.ImageioFrameReader(os.path.join(in_dir, f)) for f in group
-        ]
         counts = [0] * nb     # real frames read per lane
         done = [False] * nb
         last = [None] * nb

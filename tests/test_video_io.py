@@ -125,3 +125,31 @@ def test_process_video_dir_batched(tmp_path, monkeypatch):
         list(imageio.get_reader(str(tmp_path / "results" / "video_st_sty_b.gif")))
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_process_video_dir_skips_unreadable(tmp_path, monkeypatch):
+    """An unreadable video file is skipped with a warning (same contract as
+    the image convert-dir); readable clips still convert."""
+    from styletransfer_tpu import constants
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    in_dir = tmp_path / "clips"
+    in_dir.mkdir()
+    w = imageio.get_writer(str(in_dir / "good.gif"), duration=41.7, loop=0)
+    for i in range(4):
+        w.append_data(
+            (np.roll(synthetic_image(1, SIZE), i, axis=1) * 255).astype(np.uint8)
+        )
+    w.close()
+    (in_dir / "broken.gif").write_bytes(b"not a gif at all")
+
+    params = transformer.init_video_params(jax.random.PRNGKey(0))
+    models = str(tmp_path / "models")
+    ckpt.save_epoch(params, "video_st", "sty", 0, models)
+
+    outs = video.process_video_dir(
+        str(in_dir), style_name="sty", out_dir=str(tmp_path / "results"),
+        models_path=models, batch_size=2, chunk_size=4,
+    )
+    assert [os.path.basename(p) for p in outs] == ["video_st_sty_good.gif"]
+    assert len(list(imageio.get_reader(outs[0]))) == 4
