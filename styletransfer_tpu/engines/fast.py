@@ -370,6 +370,10 @@ def process_image(
     reference code bit-faithfully (its pinned torch 1.1.0 silently used
     zero padding — see models/transformer.py).
     Returns the output path (``converted_fast_st_{style}.png``).
+
+    Transfers ride uint8 in both directions with the normalize /
+    denormalize epilogues in-graph (bit-identical to the host-side f32
+    pipeline — see utils.images.load_image_uint8).
     """
     if params is None:
         template = transformer.init_params(jax.random.PRNGKey(0))
@@ -377,22 +381,29 @@ def process_image(
             MODEL_NAME, style_name, template, models_path
         )
 
-    input_image = img_utils.load_image(
+    input_u8 = img_utils.load_image_uint8(
         os.path.join(constants.PROJECT_ROOT_PATH, image_path),
         size=size or constants.IMSIZE,
     )
-    transformed = jax.jit(
-        functools.partial(
-            transformer.apply,
+
+    @jax.jit
+    def serve_fn(params, batch_u8):
+        x = img_utils.maybe_normalize_on_device(batch_u8)
+        y = transformer.apply(
+            params, x,
             compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
             pad_mode=pad_mode,
         )
-    )(params, jnp.asarray(input_image))
+        return img_utils.to_uint8_on_device(y)
+
+    out_u8 = np.asarray(serve_fn(params, jnp.asarray(input_u8)))[0]
+
+    from PIL import Image
 
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
     out_file = os.path.join(out_dir, f"converted_fast_st_{style_name}.png")
-    img_utils.save_image(np.asarray(transformed), out_file)
+    Image.fromarray(out_u8).save(out_file)
     get_logger().info("Saved stylized image to %s", out_file)
     return out_file
 
