@@ -47,14 +47,21 @@ class FrameReader:
 
 class ImageioFrameReader(FrameReader):
     """Wraps an imageio reader; frames go through the standard image
-    transform (crop-square, resize, normalize — dataset.py:294-306)."""
+    transform (crop-square, resize, normalize — dataset.py:294-306).
 
-    def __init__(self, path: str, size: int = constants.IMSIZE):
+    ``normalized=False`` emits uint8 frames instead (crop/resize only) for
+    the serving paths, which normalize in-graph — bit-identical and 4x
+    less host->device traffic (utils.images.load_image_uint8)."""
+
+    def __init__(
+        self, path: str, size: int = constants.IMSIZE, normalized: bool = True
+    ):
         import imageio
 
         self._reader = imageio.get_reader(path)
         self._size = size
         self._index = 0
+        self._normalized = normalized
 
     def next_frame(self) -> Optional[np.ndarray]:
         try:
@@ -67,6 +74,8 @@ class ImageioFrameReader(FrameReader):
             # (dataset.py:308-311); the Pillow GIF backend raises EOFError.
             return None
         self._index += 1
+        if not self._normalized:
+            return img_utils.from_array_uint8(frame, self._size)
         return img_utils.from_array(frame, self._size)
 
     def close(self) -> None:

@@ -485,6 +485,9 @@ def _stylize_chunk(params, frames, old_stylized, compute_dtype=None,
     (recurrent feedback, network.py:1117-1131)."""
 
     def body(old, frame):
+        # uint8 frames (the serving input path) normalize in-graph; float
+        # frames pass through — the dtype check happens at trace time.
+        frame = img_utils.maybe_normalize_on_device(frame)
         net_input = jnp.concatenate([frame, old], axis=-1)
         out = transformer.apply(params, net_input, compute_dtype=compute_dtype,
                                 pad_mode=pad_mode)
@@ -565,7 +568,7 @@ def process_video(
             final_path, duration=1000.0 / fps, loop=0
         )
 
-    reader = video_data.ImageioFrameReader(video_path)
+    reader = video_data.ImageioFrameReader(video_path, normalized=False)
     real_count = {"n": 0}  # frames actually read (excludes tail padding)
 
     def frame_stream():
@@ -582,9 +585,10 @@ def process_video(
     for chunk, _valid in _chunk_frames(frame_stream(), chunk_size, pad_tail=True):
         # pad_tail keeps a single compiled shape; padded outputs beyond the
         # real frame count are skipped when writing.
-        frames = jnp.asarray(chunk)  # [chunk,1,H,W,3]
+        frames = jnp.asarray(chunk)  # [chunk,1,H,W,3] uint8
         if old_stylized is None:
-            old_stylized = frames[0]
+            # The carry is model-space: normalize the first frame on device.
+            old_stylized = img_utils.maybe_normalize_on_device(frames[0])
         outs = _stylize_chunk(
             params, frames, old_stylized,
             compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
@@ -679,7 +683,9 @@ def process_video_dir(
         for f in files[gstart : gstart + batch_size]:
             try:
                 readers.append(
-                    video_data.ImageioFrameReader(os.path.join(in_dir, f))
+                    video_data.ImageioFrameReader(
+                        os.path.join(in_dir, f), normalized=False
+                    )
                 )
                 group.append(f)
             except Exception as exc:  # noqa: BLE001 - skip-and-continue contract
@@ -730,9 +736,9 @@ def process_video_dir(
                 chunk = np.concatenate(
                     [chunk] + [chunk[:, :1]] * (batch_size - nb), axis=1
                 )
-            frames = jnp.asarray(chunk)
+            frames = jnp.asarray(chunk)  # uint8
             if old_stylized is None:
-                old_stylized = frames[0]
+                old_stylized = img_utils.maybe_normalize_on_device(frames[0])
             outs = _stylize_chunk(
                 params, frames, old_stylized, compute_dtype=cd, pad_mode=pad_mode
             )

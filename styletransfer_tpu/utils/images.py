@@ -188,3 +188,19 @@ def to_uint8_on_device(image: jnp.ndarray) -> jnp.ndarray:
     arr = denormalize(image.astype(jnp.float32))
     arr = jnp.clip(arr, 0.0, 1.0)
     return jnp.round(arr * 255.0).astype(jnp.uint8)
+
+
+def from_array_uint8(frame: np.ndarray, size: int = constants.IMSIZE) -> np.ndarray:
+    """Decode an HWC frame to ``[1, size, size, 3]`` uint8 (crop/resize as
+    :func:`from_array`, no normalization) — the video serving input path
+    (see :func:`load_image_uint8` for the bit-exactness argument)."""
+    img = Image.fromarray(frame)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    w, h = img.size
+    side = min(w, h)
+    left = int(round((w - side) / 2.0))
+    top = int(round((h - side) / 2.0))
+    img = img.crop((left, top, left + side, top + side))
+    img = img.resize((size, size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.uint8)[None, ...]

@@ -82,3 +82,15 @@ def test_uint8_serving_path_bit_exact(tmp_path, rng):
         np.asarray(images.to_uint8_on_device(model_space))[0],
         images.to_uint8(np.asarray(model_space)),
     )
+
+
+def test_from_array_uint8_bit_exact(rng):
+    """Video-serving input path: from_array_uint8 + in-graph normalize ==
+    from_array's host-normalized f32 output, bit for bit."""
+    import jax.numpy as jnp
+
+    frame = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    f32 = images.from_array(frame, size=16)
+    u8 = images.from_array_uint8(frame, size=16)
+    dev = np.asarray(images.maybe_normalize_on_device(jnp.asarray(u8)))
+    np.testing.assert_array_equal(dev, f32)
