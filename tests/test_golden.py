@@ -64,3 +64,31 @@ def test_perceptual_loss_golden():
     np.testing.assert_allclose(float(total), float(d["perceptual_total"]), rtol=1e-4)
     np.testing.assert_allclose(float(comps["style"]), float(d["perceptual_style"]), rtol=1e-4)
     np.testing.assert_allclose(float(comps["content"]), float(d["perceptual_content"]), rtol=1e-4)
+
+
+def test_train_step_golden():
+    """Pin the full train-step numerics (forward + custom-VJP backward +
+    Adam update) over 3 steps on fixed seeds. Catches silent gradient
+    regressions from future VJP/kernel work — the per-op parity tests
+    check each piece; this checks their composition end to end."""
+    from styletransfer_tpu.engines import fast
+
+    rng = np.random.default_rng(42)
+    vgg_params = vgg.init_params(jax.random.PRNGKey(0))
+    style = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), dtype=jnp.float32)
+    grams = vgg.style_gram_targets(vgg_params, style)
+    opt, step = fast.make_train_step(vgg_params, grams)
+    params = transformer.init_params(jax.random.PRNGKey(1))
+    opt_state = opt.init(params)
+    batch = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), dtype=jnp.float32)
+    totals = []
+    for _ in range(3):
+        params, opt_state, m = step(params, opt_state, batch)
+        totals.append(float(m["total"]))
+    np.testing.assert_allclose(
+        totals, [296.224274, 1236.626465, 224.133560], rtol=1e-3
+    )
+    param_l1 = float(
+        sum(jnp.sum(jnp.abs(v)) for v in jax.tree_util.tree_leaves(params))
+    )
+    np.testing.assert_allclose(param_l1, 27308.205078, rtol=1e-3)
