@@ -92,3 +92,34 @@ def test_train_step_golden():
         sum(jnp.sum(jnp.abs(v)) for v in jax.tree_util.tree_leaves(params))
     )
     np.testing.assert_allclose(param_l1, 27308.205078, rtol=1e-3)
+
+
+def test_video_scan_step_golden():
+    """Pin the video scan-step numerics (temporal loss, stop-gradient carry,
+    validity-masked padded frame) on fixed seeds. The third frame is padded
+    (valid=False): its metrics must be exactly zero and it must not update
+    the params."""
+    from styletransfer_tpu.engines import video
+
+    rng = np.random.default_rng(7)
+    vgg_params = vgg.init_params(jax.random.PRNGKey(0))
+    style = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), dtype=jnp.float32)
+    grams = vgg.style_gram_targets(vgg_params, style)
+    opt, step = video.make_scan_train_step(vgg_params, grams)
+    params = transformer.init_video_params(jax.random.PRNGKey(2))
+    opt_state = opt.init(params)
+    frames = jnp.asarray(rng.standard_normal((3, 2, 32, 32, 3)), dtype=jnp.float32)
+    valid = jnp.asarray([True, True, False])
+    old = frames[0]
+    mask = video.freeze_mask(params, False)
+    params, opt_state, _, _, metrics = step(
+        params, opt_state, frames, valid, old, old, mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(metrics["total"]),
+        [328.488068, 831.681946, 0.0], rtol=1e-3, atol=1e-6,
+    )
+    param_l1 = float(
+        sum(jnp.sum(jnp.abs(v)) for v in jax.tree_util.tree_leaves(params))
+    )
+    np.testing.assert_allclose(param_l1, 27398.423828, rtol=1e-3)
