@@ -123,3 +123,31 @@ def test_video_scan_step_golden():
         sum(jnp.sum(jnp.abs(v)) for v in jax.tree_util.tree_leaves(params))
     )
     np.testing.assert_allclose(param_l1, 27398.423828, rtol=1e-3)
+
+
+def test_multistyle_step_golden():
+    """Pin the multi-style train-step numerics (conditional-IN affines
+    through the custom VJPs, per-sample style gram targets) on fixed
+    seeds."""
+    from styletransfer_tpu.engines import multistyle as ms
+    from styletransfer_tpu.models import multistyle
+
+    rng = np.random.default_rng(11)
+    vgg_params = vgg.init_params(jax.random.PRNGKey(0))
+    styles = jnp.asarray(rng.standard_normal((2, 1, 32, 32, 3)), dtype=jnp.float32)
+    grams = [vgg.style_gram_targets(vgg_params, s) for s in styles]
+    stacked = {k: jnp.concatenate([g[k] for g in grams]) for k in grams[0]}
+    opt, step = ms.make_train_step(vgg_params, stacked)
+    params = multistyle.init_params(jax.random.PRNGKey(3), num_styles=2)
+    opt_state = opt.init(params)
+    batch = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), dtype=jnp.float32)
+    idx = jnp.asarray([0, 1], dtype=jnp.int32)
+    totals = []
+    for _ in range(2):
+        params, opt_state, m = step(params, opt_state, batch, idx)
+        totals.append(float(m["total"]))
+    np.testing.assert_allclose(totals, [297.535645, 1666.657959], rtol=1e-3)
+    param_l1 = float(
+        sum(jnp.sum(jnp.abs(v)) for v in jax.tree_util.tree_leaves(params))
+    )
+    np.testing.assert_allclose(param_l1, 28878.744141, rtol=1e-3)
