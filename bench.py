@@ -84,7 +84,10 @@ def main() -> None:
         float(jnp.sum(y))
         log(f"fast_st bf16: {batch * iters / (time.perf_counter() - t0):.1f} img/s")
 
-        # --- Gatys iters/sec (100 Adam iters at 256px, driver config 1) ---
+        # --- Gatys iters/sec at 256px: both the driver-config Adam
+        # diagnostic (100 iters) and the shipped DEFAULT optimizer
+        # (torch-contract L-BFGS: each step = up to 20 inner iterations,
+        # matching the reference's optimizer.step(closure) semantics) ---
         vgg_params = vgg.init_params(jax.random.PRNGKey(0))
         content, style = x[:1], x[1:2]
         grams = vgg.style_gram_targets(vgg_params, style)
@@ -96,7 +99,23 @@ def main() -> None:
         out, _ = gatys._run_adam(vgg_params, content, grams, steps, 1e5, 1.0, 0.05)
         float(jnp.sum(out))
         dt = time.perf_counter() - t0
-        log(f"gatys: {steps / dt:.1f} iters/s")
+        log(f"gatys (adam diagnostic): {steps / dt:.1f} iters/s")
+
+        lsteps = 5  # 5 torch-contract steps = up to 100 closure evals
+        out, _ = gatys._run_lbfgs_torch(
+            vgg_params, content, grams, lsteps, 1e5, 1.0
+        )
+        float(jnp.sum(out))  # compile
+        t0 = time.perf_counter()
+        out, _ = gatys._run_lbfgs_torch(
+            vgg_params, content, grams, lsteps, 1e5, 1.0
+        )
+        float(jnp.sum(out))
+        dt = time.perf_counter() - t0
+        log(
+            f"gatys (default lbfgs, torch contract): "
+            f"{lsteps / dt:.1f} steps/s = {lsteps * 20 / dt:.1f} closure evals/s"
+        )
 
         # --- video frames/sec (recurrent scan, batch 1) ---
         vparams = transformer.init_video_params(jax.random.PRNGKey(1))

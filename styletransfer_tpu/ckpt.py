@@ -213,11 +213,25 @@ def load_step_state(
     try:
         state = serialization.from_bytes(template, data)
     except (KeyError, ValueError):
-        # Legacy state without the "arrays" field (or one whose arrays dict
-        # lacks the requested keys, e.g. a post-epoch save).
-        del template["arrays"]
+        # Legacy / drifted state: the stored dict may predate the "arrays"
+        # field, hold a different arrays key set (e.g. a post-epoch save), or
+        # lack "extra" keys this code version now requires (e.g. the video
+        # trainer's batch_in_epoch/chunk_in_batch added after a state was
+        # written). Decode the raw state dict to see what is actually stored,
+        # restore exactly those keys, and default everything missing.
+        raw = serialization.msgpack_restore(data)
+        template["extra"] = {k: np.int64(0) for k in raw.get("extra", {})}
+        if "arrays" in raw:
+            template["arrays"] = {
+                k: np.zeros(0, np.float32) for k in raw["arrays"]
+            }
+        else:
+            del template["arrays"]
         state = serialization.from_bytes(template, data)
-        state["arrays"] = {}
+        state.setdefault("arrays", {})
+        state["extra"] = {
+            **{k: np.int64(0) for k in extra_keys}, **state["extra"]
+        }
     state["arrays"] = {k: v for k, v in state["arrays"].items() if np.size(v)}
     get_logger().info(
         "Restored step state from %s (epoch %d, iteration %d)",

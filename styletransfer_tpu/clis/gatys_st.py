@@ -27,10 +27,13 @@ LOGGER = get_logger()
               help="The weight we will assign to the content loss during the optimization")
 @click.option("-sw", "--style-weight", default=100_000,
               help="The weight we will assign to the style loss during the optimization")
-@click.option("--optimizer", default="lbfgs", type=click.Choice(["adam", "lbfgs"]),
-              help="On-device optimizer for the pixel optimization. lbfgs is "
-                   "the reference's optimizer (network.py:435); adam is "
-                   "faster per step on TPU.")
+@click.option("--optimizer", default="lbfgs",
+              type=click.Choice(["adam", "lbfgs", "lbfgs-zoom"]),
+              help="On-device optimizer for the pixel optimization. lbfgs "
+                   "replicates the reference's torch LBFGS contract exactly "
+                   "(network.py:435: ~20 inner iterations per step); "
+                   "lbfgs-zoom is optax L-BFGS with linesearch (1 update "
+                   "per step); adam is fastest per step on TPU.")
 @click.option("-b", "--batch", default=0, type=int,
               help="If CONTENT-IMAGE-PATH is a directory, stylize up to this "
                    "many images from it in ONE batched on-device "

@@ -386,7 +386,6 @@ def process_image(
         size=size or constants.IMSIZE,
     )
 
-    @jax.jit
     def serve_fn(params, batch_u8):
         x = img_utils.maybe_normalize_on_device(batch_u8)
         y = transformer.apply(
@@ -396,7 +395,13 @@ def process_image(
         )
         return img_utils.to_uint8_on_device(y)
 
-    out_u8 = np.asarray(serve_fn(params, jnp.asarray(input_u8)))[0]
+    # AOT executable cache: repeat invocations at the serving shapes skip
+    # the backend compile entirely (utils/aot.py).
+    from styletransfer_tpu.utils import aot
+
+    batch_dev = jnp.asarray(input_u8)
+    serve = aot.cached_compile(serve_fn, (params, batch_dev), "fast_serve")
+    out_u8 = np.asarray(serve(params, batch_dev))[0]
 
     from PIL import Image
 
@@ -452,7 +457,6 @@ def process_dir(
             MODEL_NAME, style_name, template, models_path
         )
 
-    @jax.jit
     def serve_fn(params, batch_u8):
         x = img_utils.maybe_normalize_on_device(batch_u8)
         y = transformer.apply(
@@ -461,6 +465,8 @@ def process_dir(
             pad_mode=pad_mode,
         )
         return img_utils.to_uint8_on_device(y)
+
+    serve_fn_compiled = None  # AOT-compiled lazily at the first batch shape
 
     sz = size or constants.IMSIZE
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
@@ -481,10 +487,34 @@ def process_dir(
     out_paths = []
     t0 = time.time()
     n_done = 0
+    # Bounded decode window: at most PREFETCH_BATCHES batches are in flight
+    # or buffered at once, so huge directories never pile the whole input
+    # set into host RAM ahead of device consumption (pool.map would).
+    PREFETCH_BATCHES = 4
+    from collections import deque
+
     with ThreadPoolExecutor(max_workers=8) as pool:
         batches = [files[i : i + batch_size] for i in range(0, len(files), batch_size)]
-        decoded_iter = pool.map(lambda chunk: [decode(n) for n in chunk], batches)
-        for chunk in decoded_iter:
+
+        def decode_batch(chunk):
+            return [decode(n) for n in chunk]
+
+        pending = deque()
+        next_idx = 0
+        while next_idx < len(batches) and len(pending) < PREFETCH_BATCHES:
+            pending.append(pool.submit(decode_batch, batches[next_idx]))
+            next_idx += 1
+
+        def decoded_iter():
+            nonlocal next_idx
+            while pending:
+                fut = pending.popleft()
+                if next_idx < len(batches):
+                    pending.append(pool.submit(decode_batch, batches[next_idx]))
+                    next_idx += 1
+                yield fut.result()
+
+        for chunk in decoded_iter():
             good = [(n, a) for n, a in chunk if a is not None]
             if not good:
                 continue
@@ -492,7 +522,14 @@ def process_dir(
             pad = batch_size - len(good)
             if pad:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-            out = np.asarray(serve_fn(params, jnp.asarray(arr)))[: len(good)]
+            batch_dev = jnp.asarray(arr)
+            if serve_fn_compiled is None:
+                from styletransfer_tpu.utils import aot
+
+                serve_fn_compiled = aot.cached_compile(
+                    serve_fn, (params, batch_dev), "fast_serve"
+                )
+            out = np.asarray(serve_fn_compiled(params, batch_dev))[: len(good)]
             for (name, _), img in zip(good, out):
                 stem = os.path.splitext(name)[0]
                 path = os.path.join(

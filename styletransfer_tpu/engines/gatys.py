@@ -8,12 +8,20 @@ the VGG pass is single-pass multi-tap, the update loop is a ``lax.scan`` over
 optimizer steps, and the only host transfer is the final image + the loss
 history array.
 
-Two optimizers:
-- ``adam`` (default): jit-scanned Adam over pixels — the primary on-device
-  path (the reference itself keeps an Adam/random-init variant commented at
-  network.py:431-433; the driver's baseline config is "~100 Adam iters").
-- ``lbfgs``: optax L-BFGS with zoom linesearch, also fully jitted — fidelity
-  parity with the reference's default optimizer (network.py:435).
+Three optimizers:
+- ``lbfgs`` (default): torch-contract L-BFGS
+  (:mod:`styletransfer_tpu.ops.lbfgs`) — each "step" is one
+  ``torch.optim.LBFGS.step(closure)`` with the reference's defaults
+  (``max_iter=20`` fixed-step inner iterations, persistent history), so the
+  CLI's ``-s 300`` performs the same ~6,000 closure evaluations as the
+  reference (network.py:435 + torch LBFGS defaults), with a
+  trajectory-parity test against the imported reference.
+- ``lbfgs-zoom``: optax L-BFGS with zoom linesearch — one linesearched
+  update per step; reaches comparable loss in far fewer evals (see
+  docs/performance.md) when iteration-for-iteration parity isn't needed.
+- ``adam``: jit-scanned Adam over pixels (the reference keeps an
+  Adam/random-init variant commented at network.py:431-433; the driver's
+  baseline config is "~100 Adam iters").
 """
 
 from __future__ import annotations
@@ -98,6 +106,48 @@ def _run_adam(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "steps", "style_weight", "content_weight", "compute_dtype",
+        "max_iter", "history_size",
+    ),
+)
+def _run_lbfgs_torch(
+    vgg_params,
+    content_image,
+    style_grams,
+    steps: int,
+    style_weight: float,
+    content_weight: float,
+    compute_dtype=None,
+    max_iter: int = 20,
+    history_size: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The reference's exact optimizer contract: ``steps`` torch-LBFGS
+    ``.step(closure)`` calls, each up to ``max_iter`` fixed-step inner
+    iterations with persistent history (network.py:435 + torch defaults)."""
+    from styletransfer_tpu.ops.lbfgs import lbfgs_torch
+
+    loss_fn = make_loss_fn(
+        vgg_params, content_image, style_grams, style_weight, content_weight,
+        compute_dtype=compute_dtype,
+    )
+    shape = content_image.shape
+
+    def flat_loss_and_grad(x_flat):
+        return jax.value_and_grad(lambda x: loss_fn(x.reshape(shape)))(x_flat)
+
+    x, losses = lbfgs_torch(
+        flat_loss_and_grad,
+        content_image.reshape(-1).astype(jnp.float32),
+        steps=steps,
+        max_iter=max_iter,
+        history_size=history_size,
+    )
+    return x.reshape(shape), losses
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("steps", "style_weight", "content_weight", "compute_dtype"),
 )
 def _run_lbfgs(
@@ -142,15 +192,18 @@ def train_gatys(
     learning_rate: float = 0.05,
     log_every: Optional[int] = 50,
     precision: str = "f32",
+    history_size: int = 100,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stylize ``content_image`` with the style of ``style_image``.
 
     Drop-in equivalent of ``train_gatys``, with the reference's *method*
     defaults: steps=550 and L-BFGS over the pixels (network.py:413, 435).
     The CLI layer passes steps=300 by default, mirroring the reference CLI
-    (clis/gatys_st.py:14). Returns ``(image, loss_history)`` where ``image``
-    is NHWC in normalized space and ``loss_history`` has one entry per
-    optimizer step.
+    (clis/gatys_st.py:14). With the default ``lbfgs`` each step is a full
+    torch ``optimizer.step(closure)`` — up to 20 inner L-BFGS iterations —
+    so the *iteration count contract matches the reference exactly*.
+    Returns ``(image, loss_history)`` where ``image`` is NHWC in normalized
+    space and ``loss_history`` has one entry per optimizer step.
 
     ``content_image`` may be batched ([N, H, W, 3]): the whole batch
     optimizes in one scanned program against the same style — per-pixel
@@ -177,13 +230,21 @@ def train_gatys(
             compute_dtype=compute_dtype,
         )
     elif optimizer == "lbfgs":
+        pixels, losses = _run_lbfgs_torch(
+            vgg_params, content_image, style_grams, steps,
+            float(style_weight), float(content_weight),
+            compute_dtype=compute_dtype, history_size=history_size,
+        )
+    elif optimizer == "lbfgs-zoom":
         pixels, losses = _run_lbfgs(
             vgg_params, content_image, style_grams, steps,
             float(style_weight), float(content_weight),
             compute_dtype=compute_dtype,
         )
     else:
-        raise ValueError(f"unknown optimizer {optimizer!r}; use 'adam' or 'lbfgs'")
+        raise ValueError(
+            f"unknown optimizer {optimizer!r}; use 'lbfgs', 'lbfgs-zoom' or 'adam'"
+        )
 
     losses = jax.device_get(losses)
     if log_every:

@@ -228,9 +228,12 @@ def video_train(
     ``step_checkpoint_every`` additionally saves resumable mid-epoch state
     (at chunk granularity) every >=N frame updates, like ``static_train`` —
     including the exact (video batch, chunk) position and the recurrent
-    carry frames, so a crash-resume replays no trained frame and produces
-    params identical to an uninterrupted run (skipped frames are decoded to
-    keep the readers in lockstep, but take no step).
+    carry frames, so a single-host crash-resume replays no trained frame and
+    produces params identical to an uninterrupted run (skipped frames are
+    decoded to keep the readers in lockstep, but take no step). Multi-host
+    runs do not save the carry arrays (each process holds only a shard), so
+    a mid-batch resume there restarts from the beginning of the stored
+    video batch and re-trains its earlier chunks.
     """
     logger = get_logger()
     mesh = mesh or mesh_lib.auto_mesh(batch_size)

@@ -1,0 +1,205 @@
+"""torch-contract L-BFGS as one jitted JAX program.
+
+The reference's Gatys trainer runs ``torch.optim.LBFGS`` with every default
+(network.py:403-409, 435): ``lr=1``, ``max_iter=20``, ``history_size=100``,
+``tolerance_grad=1e-7``, ``tolerance_change=1e-9`` and **no line search** —
+so each CLI "step" (one ``optimizer.step(closure)``) is up to 20 fixed-step
+L-BFGS inner iterations whose memory/state persists across steps. The CLI
+default ``-s 300`` therefore performs up to ~6,000 closure evaluations, not
+300.
+
+This module replicates those exact semantics (torch/optim/lbfgs.py's
+``line_search_fn is None`` path) as a pure-JAX nested ``lax.scan``:
+
+- outer scan = the reference's ``for step in range(steps)`` loop,
+- inner scan = the ``while n_iter < max_iter`` loop, with every
+  data-dependent ``break`` (directional-derivative / gradient-norm /
+  step-size / loss-change tolerances) folded into a carried ``broke`` mask,
+- the two-loop recursion over the history runs against fixed-size [H, N]
+  ring buffers with an insert counter, scanned with validity masks, so the
+  whole optimization is a single compiled program with static shapes —
+  no data-dependent Python control flow ever reaches the host.
+
+Exactness notes (vs torch, both sides float32):
+- torch re-evaluates the closure at the top of every ``.step`` even though
+  ``x`` is unchanged since the previous step's last evaluation; we carry
+  ``(loss, grad)`` instead, which is bitwise-equivalent for a deterministic
+  closure and saves one eval per outer step.
+- when an inner iteration takes a step at ``n_iter == max_iter`` torch
+  defers the re-evaluation to the next ``.step``'s initial closure call; we
+  evaluate immediately — the same evaluation, one iteration earlier.
+- ``max_eval`` (default ``max_iter * 5 / 4 = 25``) can never bind on the
+  no-line-search path (at most ``1 + max_iter = 21`` evals per step), so it
+  is validated but not simulated.
+- torch compares ``abs(loss - prev_loss)`` in float64 on host-pulled floats;
+  we compare in float32. Both operate on f32-valued losses, so they can
+  disagree only when the change sits within one ulp of ``tolerance_change``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    # History dots are [N]-vector reductions; keep highest precision so the
+    # two-loop recursion matches torch-CPU f32 accumulation closely.
+    return jnp.vdot(a, b, precision=lax.Precision.HIGHEST)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "loss_and_grad_fn", "steps", "lr", "max_iter", "tolerance_grad",
+        "tolerance_change", "history_size",
+    ),
+)
+def lbfgs_torch(
+    loss_and_grad_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    x0: jnp.ndarray,
+    steps: int,
+    lr: float = 1.0,
+    max_iter: int = 20,
+    tolerance_grad: float = 1e-7,
+    tolerance_change: float = 1e-9,
+    history_size: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run ``steps`` torch-``LBFGS.step(closure)`` calls on a flat vector.
+
+    ``loss_and_grad_fn(x) -> (loss, grad)`` is the closure;
+    ``x0`` is the flat float32 parameter vector. Returns
+    ``(x_final, losses)`` where ``losses[i]`` is the loss at entry to outer
+    step ``i`` (torch's ``orig_loss`` return value per ``.step`` call).
+    """
+    H = history_size
+    n = x0.size
+    f32 = jnp.float32
+
+    loss0, grad0 = loss_and_grad_fn(x0)
+
+    carry0 = dict(
+        x=x0.astype(f32),
+        loss=loss0.astype(f32),
+        grad=grad0.astype(f32),
+        prev_grad=jnp.zeros((n,), f32),
+        prev_loss=jnp.array(0.0, f32),
+        t=jnp.array(0.0, f32),
+        d=jnp.zeros((n,), f32),
+        S=jnp.zeros((H, n), f32),  # torch old_stps (s = d * t)
+        Y=jnp.zeros((H, n), f32),  # torch old_dirs (y = g - g_prev)
+        rho=jnp.zeros((H,), f32),
+        k=jnp.array(0, jnp.int32),       # total history inserts
+        H_diag=jnp.array(1.0, f32),
+        n_glob=jnp.array(0, jnp.int32),  # torch state["n_iter"]
+    )
+
+    def inner(c, _i_unused):
+        active = jnp.logical_not(c["broke"])
+        n_glob1 = jnp.where(active, c["n_glob"] + 1, c["n_glob"])
+        first = n_glob1 == 1  # torch: d = -g, empty history, H_diag = 1
+
+        # --- history update (lbfgs.py:396-414) ---
+        y = c["grad"] - c["prev_grad"]
+        s = c["d"] * c["t"]
+        ys = _dot(y, s)
+        insert = active & jnp.logical_not(first) & (ys > 1e-10)
+        pos = c["k"] % H
+        S = c["S"].at[pos].set(jnp.where(insert, s, c["S"][pos]))
+        Y = c["Y"].at[pos].set(jnp.where(insert, y, c["Y"][pos]))
+        rho = c["rho"].at[pos].set(
+            jnp.where(insert, 1.0 / jnp.where(insert, ys, 1.0), c["rho"][pos])
+        )
+        k1 = c["k"] + insert.astype(jnp.int32)
+        yy = _dot(y, y)
+        H_diag1 = jnp.where(
+            first,
+            1.0,
+            jnp.where(insert, ys / jnp.where(insert, yy, 1.0), c["H_diag"]),
+        )
+        num_old = jnp.minimum(k1, H)
+
+        # --- two-loop recursion against the ring buffers (lbfgs.py:424-435).
+        # Buffer slot of list entry j (oldest-first, j in [0, num_old)):
+        # (k1 - num_old + j) % H. Backward pass walks newest -> oldest.
+        def bwd(q, tt):
+            valid = tt < num_old
+            idx = jnp.mod(k1 - 1 - tt, H)
+            al_t = jnp.where(valid, rho[idx] * _dot(S[idx], q), 0.0)
+            return q - al_t * Y[idx], al_t
+
+        q, al_rev = lax.scan(bwd, -c["grad"], jnp.arange(H))
+
+        def fwd(r, jj):
+            valid = jj < num_old
+            idx = jnp.mod(k1 - num_old + jj, H)
+            be = rho[idx] * _dot(Y[idx], r)
+            al_j = al_rev[jnp.mod(num_old - 1 - jj, H)]
+            return r + jnp.where(valid, al_j - be, 0.0) * S[idx], None
+
+        d1, _ = lax.scan(fwd, q * H_diag1, jnp.arange(H))
+
+        prev_grad1 = c["grad"]
+        prev_loss1 = c["loss"]
+
+        # --- step length (lbfgs.py:447-450) ---
+        t1 = jnp.where(
+            first,
+            jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(c["grad"]))) * lr,
+            jnp.asarray(lr, f32),
+        )
+
+        gtd = _dot(c["grad"], d1)
+        break_gtd = gtd > -tolerance_change  # lbfgs.py:456-457 (no step taken)
+        step_taken = active & jnp.logical_not(break_gtd)
+
+        x1 = c["x"] + jnp.where(step_taken, t1, 0.0) * d1
+
+        # Re-evaluate at the new point. torch skips this at
+        # n_iter == max_iter and lets the next .step's initial closure do
+        # it — identical values either way (see module docstring).
+        loss1, grad1 = lax.cond(
+            step_taken,
+            lambda xx: loss_and_grad_fn(xx),
+            lambda xx: (c["loss"], c["grad"]),
+            x1,
+        )
+        loss1 = loss1.astype(f32)
+
+        # --- remaining break conditions (lbfgs.py:510-519) ---
+        opt_cond = jnp.max(jnp.abs(grad1)) <= tolerance_grad
+        small_step = jnp.max(jnp.abs(d1 * t1)) <= tolerance_change
+        small_change = jnp.abs(loss1 - prev_loss1) < tolerance_change
+        broke1 = c["broke"] | break_gtd | (
+            step_taken & (opt_cond | small_step | small_change)
+        )
+
+        new = dict(
+            x=jnp.where(step_taken, x1, c["x"]),
+            loss=jnp.where(step_taken, loss1, c["loss"]),
+            grad=jnp.where(step_taken, grad1, c["grad"]),
+            prev_grad=jnp.where(active, prev_grad1, c["prev_grad"]),
+            prev_loss=jnp.where(active, prev_loss1, c["prev_loss"]),
+            t=jnp.where(active, t1, c["t"]),
+            d=jnp.where(active, d1, c["d"]),
+            S=S, Y=Y, rho=rho, k=k1,
+            H_diag=jnp.where(active, H_diag1, c["H_diag"]),
+            n_glob=n_glob1,
+            broke=broke1,
+        )
+        return new, None
+
+    def outer(c, _):
+        orig_loss = c["loss"]
+        # Entry optimality check (lbfgs.py:363-367): return immediately.
+        c = dict(c, broke=jnp.max(jnp.abs(c["grad"])) <= tolerance_grad)
+        c, _ = lax.scan(inner, c, None, length=max_iter)
+        c.pop("broke")
+        return c, orig_loss
+
+    carry, losses = lax.scan(outer, carry0, None, length=steps)
+    return carry["x"], losses

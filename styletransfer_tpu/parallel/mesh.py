@@ -46,6 +46,15 @@ def auto_mesh(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
     n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
+    if n < len(devices):
+        from styletransfer_tpu.utils.logging import get_logger
+
+        get_logger().warning(
+            "auto_mesh: batch size %d does not divide the %d available "
+            "devices; using a %d-device mesh (%d device(s) idle). Pick a "
+            "batch size divisible by the device count to use every chip.",
+            batch_size, len(devices), n, len(devices) - n,
+        )
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 

@@ -78,3 +78,40 @@ def test_shard_frames_axis1():
     # Batch axis (1) sharded, time axis (0) replicated.
     spec = dev.sharding.spec
     assert spec[0] is None and spec[1] == "data"
+
+
+def test_dp_step_overhead_is_bounded():
+    """Sharding-overhead guard (the only multi-chip *performance* signal
+    available without hardware): at a fixed global batch on the virtual
+    8-device CPU mesh, the 8-way-sharded train step must not be slower
+    than ~2x the single-device step. Every virtual device timeshares the
+    same host cores, so a well-formed DP program stays ~constant (measured
+    0.5x — sharding parallelizes the host cores; see
+    benchmarks/dp_scaling_bench.py for the full 1/2/4/8 curve). A blowup
+    here means per-device work that doesn't shrink with the shard
+    (replicated gradient math, resharding copies, host round-trips)."""
+    import time
+
+    vgg_params, grams, params0, batch = _setup()
+    opt, step = fast.make_train_step(vgg_params, grams, 1000.0, 1.0)
+    # Host copies: the train step donates params/opt_state, and replicate()
+    # onto a 1-device mesh aliases device arrays instead of copying — fresh
+    # device arrays must be staged from host for each timed run.
+    params_host = jax.device_get(params0)
+    opt_state_host = jax.device_get(opt.init(params0))
+
+    def timed(n_devices):
+        mesh = mesh_lib.get_mesh(num_devices=n_devices)
+        params = mesh_lib.replicate(params_host, mesh)
+        opt_state = mesh_lib.replicate(opt_state_host, mesh)
+        b = mesh_lib.shard_batch(batch, mesh)
+        p, s, m = step(params, opt_state, b)  # compile + warm
+        float(m["total"])
+        t0 = time.perf_counter()
+        for _ in range(2):
+            p, s, m = step(p, s, b)
+        float(m["total"])
+        return (time.perf_counter() - t0) / 2
+
+    t1, t8 = timed(1), timed(8)
+    assert t8 < 2.5 * t1, f"8-dev step {t8:.3f}s vs 1-dev {t1:.3f}s"

@@ -457,6 +457,55 @@ def test_gatys_closure_value_matches_reference(ref, shared_vgg):
     np.testing.assert_allclose(float(loss_fn(jnp.asarray(inp))), ref_total, rtol=1e-4)
 
 
+def test_gatys_lbfgs_trajectory_matches_reference(ref, shared_vgg):
+    """THREE full ``optimizer.step(closure)`` calls of the reference's torch
+    LBFGS (all defaults — network.py:435: lr=1, max_iter=20, fixed step)
+    against our torch-contract L-BFGS (ops/lbfgs.py): the per-step loss
+    trajectory AND the optimized pixels must agree. This pins the
+    *iteration-count contract* — each CLI step is ~20 inner L-BFGS
+    iterations with state persisting across steps, not one update."""
+    import jax.numpy as jnp
+
+    from styletransfer_tpu.engines import gatys
+    from styletransfer_tpu.models import vgg
+
+    _, vgg_params = shared_vgg
+    rng = np.random.default_rng(8)
+    style = _image_like(rng, (1, 32, 32, 3))
+    content = _image_like(rng, (1, 32, 32, 3))
+
+    # Reference loop, verbatim semantics of network.py:429-456.
+    sn = ref.network.StyleNetwork(_nchw(style), _nchw(content))
+    input_image = _nchw(content).clone()
+    optt = torch.optim.LBFGS([input_image.requires_grad_()])
+    ref_losses = []
+    for _step in range(3):
+        def closure():
+            optt.zero_grad()
+            sn(input_image, _nchw(content))
+            total = sn.get_total_current_style_loss(
+                weight=100_000
+            ) + sn.get_total_current_content_loss(weight=1)
+            total.backward()
+            return total
+
+        ref_losses.append(float(optt.step(closure).detach()))
+    assert int(optt.state[optt._params[0]]["n_iter"]) == 60, (
+        "the reference contract is 20 inner iterations per step"
+    )
+    ref_final = _nhwc(input_image).copy()
+
+    grams = vgg.style_gram_targets(vgg_params, jnp.asarray(style))
+    pix, losses = gatys._run_lbfgs_torch(
+        vgg_params, jnp.asarray(content), grams, 3, 100_000.0, 1.0
+    )
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(pix), ref_final, atol=5e-4)
+    # And the optimization must actually have moved the pixels (guards
+    # against a vacuous pass where both sides no-op).
+    assert np.abs(np.asarray(pix) - content).max() > 1e-3
+
+
 def test_tv_loss_matches_reference(ref):
     import jax.numpy as jnp
 
@@ -520,3 +569,280 @@ def test_image_loader_transform_matches_reference(ref, tmp_path, size):
     np.testing.assert_allclose(
         ours, theirs.transpose(0, 2, 3, 1), atol=1e-5, rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-step TRAINING-TRAJECTORY parity: the imported reference trainer and
+# ours take the same Adam steps under shared weights and shared batches.
+# ---------------------------------------------------------------------------
+
+
+def test_fast_train_trajectory_matches_reference(ref, shared_vgg):
+    """THREE Adam training steps of the reference's ``static_train`` closure
+    (network.py:688-731: transform -> style+content+TV loss -> backward ->
+    ``optimizer.step``) against three of our jitted ``make_train_step``
+    calls, from identical transform-net/VGG weights on identical batches:
+    per-step losses AND the updated parameters must agree.
+
+    (The reference's every-20th-iteration logging closure call,
+    network.py:733-741, is trajectory-neutral for static training —
+    ``zero_grad`` runs inside the closure — so it is not replicated.)
+    """
+    import jax.numpy as jnp
+
+    from styletransfer_tpu.engines import fast
+    from styletransfer_tpu.models import transformer, vgg
+
+    _, vgg_params = shared_vgg
+    _PAD_TRANSLATION["mode"] = "reflect"
+    rng = np.random.default_rng(21)
+    style = _image_like(rng, (1, 32, 32, 3))
+    batches = [_image_like(rng, (2, 32, 32, 3)) for _ in range(3)]
+
+    # --- reference: ImageTransformNet + StyleNetwork + torch Adam ---
+    torch.manual_seed(0)
+    tnet = ref.network.ImageTransformNet(_nchw(style), batch_size=2)
+    loss_network = ref.network.StyleNetwork(
+        _nchw(style), torch.rand([1, 3, 32, 32])
+    )
+    optimizer = torch.optim.Adam(tnet.parameters())
+    ref_losses = []
+    for batch_np in batches:
+        batch = _nchw(batch_np)
+
+        def closure():
+            optimizer.zero_grad()
+            transformed = tnet(batch)
+            loss_network(transformed, content_image=batch)
+            total = (
+                loss_network.get_total_current_style_loss(weight=100_000)
+                + loss_network.get_total_current_content_loss(weight=1)
+                + tnet.get_total_variation_regularization_loss(transformed)
+            )
+            total.backward()
+            return total
+
+        ref_losses.append(float(optimizer.step(closure).detach()))
+
+    # --- ours: same weights, same batches, jitted train step ---
+    params = transformer.import_torch_state_dict(dict(tnet.state_dict()))
+    # tnet has been updated by 3 steps; rebuild initial params from a fresh
+    # seeded net instead: reconstruct with the same torch seed.
+    torch.manual_seed(0)
+    tnet0 = ref.network.ImageTransformNet(_nchw(style), batch_size=2)
+    params = transformer.import_torch_state_dict(dict(tnet0.state_dict()))
+
+    grams = vgg.style_gram_targets(vgg_params, jnp.asarray(style))
+    opt, train_step = fast.make_train_step(vgg_params, grams, 100_000.0, 1.0)
+    opt_state = opt.init(params)
+    our_losses = []
+    for batch_np in batches:
+        params, opt_state, metrics = train_step(
+            params, opt_state, jnp.asarray(batch_np)
+        )
+        our_losses.append(float(metrics["total"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3)
+    # Param-trajectory agreement. Adam's normalized update amplifies f32
+    # noise for elements whose gradient is ~0 (m/sqrt(v) flips sign on a
+    # 1-ulp difference, drifting up to lr=1e-3 per step), so assert a
+    # distributional bound: essentially all elements track tightly, and no
+    # element exceeds the 3-step Adam drift envelope.
+    ours_sd = transformer.export_torch_state_dict(params)
+    theirs_sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    diffs = np.concatenate(
+        [np.abs(ours_sd[k] - theirs_sd[k]).ravel() for k in theirs_sd]
+    )
+    assert np.percentile(diffs, 99) < 1e-4, (
+        f"p99 param diff {np.percentile(diffs, 99):.2e} after 3 shared steps"
+    )
+    assert diffs.max() < 3.5e-3, f"max param diff {diffs.max():.2e}"
+    # Guard against a vacuous pass: training must have moved the params.
+    init_sd = {k: v.detach().numpy() for k, v in tnet0.state_dict().items()}
+    moved = max(
+        np.abs(theirs_sd[k] - init_sd[k]).max() for k in theirs_sd
+    )
+    assert moved > 1e-4
+
+
+def test_video_train_trajectory_matches_reference(ref, shared_vgg):
+    """TWO per-frame Adam steps of the reference's ``video_train`` closure
+    (network.py:984-1037: 6-channel input [frame ⊕ previous stylized],
+    style+content+TV+temporal loss, ``old_images`` detached inside the
+    closure) against our scanned video train step, from identical weights
+    on identical frames: per-frame losses, the recurrent carry, and the
+    updated parameters must agree.
+
+    (The reference's logging closure at iteration%20==0, network.py:1039-45,
+    is NOT replicated: for video it has a real side effect — it advances
+    ``old_images`` a second time on logged frames — which our engine
+    deliberately drops as a logging artifact; this test pins the per-step
+    training semantics both sides share.)
+    """
+    import jax.numpy as jnp
+
+    from styletransfer_tpu.engines import video as video_engine
+    from styletransfer_tpu.models import transformer, vgg
+
+    _, vgg_params = shared_vgg
+    _PAD_TRANSLATION["mode"] = "reflect"
+    rng = np.random.default_rng(22)
+    style = _image_like(rng, (1, 32, 32, 3))
+    frames = [_image_like(rng, (2, 32, 32, 3)) for _ in range(2)]
+
+    torch.manual_seed(1)
+    vnet = ref.network.VideoTransformNet(_nchw(style), batch_size=2)
+    loss_network = ref.network.StyleNetwork(
+        _nchw(style), torch.rand([1, 3, 32, 32])
+    )
+    optimizer = torch.optim.Adam(vnet.parameters())
+    ref_losses = []
+    old_images = None
+    for frame_np in frames:
+        batch = _nchw(frame_np)
+        if old_images is None:
+            old_images = [batch, batch]
+        old_content, old_styled = old_images[0], old_images[1]
+        batch_with_old = torch.cat([batch, old_styled], dim=1)
+
+        def closure():
+            optimizer.zero_grad()
+            transformed = vnet(batch_with_old)
+            loss_network(transformed, content_image=batch)
+            total = (
+                loss_network.get_total_current_style_loss(weight=100_000)
+                + loss_network.get_total_current_content_loss(weight=1)
+                + vnet.get_total_variation_regularization_loss(transformed)
+                + vnet.get_temporal_loss(
+                    old_content, old_styled, batch, transformed,
+                    temporal_weight=0.8,
+                )
+            )
+            old_images[0] = batch.detach()
+            old_images[1] = transformed.detach()
+            total.backward()
+            return total
+
+        ref_losses.append(float(optimizer.step(closure).detach()))
+
+    torch.manual_seed(1)
+    vnet0 = ref.network.VideoTransformNet(_nchw(style), batch_size=2)
+    params = transformer.import_torch_state_dict(dict(vnet0.state_dict()))
+    grams = vgg.style_gram_targets(vgg_params, jnp.asarray(style))
+    opt, scan_step = video_engine.make_scan_train_step(
+        vgg_params, grams, 100_000.0, 1.0, 0.8
+    )
+    opt_state = opt.init(params)
+    mask = video_engine.freeze_mask(params, False)
+    frames_arr = jnp.asarray(np.stack(frames))  # [T=2, B=2, 32, 32, 3]
+    valid = jnp.ones(2, dtype=bool)
+    f0 = jnp.asarray(frames[0])
+    params, opt_state, old_c, old_s, metrics = scan_step(
+        params, opt_state, frames_arr, valid, f0, f0, mask
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(metrics["total"]), ref_losses, rtol=1e-3
+    )
+    # Carry parity: (old content, old stylized) == reference old_images.
+    np.testing.assert_allclose(
+        np.asarray(old_c), _nhwc(old_images[0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(old_s), _nhwc(old_images[1]), atol=5e-4
+    )
+    # Same distributional bound as the fast test (Adam near-zero-gradient
+    # sign flips drift up to lr per step; 2 steps here).
+    ours_sd = transformer.export_torch_state_dict(params)
+    theirs_sd = {k: v.detach().numpy() for k, v in vnet.state_dict().items()}
+    diffs = np.concatenate(
+        [np.abs(ours_sd[k] - theirs_sd[k]).ravel() for k in theirs_sd]
+    )
+    assert np.percentile(diffs, 99) < 1e-4, (
+        f"p99 param diff {np.percentile(diffs, 99):.2e} after 2 shared steps"
+    )
+    # (Adam's bias-corrected per-step update can exceed lr by ~sqrt(1-b2^t)
+    # factors in the first steps, so the 2-step envelope is > 2*lr.)
+    assert diffs.max() < 5e-3, f"max param diff {diffs.max():.2e}"
+
+
+# ---------------------------------------------------------------------------
+# Real-asset parity: the reference's own demo images (data/dancing.jpg and
+# data/styles/*.jpg — README.md:44-62 workflow) through both pipelines.
+# ---------------------------------------------------------------------------
+
+REF_CONTENT = os.path.join(REFERENCE_ROOT, "data", "dancing.jpg")
+REF_STYLE = os.path.join(REFERENCE_ROOT, "data", "styles", "the_scream.jpg")
+
+real_assets = pytest.mark.skipif(
+    not (os.path.isfile(REF_CONTENT) and os.path.isfile(REF_STYLE)),
+    reason="reference demo images not available",
+)
+
+
+@real_assets
+def test_real_image_loads_match_reference(ref):
+    """The reference's actual demo photograph and painting decode + crop +
+    resize + normalize identically through both IO stacks (real JPEG decode,
+    non-square 948x1200 style — not synthetic arrays)."""
+    from styletransfer_tpu.utils import images
+
+    for path in (REF_CONTENT, REF_STYLE):
+        theirs = ref.img_utils.image_loader(path).detach().numpy()
+        ours = images.load_image(path)
+        np.testing.assert_allclose(
+            ours, theirs.transpose(0, 2, 3, 1), atol=1e-5, rtol=1e-5
+        )
+
+
+@real_assets
+def test_real_image_fast_forward_matches_reference(ref):
+    """ImageTransformNet forward parity on the real demo photo at the
+    working resolution (256px), under shared seeded weights."""
+    import jax.numpy as jnp
+
+    from styletransfer_tpu.models import transformer
+    from styletransfer_tpu.utils import images
+
+    _PAD_TRANSLATION["mode"] = "reflect"
+    torch.manual_seed(3)
+    tnet = ref.network.ImageTransformNet(torch.rand(1, 3, 8, 8), batch_size=1)
+    tnet.eval()
+    params = transformer.import_torch_state_dict(dict(tnet.state_dict()))
+
+    x = images.load_image(REF_CONTENT)  # [1, 256, 256, 3]
+    with torch.no_grad():
+        theirs = _nhwc(tnet(_nchw(x)))
+    ours = np.asarray(transformer.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-4)
+
+
+@real_assets
+def test_real_image_gatys_closure_matches_reference(ref, shared_vgg):
+    """One Gatys closure (weighted style+content) on the real demo
+    photo/painting pair matches the imported reference under shared VGG
+    weights — the reference README's exact workflow inputs."""
+    import jax.numpy as jnp
+
+    from styletransfer_tpu.engines import gatys
+    from styletransfer_tpu.models import vgg
+    from styletransfer_tpu.utils import images
+
+    _, vgg_params = shared_vgg
+    content = images.load_image(REF_CONTENT)
+    style = images.load_image(REF_STYLE)
+
+    sn = ref.network.StyleNetwork(_nchw(style), _nchw(content))
+    sn(_nchw(content), _nchw(content))
+    ref_total = float(
+        sn.get_total_current_style_loss(weight=100_000)
+        + sn.get_total_current_content_loss(weight=1)
+    )
+
+    grams = vgg.style_gram_targets(vgg_params, jnp.asarray(style))
+    loss_fn = gatys.make_loss_fn(
+        vgg_params, jnp.asarray(content), grams,
+        style_weight=100_000.0, content_weight=1.0,
+    )
+    ours = float(loss_fn(jnp.asarray(content)))
+    np.testing.assert_allclose(ours, ref_total, rtol=1e-4)
