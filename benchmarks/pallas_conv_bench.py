@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from styletransfer_tpu.ops.pallas.conv3x3 import conv3x3_valid
+from styletransfer_tpu.ops.pallas.conv3x3 import (
+    conv3x3_flat, conv3x3_im2col, conv3x3_valid,
+)
 
 B, H, W, C, O = 128, 64, 64, 128, 128
 ITERS = 20
@@ -70,9 +72,30 @@ def main():
     rel = d.max() / max(1e-6, float(np.abs(np.asarray(ref[0], np.float32)).max()))
     print(f"max rel diff vs XLA conv: {rel:.2e}")
 
-    t_xla = timed(xla_conv, (x, w, b.astype(x.dtype)), "xla conv+stats  ")
-    t_pl = timed(conv3x3_valid, (x, w, b), "pallas conv+stats")
-    print(f"speedup: {t_xla / t_pl:.2f}x")
+    @jax.jit
+    def xla_conv_nostats(x, w, b):
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return (out + b,)
+
+    t_xla = timed(xla_conv, (x, w, b.astype(x.dtype)), "xla conv+stats    ")
+    t_xla_ns = timed(
+        xla_conv_nostats, (x, w, b.astype(x.dtype)), "xla conv (no stats)"
+    )
+    t_pl = timed(conv3x3_valid, (x, w, b), "pallas conv+stats  ")
+    t_fl = timed(
+        lambda x, w, b: (conv3x3_flat(x, w, b),), (x, w, b),
+        "pallas shift-slice ",
+    )
+    t_i2c = timed(
+        lambda x, w, b: (conv3x3_im2col(x, w, b),), (x, w, b),
+        "pallas im2col 1-dot",
+    )
+    print(f"pallas im2col vs xla no-stats: {t_xla_ns / t_i2c:.2f}x")
+    print(f"pallas+stats vs xla+stats: {t_xla / t_pl:.2f}x")
+    print(f"pallas shift-slice vs xla no-stats: {t_xla_ns / t_fl:.2f}x")
 
 
 if __name__ == "__main__":
