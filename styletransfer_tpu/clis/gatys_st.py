@@ -39,13 +39,19 @@ LOGGER = get_logger()
                    "many images from it in ONE batched on-device "
                    "optimization (0 = all).")
 @click.option("--learning-rate", default=0.05, help="Adam learning rate")
+@click.option("--history-math", default="compact",
+              type=click.Choice(["compact", "two_loop"]),
+              help="L-BFGS direction computation (lbfgs optimizer only): "
+                   "compact is the Byrd-Nocedal form (~2x faster on TPU, "
+                   "same operator); two_loop is torch's literal recursion "
+                   "for bit-level fidelity.")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="VGG tower activation precision (bf16 is faster; pixels stay f32)")
 @click.option("--size", default=None, type=int,
               help="Working resolution (default 256)")
 def gatys_st(content_image_path, style_image_path, out_name, steps,
              content_weight, style_weight, optimizer, batch, learning_rate,
-             precision, size):
+             history_math, precision, size):
     """
     Run the original Gatys style transfer. Both `style-image` and
     `content-image` should be the paths to the image we want to take the
@@ -99,6 +105,7 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
         content_weight=content_weight,
         optimizer=optimizer,
         learning_rate=learning_rate,
+        history_math=history_math,
         precision=precision,
     )
 

@@ -108,7 +108,7 @@ def _run_adam(
     jax.jit,
     static_argnames=(
         "steps", "style_weight", "content_weight", "compute_dtype",
-        "max_iter", "history_size",
+        "max_iter", "history_size", "history_math",
     ),
 )
 def _run_lbfgs_torch(
@@ -121,6 +121,7 @@ def _run_lbfgs_torch(
     compute_dtype=None,
     max_iter: int = 20,
     history_size: int = 100,
+    history_math: str = "compact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The reference's exact optimizer contract: ``steps`` torch-LBFGS
     ``.step(closure)`` calls, each up to ``max_iter`` fixed-step inner
@@ -142,6 +143,7 @@ def _run_lbfgs_torch(
         steps=steps,
         max_iter=max_iter,
         history_size=history_size,
+        history_math=history_math,
     )
     return x.reshape(shape), losses
 
@@ -193,6 +195,7 @@ def train_gatys(
     log_every: Optional[int] = 50,
     precision: str = "f32",
     history_size: int = 100,
+    history_math: str = "compact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stylize ``content_image`` with the style of ``style_image``.
 
@@ -234,6 +237,7 @@ def train_gatys(
             vgg_params, content_image, style_grams, steps,
             float(style_weight), float(content_weight),
             compute_dtype=compute_dtype, history_size=history_size,
+            history_math=history_math,
         )
     elif optimizer == "lbfgs-zoom":
         pixels, losses = _run_lbfgs(

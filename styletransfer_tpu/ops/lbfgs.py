@@ -52,11 +52,115 @@ def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.vdot(a, b, precision=lax.Precision.HIGHEST)
 
 
+def _mv(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Matrix-vector product at full f32 precision (compact-form math)."""
+    return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+
+
+def _two_loop_direction(c, grad, y, s, ys, insert, first, H_diag1, H):
+    """torch's literal algorithm (lbfgs.py:396-435): ring buffers + the
+    sequential two-loop recursion (200 small dependent dots at H=100)."""
+    pos = c["k"] % H
+    S = c["S"].at[pos].set(jnp.where(insert, s, c["S"][pos]))
+    Y = c["Y"].at[pos].set(jnp.where(insert, y, c["Y"][pos]))
+    rho = c["rho"].at[pos].set(
+        jnp.where(insert, 1.0 / jnp.where(insert, ys, 1.0), c["rho"][pos])
+    )
+    k1 = c["k"] + insert.astype(jnp.int32)
+    num_old = jnp.minimum(k1, H)
+
+    # Buffer slot of list entry j (oldest-first, j in [0, num_old)):
+    # (k1 - num_old + j) % H. Backward pass walks newest -> oldest.
+    def bwd(q, tt):
+        valid = tt < num_old
+        idx = jnp.mod(k1 - 1 - tt, H)
+        al_t = jnp.where(valid, rho[idx] * _dot(S[idx], q), 0.0)
+        return q - al_t * Y[idx], al_t
+
+    q, al_rev = lax.scan(bwd, -grad, jnp.arange(H))
+
+    def fwd(r, jj):
+        valid = jj < num_old
+        idx = jnp.mod(k1 - num_old + jj, H)
+        be = rho[idx] * _dot(Y[idx], r)
+        al_j = al_rev[jnp.mod(num_old - 1 - jj, H)]
+        return r + jnp.where(valid, al_j - be, 0.0) * S[idx], None
+
+    d1, _ = lax.scan(fwd, q * H_diag1, jnp.arange(H))
+    return d1, dict(S=S, Y=Y, rho=rho, k=k1)
+
+
+def _compact_direction(c, grad, y, s, ys, insert, first, H_diag1, H):
+    """Byrd-Nocedal compact inverse-Hessian (Nocedal & Wright, Thm 7.4):
+
+        H = gI + [S' gY'] [[R^-T (D + g Y'Y) R^-1, -R^-T], [-R^-1, 0]] [S'; gY']
+
+    with S'/Y' the [n, m] matrices of stored s/y columns (here kept as
+    [H, n] rows, OLDEST FIRST via shift-on-insert), R = triu(S'ᵀY'),
+    D = diag(R), g = H_diag. Algebraically identical to the two-loop but
+    computed with two [H, n] matvecs + two [H, H] triangular solves + two
+    [n, H] combines — MXU-shaped work instead of 2H sequential dots, which
+    measures ~2x faster end-to-end on TPU (docs/performance.md). Numerics
+    differ from torch only by f32 reassociation.
+
+    Incrementally maintained across inserts: SY = SᵀY (only its upper
+    triangle + diagonal are consumed) and YY = YᵀY, each updated by one
+    matvec column write; a full insert shifts everything up by one
+    (wrapped garbage lands only in masked/below-diagonal positions).
+    """
+    full = c["k"] >= H
+
+    def shifted(args):
+        S, Y, SY, YY = args
+        return (
+            jnp.roll(S, -1, axis=0), jnp.roll(Y, -1, axis=0),
+            jnp.roll(jnp.roll(SY, -1, axis=0), -1, axis=1),
+            jnp.roll(jnp.roll(YY, -1, axis=0), -1, axis=1),
+        )
+
+    S, Y, SY, YY = lax.cond(
+        insert & full, shifted, lambda a: a,
+        (c["S"], c["Y"], c["SY"], c["YY"]),
+    )
+    pos = jnp.minimum(c["k"], H - 1)
+    S = S.at[pos].set(jnp.where(insert, s, S[pos]))
+    Y = Y.at[pos].set(jnp.where(insert, y, Y[pos]))
+    sy_col = _mv(S, y)  # s_i . y_new for all i (incl. the new diag = ys)
+    yy_col = _mv(Y, y)
+    SY = SY.at[:, pos].set(jnp.where(insert, sy_col, SY[:, pos]))
+    YY = YY.at[:, pos].set(jnp.where(insert, yy_col, YY[:, pos]))
+    YY = YY.at[pos, :].set(jnp.where(insert, yy_col, YY[pos, :]))
+    k1 = c["k"] + insert.astype(jnp.int32)
+    num_old = jnp.minimum(k1, H)
+
+    idx = jnp.arange(H)
+    valid = idx < num_old
+    vmask2 = valid[:, None] & valid[None, :]
+    R = jnp.where(vmask2, jnp.triu(SY), 0.0) + jnp.diag(
+        jnp.where(valid, 0.0, 1.0)
+    )
+    D = jnp.where(valid, jnp.diagonal(SY), 0.0)
+
+    from jax.scipy.linalg import solve_triangular
+
+    g = grad
+    p = jnp.where(valid, _mv(S, g), 0.0)
+    q = jnp.where(valid, _mv(Y, g), 0.0)
+    u = solve_triangular(R, p, lower=False)
+    v = D * u + H_diag1 * _mv(YY, u) - H_diag1 * q
+    w = solve_triangular(R.T, v, lower=True)
+    Hg = H_diag1 * g + _mv(S.T, w) - H_diag1 * _mv(Y.T, u)
+    return -Hg, dict(S=S, Y=Y, SY=SY, YY=YY, k=k1)
+
+
+_DIRECTION = {"two_loop": _two_loop_direction, "compact": _compact_direction}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "loss_and_grad_fn", "steps", "lr", "max_iter", "tolerance_grad",
-        "tolerance_change", "history_size",
+        "tolerance_change", "history_size", "history_math",
     ),
 )
 def lbfgs_torch(
@@ -68,6 +172,7 @@ def lbfgs_torch(
     tolerance_grad: float = 1e-7,
     tolerance_change: float = 1e-9,
     history_size: int = 100,
+    history_math: str = "two_loop",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run ``steps`` torch-``LBFGS.step(closure)`` calls on a flat vector.
 
@@ -75,12 +180,32 @@ def lbfgs_torch(
     ``x0`` is the flat float32 parameter vector. Returns
     ``(x_final, losses)`` where ``losses[i]`` is the loss at entry to outer
     step ``i`` (torch's ``orig_loss`` return value per ``.step`` call).
+
+    ``history_math`` selects how the L-BFGS direction is computed:
+    ``"two_loop"`` is torch's literal sequential recursion;
+    ``"compact"`` is the algebraically-identical Byrd-Nocedal compact form
+    (MXU matvecs + tiny triangular solves — faster on TPU, f32-reassociation
+    -level numeric differences only).
     """
     H = history_size
     n = x0.size
     f32 = jnp.float32
 
     loss0, grad0 = loss_and_grad_fn(x0)
+
+    hist0 = dict(
+        S=jnp.zeros((H, n), f32),  # torch old_stps (s = d * t)
+        Y=jnp.zeros((H, n), f32),  # torch old_dirs (y = g - g_prev)
+        k=jnp.array(0, jnp.int32),  # total history inserts
+    )
+    if history_math == "two_loop":
+        hist0["rho"] = jnp.zeros((H,), f32)
+    elif history_math == "compact":
+        hist0["SY"] = jnp.zeros((H, H), f32)
+        hist0["YY"] = jnp.zeros((H, H), f32)
+    else:
+        raise ValueError(f"unknown history_math {history_math!r}")
+    direction = _DIRECTION[history_math]
 
     carry0 = dict(
         x=x0.astype(f32),
@@ -90,13 +215,11 @@ def lbfgs_torch(
         prev_loss=jnp.array(0.0, f32),
         t=jnp.array(0.0, f32),
         d=jnp.zeros((n,), f32),
-        S=jnp.zeros((H, n), f32),  # torch old_stps (s = d * t)
-        Y=jnp.zeros((H, n), f32),  # torch old_dirs (y = g - g_prev)
-        rho=jnp.zeros((H,), f32),
-        k=jnp.array(0, jnp.int32),       # total history inserts
         H_diag=jnp.array(1.0, f32),
         n_glob=jnp.array(0, jnp.int32),  # torch state["n_iter"]
+        **hist0,
     )
+    hist_keys = tuple(hist0)
 
     def inner(c, _i_unused):
         active = jnp.logical_not(c["broke"])
@@ -108,40 +231,14 @@ def lbfgs_torch(
         s = c["d"] * c["t"]
         ys = _dot(y, s)
         insert = active & jnp.logical_not(first) & (ys > 1e-10)
-        pos = c["k"] % H
-        S = c["S"].at[pos].set(jnp.where(insert, s, c["S"][pos]))
-        Y = c["Y"].at[pos].set(jnp.where(insert, y, c["Y"][pos]))
-        rho = c["rho"].at[pos].set(
-            jnp.where(insert, 1.0 / jnp.where(insert, ys, 1.0), c["rho"][pos])
-        )
-        k1 = c["k"] + insert.astype(jnp.int32)
         yy = _dot(y, y)
         H_diag1 = jnp.where(
             first,
             1.0,
             jnp.where(insert, ys / jnp.where(insert, yy, 1.0), c["H_diag"]),
         )
-        num_old = jnp.minimum(k1, H)
 
-        # --- two-loop recursion against the ring buffers (lbfgs.py:424-435).
-        # Buffer slot of list entry j (oldest-first, j in [0, num_old)):
-        # (k1 - num_old + j) % H. Backward pass walks newest -> oldest.
-        def bwd(q, tt):
-            valid = tt < num_old
-            idx = jnp.mod(k1 - 1 - tt, H)
-            al_t = jnp.where(valid, rho[idx] * _dot(S[idx], q), 0.0)
-            return q - al_t * Y[idx], al_t
-
-        q, al_rev = lax.scan(bwd, -c["grad"], jnp.arange(H))
-
-        def fwd(r, jj):
-            valid = jj < num_old
-            idx = jnp.mod(k1 - num_old + jj, H)
-            be = rho[idx] * _dot(Y[idx], r)
-            al_j = al_rev[jnp.mod(num_old - 1 - jj, H)]
-            return r + jnp.where(valid, al_j - be, 0.0) * S[idx], None
-
-        d1, _ = lax.scan(fwd, q * H_diag1, jnp.arange(H))
+        d1, hist1 = direction(c, c["grad"], y, s, ys, insert, first, H_diag1, H)
 
         prev_grad1 = c["grad"]
         prev_loss1 = c["loss"]
@@ -186,10 +283,10 @@ def lbfgs_torch(
             prev_loss=jnp.where(active, prev_loss1, c["prev_loss"]),
             t=jnp.where(active, t1, c["t"]),
             d=jnp.where(active, d1, c["d"]),
-            S=S, Y=Y, rho=rho, k=k1,
             H_diag=jnp.where(active, H_diag1, c["H_diag"]),
             n_glob=n_glob1,
             broke=broke1,
+            **{k: hist1[k] for k in hist_keys},
         )
         return new, None
 

@@ -113,5 +113,8 @@ def test_dp_step_overhead_is_bounded():
         float(m["total"])
         return (time.perf_counter() - t0) / 2
 
-    t1, t8 = timed(1), timed(8)
+    # Best-of-3: wall-clock on a shared CPU host is noisy under full-suite
+    # load; the guard targets the program's cost, not transient contention.
+    t1 = min(timed(1) for _ in range(3))
+    t8 = min(timed(8) for _ in range(3))
     assert t8 < 2.5 * t1, f"8-dev step {t8:.3f}s vs 1-dev {t1:.3f}s"

@@ -252,3 +252,45 @@ def test_static_train_resume_does_not_replay_batches(tmp_path):
     )
     # 4 batches/epoch, 2 already consumed -> exactly 2 batches (4 images).
     assert train_ds.loads == 4, train_ds.loads
+
+
+def test_step_state_extra_key_drift_restores_with_defaults(tmp_path):
+    """A state saved by an older code version — fewer ``extra`` keys and no
+    carry arrays (e.g. video states from before batch_in_epoch/
+    chunk_in_batch existed) — must load, with missing keys defaulted to 0,
+    not raise (the round-2 advisor repro: both from_bytes attempts failed
+    at path ./extra)."""
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    mp = str(tmp_path)
+
+    # Old writer: only one extra key, no arrays requested by the new reader.
+    ckpt.save_step_state(
+        params, opt_state, 2, 77, "video_st", "s", mp,
+        extra={"has_external_weights": 1},
+    )
+    state = ckpt.load_step_state(
+        params, opt_state, "video_st", "s", mp,
+        extra_keys=("has_external_weights", "batch_in_epoch", "chunk_in_batch"),
+        array_keys=("old_content", "old_stylized"),
+    )
+    assert state is not None
+    assert int(state["epoch"]) == 2 and int(state["iteration"]) == 77
+    assert int(state["extra"]["has_external_weights"]) == 1
+    assert int(state["extra"]["batch_in_epoch"]) == 0
+    assert int(state["extra"]["chunk_in_batch"]) == 0
+    assert state["arrays"] == {}
+
+    # And the other direction: a state with MORE extra keys than the reader
+    # asks for still restores what the reader needs.
+    ckpt.save_step_state(
+        params, opt_state, 4, 99, "video_st", "s2", mp,
+        extra={"has_external_weights": 0, "future_flag": 5},
+    )
+    state = ckpt.load_step_state(
+        params, opt_state, "video_st", "s2", mp,
+        extra_keys=("has_external_weights",),
+    )
+    assert int(state["epoch"]) == 4
+    assert int(state["extra"]["has_external_weights"]) == 0
