@@ -125,25 +125,53 @@ def _run_lbfgs_torch(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The reference's exact optimizer contract: ``steps`` torch-LBFGS
     ``.step(closure)`` calls, each up to ``max_iter`` fixed-step inner
-    iterations with persistent history (network.py:435 + torch defaults)."""
+    iterations with persistent history (network.py:435 + torch defaults).
+
+    A batched ``content_image`` ([N > 1, H, W, 3]) runs N **independent**
+    optimizers via ``vmap`` — per-image history, step size, and tolerance
+    breaks, exactly as N separate torch runs (curvature dot-products must
+    not mix images). Total history memory is identical to one coupled
+    problem (N x [H, n_img] = [H, N*n_img]); the returned loss history is
+    the per-step mean over images."""
     from styletransfer_tpu.ops.lbfgs import lbfgs_torch
 
-    loss_fn = make_loss_fn(
-        vgg_params, content_image, style_grams, style_weight, content_weight,
-        compute_dtype=compute_dtype,
-    )
     shape = content_image.shape
 
-    def flat_loss_and_grad(x_flat):
-        return jax.value_and_grad(lambda x: loss_fn(x.reshape(shape)))(x_flat)
+    def run_one(img_flat: jnp.ndarray, sub_shape, math):
+        content_i = img_flat.reshape(sub_shape).astype(content_image.dtype)
+        loss_fn = make_loss_fn(
+            vgg_params, content_i, style_grams, style_weight, content_weight,
+            compute_dtype=compute_dtype,
+        )
 
-    x, losses = lbfgs_torch(
-        flat_loss_and_grad,
-        content_image.reshape(-1).astype(jnp.float32),
-        steps=steps,
-        max_iter=max_iter,
-        history_size=history_size,
-        history_math=history_math,
+        def flat_loss_and_grad(x_flat):
+            return jax.value_and_grad(
+                lambda x: loss_fn(x.reshape(sub_shape))
+            )(x_flat)
+
+        return lbfgs_torch(
+            flat_loss_and_grad,
+            img_flat,
+            steps=steps,
+            max_iter=max_iter,
+            history_size=history_size,
+            history_math=math,
+        )
+
+    if shape[0] > 1:
+        # Under vmap the dynamic-slot history forms degrade (per-lane
+        # traced indices lower to scatter/gather); compact swaps to its
+        # static-index shift form — same math, vectorizes cleanly.
+        math = "compact_shift" if history_math == "compact" else history_math
+        flat0 = content_image.reshape(shape[0], -1).astype(jnp.float32)
+        x, losses = jax.vmap(
+            functools.partial(run_one, sub_shape=(1,) + shape[1:], math=math)
+        )(flat0)
+        return x.reshape(shape), jnp.mean(losses, axis=0)
+
+    x, losses = run_one(
+        content_image.reshape(-1).astype(jnp.float32), sub_shape=shape,
+        math=history_math,
     )
     return x.reshape(shape), losses
 
@@ -161,26 +189,42 @@ def _run_lbfgs(
     content_weight: float,
     compute_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    loss_fn = make_loss_fn(
-        vgg_params, content_image, style_grams, style_weight, content_weight,
-        compute_dtype=compute_dtype,
-    )
-    opt = optax.lbfgs()
-    pixels0 = content_image
-    opt_state0 = opt.init(pixels0)
-    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+    shape = content_image.shape
 
-    def step(carry, _):
-        pixels, opt_state = carry
-        loss, grads = value_and_grad(pixels, state=opt_state)
-        updates, opt_state = opt.update(
-            grads, opt_state, pixels, value=loss, grad=grads, value_fn=loss_fn
+    def run_one(pixels0: jnp.ndarray, sub_shape):
+        pixels0 = pixels0.reshape(sub_shape)
+        loss_fn = make_loss_fn(
+            vgg_params, pixels0, style_grams, style_weight, content_weight,
+            compute_dtype=compute_dtype,
         )
-        pixels = optax.apply_updates(pixels, updates)
-        return (pixels, opt_state), loss
+        opt = optax.lbfgs()
+        opt_state0 = opt.init(pixels0)
+        value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
-    (pixels, _), losses = jax.lax.scan(step, (pixels0, opt_state0), None, length=steps)
-    return pixels, losses
+        def step(carry, _):
+            pixels, opt_state = carry
+            loss, grads = value_and_grad(pixels, state=opt_state)
+            updates, opt_state = opt.update(
+                grads, opt_state, pixels, value=loss, grad=grads,
+                value_fn=loss_fn,
+            )
+            pixels = optax.apply_updates(pixels, updates)
+            return (pixels, opt_state), loss
+
+        (pixels, _), losses = jax.lax.scan(
+            step, (pixels0, opt_state0), None, length=steps
+        )
+        return pixels, losses
+
+    # Batched contents run as independent optimizations (per-image
+    # linesearch and curvature history), like _run_lbfgs_torch.
+    if shape[0] > 1:
+        pixels, losses = jax.vmap(
+            functools.partial(run_one, sub_shape=(1,) + shape[1:])
+        )(content_image.reshape(shape[0], -1))
+        return pixels.reshape(shape), jnp.mean(losses, axis=0)
+
+    return run_one(content_image.reshape(-1), sub_shape=shape)
 
 
 def train_gatys(
@@ -209,10 +253,13 @@ def train_gatys(
     space and ``loss_history`` has one entry per optimizer step.
 
     ``content_image`` may be batched ([N, H, W, 3]): the whole batch
-    optimizes in one scanned program against the same style — per-pixel
-    gradients never cross images, so each batch element follows (up to the
-    1/N loss scale, which Adam/L-BFGS renormalize) its independent
-    trajectory.
+    optimizes in one compiled program against the same style, and every
+    batch element follows its fully independent trajectory. Adam is
+    per-pixel by construction; both L-BFGS variants ``vmap`` N separate
+    optimizers (per-image curvature history, step size, linesearch, and
+    tolerance breaks) — a single coupled flat-vector L-BFGS would mix
+    images through the history dot-products and diverge from N
+    reference runs.
 
     The optimization itself never leaves the device; ``log_every`` only
     controls post-hoc logging of the returned loss history (the reference

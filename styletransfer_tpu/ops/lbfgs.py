@@ -153,7 +153,60 @@ def _compact_direction(c, grad, y, s, ys, insert, first, H_diag1, H):
     return -Hg, dict(S=S, Y=Y, SY=SY, YY=YY, k=k1)
 
 
-_DIRECTION = {"two_loop": _two_loop_direction, "compact": _compact_direction}
+def _compact_shift_direction(c, grad, y, s, ys, insert, first, H_diag1, H):
+    """Identical math to :func:`_compact_direction`, with **static indices
+    only**: the history lives newest-at-``H-1`` and every insert rolls the
+    buffers by one (masked select, no ``cond``, no traced write position).
+
+    Rationale: under ``vmap`` (batched Gatys runs one independent optimizer
+    per image) the per-lane traced ``pos`` in the dynamic-slot form lowers
+    ``.at[pos].set`` / row gathers on ``[N, H, n]`` to scatter/gather —
+    measured 4.5x (compact) / 6.1x (two-loop) inner-iteration blowup at
+    N=2 vs N=1. This form trades that for two [H, n] roll-copies per
+    insert, which vectorize perfectly across lanes; the engine selects it
+    automatically for batched runs (docs/performance.md). Valid slots are
+    the LAST ``num_old`` (oldest first), so ``triu`` keeps the same
+    older-pair structure and the solves are unchanged.
+    """
+    ins = insert  # scalar bool per lane (vmap) / per problem
+    S = jnp.where(ins, jnp.roll(c["S"], -1, axis=0).at[H - 1].set(s), c["S"])
+    Y = jnp.where(ins, jnp.roll(c["Y"], -1, axis=0).at[H - 1].set(y), c["Y"])
+    sy_col = _mv(S, y)  # s_i . y_new for all i (incl. the new diag = ys)
+    yy_col = _mv(Y, y)
+    SY2 = jnp.roll(jnp.roll(c["SY"], -1, axis=0), -1, axis=1)
+    YY2 = jnp.roll(jnp.roll(c["YY"], -1, axis=0), -1, axis=1)
+    SY = jnp.where(ins, SY2.at[:, H - 1].set(sy_col), c["SY"])
+    YY = jnp.where(
+        ins, YY2.at[:, H - 1].set(yy_col).at[H - 1, :].set(yy_col), c["YY"]
+    )
+    k1 = c["k"] + ins.astype(jnp.int32)
+    num_old = jnp.minimum(k1, H)
+
+    idx = jnp.arange(H)
+    valid = idx >= H - num_old
+    vmask2 = valid[:, None] & valid[None, :]
+    R = jnp.where(vmask2, jnp.triu(SY), 0.0) + jnp.diag(
+        jnp.where(valid, 0.0, 1.0)
+    )
+    D = jnp.where(valid, jnp.diagonal(SY), 0.0)
+
+    from jax.scipy.linalg import solve_triangular
+
+    g = grad
+    p = jnp.where(valid, _mv(S, g), 0.0)
+    q = jnp.where(valid, _mv(Y, g), 0.0)
+    u = solve_triangular(R, p, lower=False)
+    v = D * u + H_diag1 * _mv(YY, u) - H_diag1 * q
+    w = solve_triangular(R.T, v, lower=True)
+    Hg = H_diag1 * g + _mv(S.T, w) - H_diag1 * _mv(Y.T, u)
+    return -Hg, dict(S=S, Y=Y, SY=SY, YY=YY, k=k1)
+
+
+_DIRECTION = {
+    "two_loop": _two_loop_direction,
+    "compact": _compact_direction,
+    "compact_shift": _compact_shift_direction,
+}
 
 
 @functools.partial(
@@ -185,7 +238,9 @@ def lbfgs_torch(
     ``"two_loop"`` is torch's literal sequential recursion;
     ``"compact"`` is the algebraically-identical Byrd-Nocedal compact form
     (MXU matvecs + tiny triangular solves — faster on TPU, f32-reassociation
-    -level numeric differences only).
+    -level numeric differences only); ``"compact_shift"`` is the same
+    compact math with static-index history updates, the right form under
+    ``vmap`` (see :func:`_compact_shift_direction`).
     """
     H = history_size
     n = x0.size
@@ -200,7 +255,7 @@ def lbfgs_torch(
     )
     if history_math == "two_loop":
         hist0["rho"] = jnp.zeros((H,), f32)
-    elif history_math == "compact":
+    elif history_math in ("compact", "compact_shift"):
         hist0["SY"] = jnp.zeros((H, H), f32)
         hist0["YY"] = jnp.zeros((H, H), f32)
     else:

@@ -50,7 +50,7 @@ def _run_torch(torch_loss, x0, steps, **kwargs):
     return xt.detach().numpy(), losses, opt
 
 
-@pytest.mark.parametrize("mode", ["two_loop", "compact"])
+@pytest.mark.parametrize("mode", ["two_loop", "compact", "compact_shift"])
 def test_trajectory_matches_torch_nonconvex(mode):
     """5 .step(closure) calls on a nonconvex quartic: per-step losses and
     the final point agree with torch's LBFGS (all defaults) — for BOTH
@@ -117,7 +117,7 @@ def test_quadratic_converges_in_one_outer_step():
     np.testing.assert_allclose(np.asarray(xj), xt, atol=1e-3)
 
 
-@pytest.mark.parametrize("mode", ["two_loop", "compact"])
+@pytest.mark.parametrize("mode", ["two_loop", "compact", "compact_shift"])
 def test_history_wraps_past_history_size(mode):
     """More inner iterations than history_size: the ring buffer (two-loop)
     / shift-on-insert matrices (compact) must wrap without corrupting the
