@@ -137,7 +137,7 @@ def _run_lbfgs_torch(
 
     shape = content_image.shape
 
-    def run_one(img_flat: jnp.ndarray, sub_shape, math):
+    def run_one(img_flat: jnp.ndarray, sub_shape, math, branchless=False):
         content_i = img_flat.reshape(sub_shape).astype(content_image.dtype)
         loss_fn = make_loss_fn(
             vgg_params, content_i, style_grams, style_weight, content_weight,
@@ -156,16 +156,23 @@ def _run_lbfgs_torch(
             max_iter=max_iter,
             history_size=history_size,
             history_math=math,
+            branchless=branchless,
         )
 
     if shape[0] > 1:
-        # Under vmap the dynamic-slot history forms degrade (per-lane
-        # traced indices lower to scatter/gather); compact swaps to its
-        # static-index shift form — same math, vectorizes cleanly.
+        # Two vmap adaptations, both numerics-preserving (measured in
+        # docs/performance.md): the compact history swaps to its
+        # static-index shift form (per-lane traced slot indices lower to
+        # scatter/gather — 4.5x inner-iteration blowup), and the closure
+        # eval runs branchless (a batched-predicate lax.cond degrades the
+        # scan body 2.2x even though both forms evaluate once).
         math = "compact_shift" if history_math == "compact" else history_math
         flat0 = content_image.reshape(shape[0], -1).astype(jnp.float32)
         x, losses = jax.vmap(
-            functools.partial(run_one, sub_shape=(1,) + shape[1:], math=math)
+            functools.partial(
+                run_one, sub_shape=(1,) + shape[1:], math=math,
+                branchless=True,
+            )
         )(flat0)
         return x.reshape(shape), jnp.mean(losses, axis=0)
 

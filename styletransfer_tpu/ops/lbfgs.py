@@ -213,7 +213,7 @@ _DIRECTION = {
     jax.jit,
     static_argnames=(
         "loss_and_grad_fn", "steps", "lr", "max_iter", "tolerance_grad",
-        "tolerance_change", "history_size", "history_math",
+        "tolerance_change", "history_size", "history_math", "branchless",
     ),
 )
 def lbfgs_torch(
@@ -226,6 +226,7 @@ def lbfgs_torch(
     tolerance_change: float = 1e-9,
     history_size: int = 100,
     history_math: str = "two_loop",
+    branchless: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run ``steps`` torch-``LBFGS.step(closure)`` calls on a flat vector.
 
@@ -314,12 +315,22 @@ def lbfgs_torch(
         # Re-evaluate at the new point. torch skips this at
         # n_iter == max_iter and lets the next .step's initial closure do
         # it — identical values either way (see module docstring).
-        loss1, grad1 = lax.cond(
-            step_taken,
-            lambda xx: loss_and_grad_fn(xx),
-            lambda xx: (c["loss"], c["grad"]),
-            x1,
-        )
+        # ``branchless`` evaluates unconditionally and selects — identical
+        # values, but the right form under vmap, where a batched-predicate
+        # cond degrades the whole scan body (measured 2.2x on the closure
+        # eval at N=2; docs/performance.md). The cond form is kept for the
+        # single-problem case, where a real branch skips post-break evals.
+        if branchless:
+            el, eg = loss_and_grad_fn(x1)
+            loss1 = jnp.where(step_taken, el, c["loss"])
+            grad1 = jnp.where(step_taken, eg, c["grad"])
+        else:
+            loss1, grad1 = lax.cond(
+                step_taken,
+                lambda xx: loss_and_grad_fn(xx),
+                lambda xx: (c["loss"], c["grad"]),
+                x1,
+            )
         loss1 = loss1.astype(f32)
 
         # --- remaining break conditions (lbfgs.py:510-519) ---

@@ -117,6 +117,39 @@ def test_quadratic_converges_in_one_outer_step():
     np.testing.assert_allclose(np.asarray(xj), xt, atol=1e-3)
 
 
+def test_branchless_matches_torch_trajectory():
+    """``branchless=True`` (unconditional closure eval + select — the vmap
+    form) holds the same torch-trajectory parity as the lax.cond form: the
+    selection keeps mathematically identical values (removing the cond only
+    changes XLA fusion boundaries, i.e. f32 reassociation)."""
+    torch_loss, jax_loss, x0 = _problem(5)
+    xt, tlosses, _ = _run_torch(torch_loss, x0, steps=5)
+    for mode in ("compact", "compact_shift"):
+        xb, lb = lbfgs_torch(
+            jax.value_and_grad(jax_loss), jnp.asarray(x0), steps=5,
+            history_math=mode, branchless=True,
+        )
+        np.testing.assert_allclose(np.asarray(lb), tlosses, rtol=1e-3)
+        np.testing.assert_allclose(
+            float(jax_loss(xb)), float(torch_loss(torch.from_numpy(xt))),
+            rtol=1e-4,
+        )
+
+
+def test_branchless_converged_problem_stops_moving():
+    """The tolerance breaks still freeze x in branchless mode (the evals
+    keep running — their results are discarded by the selects)."""
+    def jax_loss(x):
+        return jnp.sum((x - 3.0) ** 2)
+
+    x0 = jnp.full((8,), 3.0) + 1e-9
+    xj, losses = lbfgs_torch(
+        jax.value_and_grad(jax_loss), x0, steps=3, branchless=True
+    )
+    np.testing.assert_allclose(np.asarray(xj), np.asarray(x0), atol=1e-7)
+    assert float(losses[-1]) == pytest.approx(float(losses[0]))
+
+
 @pytest.mark.parametrize("mode", ["two_loop", "compact", "compact_shift"])
 def test_history_wraps_past_history_size(mode):
     """More inner iterations than history_size: the ring buffer (two-loop)
