@@ -240,6 +240,99 @@ def load_step_state(
     return state
 
 
+def carry_shard_path(
+    model_name: str,
+    style_name: str,
+    models_path: Optional[str] = None,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> str:
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return os.path.join(
+        _models_dir(models_path),
+        f"{model_name}_{style_name}_step_carry_"
+        f"p{process_index}of{process_count}{CKPT_SUFFIX}",
+    )
+
+
+def save_carry_shards(
+    arrays: Dict[str, Any],
+    iteration: int,
+    model_name: str,
+    style_name: str,
+    models_path: Optional[str] = None,
+) -> str:
+    """Save this process's addressable batch-shards of sharded carry arrays.
+
+    Multi-host trainers cannot ``device_get`` a globally-sharded array (a
+    process can only fetch its addressable shards), so the recurrent carry
+    is persisted as one sidecar per process holding the LOCAL batch rows —
+    the exact slice ``mesh.shard_batch`` expects back on resume. The file
+    records the save's ``iteration`` so a resume can reject a sidecar that
+    is stale relative to the main step state (crash between the two
+    writes). Atomic via temp-file + rename, like the main state.
+    """
+    local = {}
+    for k, v in arrays.items():
+        shards = sorted(
+            v.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        local[k] = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    path = carry_shard_path(model_name, style_name, models_path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    state = {"iteration": np.int64(iteration), "arrays": local}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(state))
+    os.replace(tmp, path)
+    return path
+
+
+def load_carry_shards(
+    iteration: int,
+    model_name: str,
+    style_name: str,
+    models_path: Optional[str] = None,
+    array_keys: Tuple[str, ...] = (),
+):
+    """Load this process's carry sidecar if it matches ``iteration``.
+
+    Returns the dict of LOCAL arrays (to be reassembled with
+    ``mesh.shard_batch``) or ``None`` when the sidecar is absent, stale
+    (iteration mismatch), unreadable, or missing a requested key — all of
+    which mean the caller should fall back to batch-level resume. The
+    filename encodes (process_index, process_count), so a restart with a
+    different topology never loads a mismatched shard.
+    """
+    path = carry_shard_path(model_name, style_name, models_path)
+    if not os.path.isfile(path):
+        return None
+    template = {
+        "iteration": np.int64(0),
+        "arrays": {k: np.zeros(0, np.float32) for k in array_keys},
+    }
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        state = serialization.from_bytes(template, data)
+    except (KeyError, ValueError):
+        return None
+    if int(state["iteration"]) != int(iteration):
+        get_logger().warning(
+            "Carry sidecar %s is at iteration %d but the step state is at "
+            "%d; ignoring it (batch-level resume).",
+            path, int(state["iteration"]), int(iteration),
+        )
+        return None
+    arrays = state["arrays"]
+    if any(np.size(arrays.get(k, ())) == 0 for k in array_keys):
+        return None
+    return arrays
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Read a torch ``.pth`` state dict into numpy arrays (CPU)."""
     import torch

@@ -228,12 +228,14 @@ def video_train(
     ``step_checkpoint_every`` additionally saves resumable mid-epoch state
     (at chunk granularity) every >=N frame updates, like ``static_train`` —
     including the exact (video batch, chunk) position and the recurrent
-    carry frames, so a single-host crash-resume replays no trained frame and
-    produces params identical to an uninterrupted run (skipped frames are
-    decoded to keep the readers in lockstep, but take no step). Multi-host
-    runs do not save the carry arrays (each process holds only a shard), so
-    a mid-batch resume there restarts from the beginning of the stored
-    video batch and re-trains its earlier chunks.
+    carry frames, so a crash-resume replays no trained frame and produces
+    params identical to an uninterrupted run (skipped frames are decoded to
+    keep the readers in lockstep, but take no step). Multi-host runs store
+    the carry as one iteration-stamped sidecar per process holding its
+    LOCAL batch rows (a process cannot ``device_get`` the globally-sharded
+    array); resume is exact when each process restarts with its sidecar
+    present and the topology unchanged, and degrades to batch-level resume
+    (re-training the stored batch's earlier chunks) otherwise.
     """
     logger = get_logger()
     mesh = mesh or mesh_lib.auto_mesh(batch_size)
@@ -319,6 +321,27 @@ def video_train(
                     state["arrays"]["old_content"],
                     state["arrays"]["old_stylized"],
                 )
+            elif resume_chunks and jax.process_count() > 1:
+                # Multi-host: the carry lives in per-process sidecars of
+                # LOCAL batch rows (shard_batch reassembles the global
+                # array below, same as a data batch).
+                shard_arrays = ckpt.load_carry_shards(
+                    iteration, MODEL_NAME, style_name, models_path,
+                    array_keys=("old_content", "old_stylized"),
+                )
+                if shard_arrays is not None:
+                    resume_carry = (
+                        shard_arrays["old_content"],
+                        shard_arrays["old_stylized"],
+                    )
+                else:
+                    logger.warning(
+                        "Step state has a mid-batch position but this "
+                        "process's carry sidecar is absent or stale; "
+                        "resuming from the start of video batch %d.",
+                        resume_batches,
+                    )
+                    resume_chunks = 0
             elif resume_chunks:
                 logger.warning(
                     "Step state has a mid-batch position but no carry "
@@ -440,15 +463,25 @@ def video_train(
                 ):
                     # Position (video batch, chunk) plus the recurrent carry
                     # make the resume exact: no trained frame is replayed.
-                    # (Carry frames are skipped in multi-host runs — a
-                    # process can only fetch its addressable shards; those
-                    # runs resume at the stored batch instead.)
+                    # Multi-host: a process can only fetch its addressable
+                    # shards of the sharded carry, so each process writes a
+                    # per-process sidecar of its LOCAL batch rows first
+                    # (iteration-stamped — a crash between the two writes
+                    # degrades to batch-level resume, never corrupts).
                     arrays = None
                     if jax.process_count() == 1:
                         arrays = {
                             "old_content": old_content,
                             "old_stylized": old_stylized,
                         }
+                    else:
+                        ckpt.save_carry_shards(
+                            {
+                                "old_content": old_content,
+                                "old_stylized": old_stylized,
+                            },
+                            iteration, MODEL_NAME, style_name, models_path,
+                        )
                     ckpt.save_step_state(
                         params, opt_state, epoch, iteration,
                         MODEL_NAME, style_name, models_path,

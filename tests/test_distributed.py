@@ -164,6 +164,107 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     assert results[0]["checksum"] == pytest.approx(ref_checksum, rel=1e-5)
 
 
+_CARRY_WORKER = r"""
+import json, os, sys
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+out_path = sys.argv[3]
+models_path = sys.argv[4]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from styletransfer_tpu.parallel import distributed
+
+idx, cnt = distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+
+import numpy as np
+
+from styletransfer_tpu import ckpt
+from styletransfer_tpu.parallel import mesh as mesh_lib
+
+mesh = mesh_lib.get_mesh()
+assert mesh.size == 4
+
+# Each process contributes 2 distinct local rows of an 4-row global carry.
+local = np.arange(2 * 3 * 3 * 3, dtype=np.float32).reshape(2, 3, 3, 3)
+local = local + 1000.0 * pid
+global_arr = mesh_lib.shard_batch(local, mesh)
+assert global_arr.shape == (4, 3, 3, 3)
+
+ckpt.save_carry_shards(
+    {"old_content": global_arr, "old_stylized": global_arr * 2.0},
+    7, "video_st", "s", models_path,
+)
+loaded = ckpt.load_carry_shards(
+    7, "video_st", "s", models_path,
+    array_keys=("old_content", "old_stylized"),
+)
+assert loaded is not None
+np.testing.assert_array_equal(loaded["old_content"], local)
+np.testing.assert_array_equal(loaded["old_stylized"], local * 2.0)
+
+# Reassembly path (what video_train's mid-batch resume does): the local
+# sidecar rows shard back into a global array identical to the original.
+import jax.numpy as jnp
+rebuilt = mesh_lib.shard_batch(jnp.asarray(loaded["old_content"]), mesh)
+total = float(jnp.sum(jnp.abs(rebuilt - global_arr)))
+assert total == 0.0, total
+
+# Stale sidecar is rejected.
+assert ckpt.load_carry_shards(
+    8, "video_st", "s", models_path, array_keys=("old_content",)
+) is None
+
+with open(out_path, "w") as f:
+    json.dump({"ok": True, "pid": pid}, f)
+"""
+
+
+def test_two_process_carry_shard_sidecars(tmp_path):
+    """Multi-host exact video resume: each process saves/loads ITS local
+    rows of the sharded recurrent carry via an iteration-stamped sidecar,
+    and shard_batch reassembles the identical global array."""
+    worker = tmp_path / "carry_worker.py"
+    worker.write_text(_CARRY_WORKER)
+    port = _free_port()
+    models_path = tmp_path / "models"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = []
+    for pid in range(2):
+        out = tmp_path / f"carry_out{pid}.json"
+        procs.append(
+            (
+                subprocess.Popen(
+                    [sys.executable, str(worker), str(pid), str(port),
+                     str(out), str(models_path)],
+                    cwd=REPO_ROOT, env=env,
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                ),
+                out,
+            )
+        )
+    for proc, out in procs:
+        stdout, _ = proc.communicate(timeout=420)
+        assert proc.returncode == 0, stdout.decode(errors="replace")[-4000:]
+        assert json.loads(out.read_text())["ok"]
+
+    # One sidecar per process, topology encoded in the name.
+    names = sorted(p.name for p in models_path.iterdir())
+    assert [n for n in names if "step_carry" in n] == [
+        "video_st_s_step_carry_p0of2.msgpack",
+        "video_st_s_step_carry_p1of2.msgpack",
+    ]
+
+
 def test_local_batch_size_and_single_process_info():
     from styletransfer_tpu.parallel import distributed
 

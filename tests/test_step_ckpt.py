@@ -254,6 +254,50 @@ def test_static_train_resume_does_not_replay_batches(tmp_path):
     assert train_ds.loads == 4, train_ds.loads
 
 
+def test_carry_shard_sidecar_roundtrip(tmp_path):
+    """Per-process carry sidecars (multi-host exact video resume): the
+    local batch rows of a sharded carry round-trip through the sidecar;
+    a stale sidecar (iteration mismatch) or a missing file yields None
+    (batch-level fallback)."""
+    from styletransfer_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_mesh()
+    rng = np.random.default_rng(0)
+    old_c = rng.standard_normal((8, 4, 4, 3)).astype(np.float32)
+    old_s = rng.standard_normal((8, 4, 4, 3)).astype(np.float32)
+    arrays = {
+        "old_content": mesh_lib.shard_batch(old_c, mesh),
+        "old_stylized": mesh_lib.shard_batch(old_s, mesh),
+    }
+    mp = str(tmp_path)
+
+    path = ckpt.save_carry_shards(arrays, 42, "video_st", "s", mp)
+    assert "p0of1" in path
+
+    loaded = ckpt.load_carry_shards(
+        42, "video_st", "s", mp,
+        array_keys=("old_content", "old_stylized"),
+    )
+    assert loaded is not None
+    # Single process: the local shard concat IS the global array, in batch
+    # order (addressable_shards sorted by batch offset).
+    np.testing.assert_array_equal(loaded["old_content"], old_c)
+    np.testing.assert_array_equal(loaded["old_stylized"], old_s)
+
+    # Stale sidecar: step state advanced past the sidecar's iteration.
+    assert ckpt.load_carry_shards(
+        43, "video_st", "s", mp, array_keys=("old_content",)
+    ) is None
+    # Absent sidecar.
+    assert ckpt.load_carry_shards(
+        42, "video_st", "other", mp, array_keys=("old_content",)
+    ) is None
+    # Missing requested key.
+    assert ckpt.load_carry_shards(
+        42, "video_st", "s", mp, array_keys=("old_content", "missing")
+    ) is None
+
+
 def test_step_state_extra_key_drift_restores_with_defaults(tmp_path):
     """A state saved by an older code version — fewer ``extra`` keys and no
     carry arrays (e.g. video states from before batch_in_epoch/
