@@ -1,10 +1,18 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache + global precision knob.
 
 Compiles of the jitted train/infer programs are expensive (minutes through
 the tunneled TPU backend); the persistent cache makes every CLI invocation
 after the first reuse them. Enabled automatically at package import
 (:mod:`styletransfer_tpu.__init__`); opt out with ``STX_NO_COMPILE_CACHE=1``
 or point elsewhere with ``STX_COMPILE_CACHE_DIR``.
+
+``STX_MATMUL_PRECISION`` (also applied at import) sets JAX's default
+matmul/conv precision: TPU "f32" convs run the MXU in its default
+single-pass-bf16 mode — the standard XLA/TPU behavior behind the headline
+throughput numbers. ``STX_MATMUL_PRECISION=highest`` makes every conv and
+matmul accumulate at full f32 (three bf16 passes on the MXU), which is the
+knob for ~bit-faithful parity with torch-CPU outputs at a measured
+throughput cost (docs/performance.md).
 """
 
 from __future__ import annotations
@@ -21,6 +29,7 @@ _enabled = False
 def enable_persistent_cache() -> None:
     """Idempotently enable the JAX persistent compilation cache."""
     global _enabled
+    apply_matmul_precision()
     if _enabled or os.environ.get("STX_NO_COMPILE_CACHE") == "1":
         return
     import jax
@@ -33,3 +42,25 @@ def enable_persistent_cache() -> None:
     except Exception:  # noqa: BLE001 - older jax without these flags
         return
     _enabled = True
+
+
+_VALID_PRECISIONS = ("default", "high", "highest", "bfloat16",
+                     "bfloat16_3x", "tensorfloat32", "float32")
+
+
+def apply_matmul_precision() -> None:
+    """Apply ``STX_MATMUL_PRECISION`` to JAX's default matmul precision."""
+    value = os.environ.get("STX_MATMUL_PRECISION")
+    if not value:
+        return
+    if value not in _VALID_PRECISIONS:
+        from styletransfer_tpu.utils.logging import get_logger
+
+        get_logger().warning(
+            "STX_MATMUL_PRECISION=%r is not one of %s; ignoring.",
+            value, ", ".join(_VALID_PRECISIONS),
+        )
+        return
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", value)

@@ -15,6 +15,28 @@ def test_persistent_cache_configured():
     assert jax.config.jax_compilation_cache_dir  # non-empty path
 
 
+def test_matmul_precision_env_knob(monkeypatch):
+    """STX_MATMUL_PRECISION configures jax_default_matmul_precision at
+    import/apply time; invalid values are ignored with a warning."""
+    import jax
+
+    original = jax.config.jax_default_matmul_precision
+    try:
+        monkeypatch.setenv("STX_MATMUL_PRECISION", "highest")
+        cache.apply_matmul_precision()
+        assert jax.config.jax_default_matmul_precision == "highest"
+
+        monkeypatch.setenv("STX_MATMUL_PRECISION", "bogus")
+        cache.apply_matmul_precision()  # must not raise
+        assert jax.config.jax_default_matmul_precision == "highest"
+
+        monkeypatch.delenv("STX_MATMUL_PRECISION")
+        cache.apply_matmul_precision()  # unset -> no change
+        assert jax.config.jax_default_matmul_precision == "highest"
+    finally:
+        jax.config.update("jax_default_matmul_precision", original)
+
+
 def test_logger_singleton_and_handlers():
     a = get_logger()
     b = get_logger()
