@@ -5,19 +5,22 @@ at (a) large square matmuls, where the MXU's double-rate int8 path shows
 its peak, and (b) the exact shape of the fast_st residual-block conv —
 the hottest op of the serving forward (docs/performance.md).
 
-Measured 2026-08-17 (TPU v5 lite, tunneled backend):
+Measured 2026-08-17 (TPU v5 lite, tunneled backend; min-of-7 reps —
+single-rep timings swing 2x under tunnel contention):
 
-  matmul 4096^3   bf16  69.0 TF/s   int8  72.2 TOP/s   (1.05x)
-  matmul 8192^3   bf16 124.2 TF/s   int8 192.1 TOP/s   (1.55x)
-  conv 3x3 C128   bf16  24.7 TF/s   int8  27.2 TOP/s   (1.10x)
-  (32x64x64x128 NHWC, the residual-stack shape)
+  matmul 4096^3        bf16  69.0 TF/s   int8  72.2 TOP/s   (1.05x)
+  matmul 8192^3        bf16 124.2 TF/s   int8 200.9 TOP/s   (1.6x)
+  conv 3x3 C128 b128   bf16  64.8 TF/s   int8  63.9 TOP/s   (0.99x)
+  quant+conv+dequant b128 (the realistic serving block)      (0.86x)
 
-Conclusion (recorded in docs/performance.md): the int8 double-rate path
-only materializes at contraction/output dims far larger than this model
-ever reaches (C<=128 => K=9*128=1152). At the model's shapes int8 buys
-~10% on an op that is ~27% of the forward — under 3% end-to-end before
-paying per-tensor scale bookkeeping and the f32 dequant the IN stats
-need. Rejected; revisit only for models with >=512-channel convs.
+Conclusion (recorded in docs/performance.md): the int8 double-rate MXU
+path only materializes at contraction/output dims far larger than this
+model ever reaches (C<=128 => K=9*128=1152). At the shipped serving
+batch (b128, where bf16 reaches ~65 TF/s on this conv) int8 TIES the
+bf16 emitter, and the unavoidable per-layer activation quantize (IN
+re-normalizes every layer, so scales cannot be folded into weights)
+turns the tier into a net 14% LOSS. Rejected; revisit only for models
+with >=512-channel convs.
 """
 
 from __future__ import annotations
@@ -27,16 +30,21 @@ import time
 import numpy as np
 
 
-def _timeit(f, *args, n=20):
+def _timeit(f, *args, n=20, reps=7):
+    """Min-of-``reps`` timing: the tunneled backend shows 2x run-to-run
+    swings under contention; the minimum is the reproducible number."""
     import jax.numpy as jnp
 
     r = f(*args)
     float(jnp.sum(r.astype(jnp.float32)))  # sync (axon ignores block_until_ready)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        r = f(*args)
-    float(jnp.sum(r.astype(jnp.float32)))
-    return (time.perf_counter() - t0) / n
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = f(*args)
+        float(jnp.sum(r.astype(jnp.float32)))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
 
 def main() -> None:
@@ -68,34 +76,58 @@ def main() -> None:
             f"   ({t_bf / t_i8:.2f}x)"
         )
 
-    # The residual-block conv shape (models/transformer.py): 3x3 C128.
-    B, H, C = 32, 64, 128
-    x_bf = jax.random.normal(k, (B, H, H, C), jnp.bfloat16)
-    w_bf = jax.random.normal(k, (3, 3, C, C), jnp.bfloat16) * 0.05
-    x_i8 = jnp.asarray(np.random.randint(-127, 127, (B, H, H, C), np.int8))
-    w_i8 = jnp.asarray(np.random.randint(-127, 127, (3, 3, C, C), np.int8))
-    dn = lax.conv_dimension_numbers(
-        x_bf.shape, w_bf.shape, ("NHWC", "HWIO", "NHWC")
-    )
-    conv_bf = jax.jit(
-        lambda x, w: lax.conv_general_dilated(
-            x, w, (1, 1), "SAME", dimension_numbers=dn
+    # The residual-block conv as the model actually runs it (pad-early
+    # form, models/transformer.py:_conv_valid): VALID 3x3 on a pre-padded
+    # [B, 66, 66, 128] input, at the shipped serving batch and at a small
+    # batch where bf16 under-utilizes the MXU.
+    for B in (32, 128):
+        H, C = 64, 128
+        xp_bf = jax.random.normal(k, (B, H + 2, H + 2, C), jnp.bfloat16)
+        w_bf = jax.random.normal(k, (3, 3, C, C), jnp.bfloat16) * 0.05
+        xp_i8 = jnp.asarray(
+            np.random.randint(-127, 127, (B, H + 2, H + 2, C), np.int8)
         )
-    )
-    conv_i8 = jax.jit(
-        lambda x, w: lax.conv_general_dilated(
-            x, w, (1, 1), "SAME", dimension_numbers=dn,
-            preferred_element_type=jnp.int32,
+        w_i8 = jnp.asarray(np.random.randint(-127, 127, (3, 3, C, C), np.int8))
+        dn = lax.conv_dimension_numbers(
+            xp_bf.shape, w_bf.shape, ("NHWC", "HWIO", "NHWC")
         )
-    )
-    t_cbf = _timeit(conv_bf, x_bf, w_bf)
-    t_ci8 = _timeit(conv_i8, x_i8, w_i8)
-    fl = 2 * B * H * H * 9 * C * C
-    print(
-        f"conv 3x3 C{C}  bf16 {fl / t_cbf / 1e12:6.1f} TF/s"
-        f"   int8 {fl / t_ci8 / 1e12:6.1f} TOP/s"
-        f"   ({t_cbf / t_ci8:.2f}x)"
-    )
+        conv_bf = jax.jit(
+            lambda x, w: lax.conv_general_dilated(
+                x, w, (1, 1), "VALID", dimension_numbers=dn
+            )
+        )
+        conv_i8 = jax.jit(
+            lambda x, w: lax.conv_general_dilated(
+                x, w, (1, 1), "VALID", dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+        )
+
+        def q_block(x, w):
+            # Per-tensor dynamic activation scale + int8 conv + f32 dequant:
+            # the cheapest possible quantized layer (per-channel weight
+            # scales would only add cost). IN re-normalizes every layer, so
+            # no scale can be folded away.
+            s = 127.0 / jnp.max(jnp.abs(x))
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * s), -127, 127
+            ).astype(jnp.int8)
+            acc = lax.conv_general_dilated(
+                xq, w, (1, 1), "VALID", dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
+            return acc.astype(jnp.float32) * (0.01 / s)
+
+        qb = jax.jit(q_block)
+        t_cbf = _timeit(conv_bf, xp_bf, w_bf)
+        t_ci8 = _timeit(conv_i8, xp_i8, w_i8)
+        t_qb = _timeit(qb, xp_bf, w_i8)
+        fl = 2 * B * H * H * 9 * C * C
+        print(
+            f"conv 3x3 C{C} b{B:<3}  bf16 {fl / t_cbf / 1e12:6.1f} TF/s"
+            f"   int8 {fl / t_ci8 / 1e12:6.1f} TOP/s ({t_cbf / t_ci8:.2f}x)"
+            f"   quant+conv+dequant ({t_cbf / t_qb:.2f}x)"
+        )
 
 
 if __name__ == "__main__":
