@@ -12,8 +12,10 @@ does not synchronize, so each timed region chains iterations (output feeds
 the next input where possible) and ends with a scalar host readback that
 forces completion of the whole chain.
 
-Run: ``python bench.py``. Env knobs: BENCH_BATCH (default 64), BENCH_ITERS
-(default 20), BENCH_SKIP_EXTRAS=1 for headline only.
+Run: ``python bench.py``. Env knobs: BENCH_BATCH (default 128), BENCH_ITERS
+(default 20), BENCH_TRIALS (default 5; headline is best-of-trials — the
+tunneled backend swings 2x run-to-run under contention),
+BENCH_SKIP_EXTRAS=1 for headline only.
 """
 
 from __future__ import annotations
@@ -56,7 +58,7 @@ def main() -> None:
     log(f"fast_st compile+first: {time.perf_counter() - t0:.1f}s")
 
     best = 0.0
-    for _trial in range(3):
+    for _trial in range(int(os.environ.get("BENCH_TRIALS", "5"))):
         t0 = time.perf_counter()
         y = x
         for _ in range(iters):
