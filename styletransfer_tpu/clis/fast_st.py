@@ -278,3 +278,35 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, size, precision,
         input_dir=input_dir, style_name=style_name, batch_size=batch_size,
         out_dir=out_dir, size=size, precision=precision, pad_mode=pad_mode,
     )
+
+
+@fast_st.command()
+@click.argument("style-name")
+@click.option("-o", "--out-dir", default="results/",
+              help="Default results directory for requests without an "
+                   "explicit output path")
+@click.option("--size", default=None, type=int,
+              help="Working resolution (default 256); all requests are "
+                   "resized to it so they share one compiled program")
+@click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
+              help="Activation precision")
+@click.option("--pad-mode", default="reflect", type=click.Choice(["reflect", "zeros"]),
+              help="Conv padding. Use 'zeros' for checkpoints trained by the "
+                   "ORIGINAL reference code")
+def serve(style_name, out_dir, size, precision, pad_mode):
+    """
+    Warm-process stylization daemon: compiles the serving program once,
+    prints `READY`, then stylizes one image per stdin line until EOF or a
+    blank line. Each line is `INPUT_PATH` or `INPUT_PATH<TAB>OUTPUT_PATH`;
+    each response line is `OK <output_path>` or `ERR <input>: <reason>`.
+
+    Keeping one process warm is the cold-start answer on backends where
+    compiles are expensive (docs/serving.md): after `READY`, every request
+    costs only milliseconds of execute + image IO.
+    """
+    from styletransfer_tpu.engines import fast
+
+    fast.serve_loop(
+        style_name=style_name, out_dir=out_dir, size=size,
+        precision=precision, pad_mode=pad_mode,
+    )

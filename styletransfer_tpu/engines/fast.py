@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
 from typing import Dict, Optional, Tuple
 
@@ -544,3 +545,104 @@ def process_dir(
         n_done, dt, n_done / dt if dt else 0.0, out_dir,
     )
     return out_paths
+
+
+def serve_loop(
+    style_name: str,
+    out_dir: str = "results/",
+    params=None,
+    models_path: Optional[str] = None,
+    size: Optional[int] = None,
+    precision: str = "f32",
+    pad_mode: str = "reflect",
+    stdin=None,
+    stdout=None,
+) -> int:
+    """Warm-process serving: a line-oriented stylization daemon.
+
+    The first compile of a serving program costs minutes through a tunneled
+    backend and an AOT executable export was a measured rejection there
+    (utils/aot.py) — so the production cold-start answer is to keep ONE
+    process warm and feed it requests. Protocol (one request per line on
+    ``stdin``; responses on ``stdout``, flushed per line, logs on stderr):
+
+    - ``<input_path>`` — stylize, write to
+      ``{out_dir}/converted_fast_st_{style}_{stem}.png``.
+    - ``<input_path>\\t<output_path>`` — stylize to an explicit output.
+    - blank line or EOF — shut down.
+
+    Responses: ``READY`` once the program is compiled (requests sent before
+    then are simply queued in the pipe), then per request ``OK <out_path>``
+    or ``ERR <input_path>: <reason>``. Every image is resized to ``size``
+    (the reference's 256 default) so all requests share one compiled shape.
+    Returns the number of successfully served requests.
+
+    The reference has no serving story beyond one image per process
+    (network.py:798-832); this is the daemon form of that CLI contract.
+    """
+    from PIL import Image
+
+    logger = get_logger()
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+
+    if params is None:
+        template = transformer.init_params(jax.random.PRNGKey(0))
+        params, _ = ckpt.load_latest_transformer(
+            MODEL_NAME, style_name, template, models_path
+        )
+
+    def serve_fn(params, batch_u8):
+        x = img_utils.maybe_normalize_on_device(batch_u8)
+        y = transformer.apply(
+            params, x,
+            compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
+            pad_mode=pad_mode,
+        )
+        return img_utils.to_uint8_on_device(y)
+
+    sz = size or constants.IMSIZE
+    out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # Compile eagerly at the fixed serving shape so READY means ready:
+    # every subsequent request is pure execute (+ the persistent XLA cache
+    # makes even this warm-up cheap after the first-ever process).
+    serve = jax.jit(serve_fn)
+    warm = jnp.zeros((1, sz, sz, 3), jnp.uint8)
+    t0 = time.time()
+    np.asarray(serve(params, warm))
+    logger.info("serve: compiled %dpx %s program in %.1fs; ready",
+                sz, precision, time.time() - t0)
+    print("READY", file=stdout, flush=True)
+
+    n_served = 0
+    for line in stdin:
+        line = line.rstrip("\n")
+        if not line.strip():
+            break
+        in_path, _, explicit_out = line.partition("\t")
+        in_path = in_path.strip()
+        try:
+            input_u8 = img_utils.load_image_uint8(
+                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+            )
+            out_u8 = np.asarray(serve(params, jnp.asarray(input_u8)))[0]
+            if explicit_out.strip():
+                out_file = os.path.join(
+                    constants.PROJECT_ROOT_PATH, explicit_out.strip()
+                )
+                os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+            else:
+                stem = os.path.splitext(os.path.basename(in_path))[0]
+                out_file = os.path.join(
+                    out_dir, f"converted_fast_st_{style_name}_{stem}.png"
+                )
+            Image.fromarray(out_u8).save(out_file)
+            n_served += 1
+            print(f"OK {out_file}", file=stdout, flush=True)
+        except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
+            logger.warning("serve: failed on %s (%s)", in_path, exc)
+            print(f"ERR {in_path}: {exc}", file=stdout, flush=True)
+    logger.info("serve: shutting down after %d request(s)", n_served)
+    return n_served

@@ -372,3 +372,48 @@ def test_process_dir_batched_conversion(tmp_path, rng):
     got = np.asarray(Image.open(outs[0])).astype(np.float32)
     want = np.asarray(Image.open(str(tmp_path / "single.png"))).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=1.0)
+
+
+def test_serve_loop_daemon_protocol(tmp_path, rng):
+    """fast_st serve: READY after compile, one OK/ERR line per request
+    (default naming + explicit TAB output), per-request errors don't kill
+    the daemon, blank line shuts it down."""
+    import io
+
+    from PIL import Image
+
+    img = tmp_path / "photo.png"
+    arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(img)
+    explicit_out = tmp_path / "out" / "custom.png"
+
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    stdin = io.StringIO(
+        f"{img}\n"
+        f"{img}\t{explicit_out}\n"
+        f"{tmp_path / 'missing.png'}\n"
+        "\n"
+        f"{img}\n"  # after the blank-line shutdown: must NOT be served
+    )
+    stdout = io.StringIO()
+    n = fast.serve_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=params,
+        size=32, stdin=stdin, stdout=stdout,
+    )
+    assert n == 2
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    assert lines[1] == "OK " + str(tmp_path / "results" / "converted_fast_st_tst_photo.png")
+    assert lines[2] == "OK " + str(explicit_out)
+    assert lines[3].startswith("ERR ") and "missing.png" in lines[3]
+    assert len(lines) == 4
+    assert os.path.isfile(explicit_out)
+
+    # The daemon's output is the single-image serving path bit-for-bit.
+    single = fast.process_image(
+        str(img), style_name="tst", out_dir=str(tmp_path / "single"),
+        params=params, size=32,
+    )
+    got = np.asarray(Image.open(lines[1][3:]))
+    want = np.asarray(Image.open(single))
+    np.testing.assert_array_equal(got, want)
