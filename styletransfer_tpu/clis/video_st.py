@@ -141,3 +141,36 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, fps, precision,
         input_dir=input_dir, style_name=style_name, batch_size=batch_size,
         out_dir=out_dir, fps=fps, precision=precision, pad_mode=pad_mode,
     )
+
+
+@video_st.command()
+@click.argument("style-name")
+@click.option("-o", "--out-dir", default="results/",
+              help="Default results directory for requests without an "
+                   "explicit output path")
+@click.option("--size", default=None, type=int,
+              help="Working resolution (default 256); all frames are "
+                   "resized to it so they share one compiled program")
+@click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
+              help="Activation precision")
+@click.option("--pad-mode", default="reflect", type=click.Choice(["reflect", "zeros"]),
+              help="Conv padding. Use 'zeros' for checkpoints trained by the "
+                   "ORIGINAL reference code")
+def serve(style_name, out_dir, size, precision, pad_mode):
+    """
+    Warm-process STREAMING stylization daemon: compiles the recurrent step
+    once, prints `READY`, then stylizes one frame per stdin line until EOF
+    or a blank line — the previous stylized frame is kept in device memory
+    between requests, so consecutive requests form one temporally-consistent
+    stream (a live camera/capture source that cannot be batch-scanned).
+
+    Each line is `FRAME_PATH` or `FRAME_PATH<TAB>OUTPUT_PATH`; `RESET`
+    starts a new stream (the next frame pairs with itself). Each response
+    line is `OK <output_path>`, `OK RESET`, or `ERR <input>: <reason>`.
+    """
+    from styletransfer_tpu.engines import video
+
+    video.serve_stream_loop(
+        style_name=style_name, out_dir=out_dir, size=size,
+        precision=precision, pad_mode=pad_mode,
+    )

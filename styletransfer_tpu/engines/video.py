@@ -804,3 +804,117 @@ def process_video_dir(
         len(outputs), total_written, dt, total_written / dt if dt else 0.0,
     )
     return outputs
+
+
+def serve_stream_loop(
+    style_name: str,
+    out_dir: str = "results/",
+    params=None,
+    models_path: Optional[str] = None,
+    size: Optional[int] = None,
+    precision: str = "f32",
+    pad_mode: str = "reflect",
+    stdin=None,
+    stdout=None,
+) -> int:
+    """Warm-process STREAMING stylization: one frame per request, with the
+    recurrent carry held across requests.
+
+    The video net's temporal consistency comes from feeding each frame the
+    previous *stylized* frame (network.py:1117-1131); batch conversion gets
+    that from ``lax.scan``. A live source (camera, screen capture, frames
+    arriving over a queue) can't be scanned — so this daemon keeps the
+    carry in device memory between requests: consecutive requests form one
+    temporally-consistent stream, served frame-by-frame at single-frame
+    latency (the 605 fps single-stream rate in docs/performance.md is this
+    step's throughput ceiling).
+
+    Protocol (line-oriented, responses flushed; same shape as
+    ``fast.serve_loop``):
+
+    - ``<frame_path>`` / ``<frame_path>\\t<output_path>`` — stylize the
+      next frame of the current stream; reply ``OK <out_path>``.
+    - ``RESET`` — end the stream; the next frame starts a fresh one
+      (pairs with itself, like a clip's first frame). Replies ``OK RESET``.
+    - blank line or EOF — shut down.
+
+    Returns the number of frames served. Failed requests reply
+    ``ERR <input>: <reason>`` and do NOT advance the carry.
+    """
+    import sys as _sys
+
+    from PIL import Image
+
+    logger = get_logger()
+    stdin = stdin if stdin is not None else _sys.stdin
+    stdout = stdout if stdout is not None else _sys.stdout
+
+    if params is None:
+        template = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+        params, _ = ckpt.load_latest_transformer(
+            MODEL_NAME, style_name, template, models_path
+        )
+
+    cd = jnp.bfloat16 if precision == "bf16" else None
+
+    @jax.jit
+    def step(params, frame_u8, old):
+        f = img_utils.maybe_normalize_on_device(frame_u8)
+        out = transformer.apply(
+            params, jnp.concatenate([f, old], axis=-1),
+            compute_dtype=cd, pad_mode=pad_mode,
+        )
+        return out, img_utils.to_uint8_on_device(out)
+
+    norm = jax.jit(img_utils.maybe_normalize_on_device)
+
+    sz = size or constants.IMSIZE
+    out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # Eager compile at the fixed stream shape: READY means ready.
+    warm = jnp.zeros((1, sz, sz, 3), jnp.uint8)
+    t0 = time.time()
+    np.asarray(step(params, warm, norm(warm))[1])
+    logger.info("video serve: compiled %dpx %s stream step in %.1fs; ready",
+                sz, precision, time.time() - t0)
+    print("READY", file=stdout, flush=True)
+
+    carry = None
+    n_served = 0
+    for line in stdin:
+        line = line.rstrip("\n")
+        if not line.strip():
+            break
+        if line.strip() == "RESET":
+            carry = None
+            print("OK RESET", file=stdout, flush=True)
+            continue
+        in_path, _, explicit_out = line.partition("\t")
+        in_path = in_path.strip()
+        try:
+            frame_u8 = jnp.asarray(img_utils.load_image_uint8(
+                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+            ))
+            old = norm(frame_u8) if carry is None else carry
+            out_model, out_u8 = step(params, frame_u8, old)
+            out_arr = np.asarray(out_u8)[0]  # forces completion of out_model too
+            carry = out_model
+            if explicit_out.strip():
+                out_file = os.path.join(
+                    constants.PROJECT_ROOT_PATH, explicit_out.strip()
+                )
+                os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+            else:
+                stem = os.path.splitext(os.path.basename(in_path))[0]
+                out_file = os.path.join(
+                    out_dir, f"video_st_{style_name}_{stem}.png"
+                )
+            Image.fromarray(out_arr).save(out_file)
+            n_served += 1
+            print(f"OK {out_file}", file=stdout, flush=True)
+        except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
+            logger.warning("video serve: failed on %s (%s)", in_path, exc)
+            print(f"ERR {in_path}: {exc}", file=stdout, flush=True)
+    logger.info("video serve: shutting down after %d frame(s)", n_served)
+    return n_served

@@ -72,7 +72,7 @@ def test_fast_st_subcommands_and_defaults():
 
 def test_video_st_subcommands_and_defaults():
     video = cli.commands["video_st"]
-    assert set(video.commands) == {"train", "convert-video", "convert-dir"}
+    assert set(video.commands) == {"train", "convert-video", "convert-dir", "serve"}
     defaults = {p.name: p.default for p in video.commands["train"].params}
     # reference clis/video_st.py:19-30
     assert defaults["temporal_weight"] == 0.8

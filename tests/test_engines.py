@@ -417,3 +417,60 @@ def test_serve_loop_daemon_protocol(tmp_path, rng):
     got = np.asarray(Image.open(lines[1][3:]))
     want = np.asarray(Image.open(single))
     np.testing.assert_array_equal(got, want)
+
+
+def test_video_serve_stream_matches_scan(tmp_path, rng):
+    """video_st serve: frame-by-frame streaming with a persistent carry is
+    bit-identical to the scanned clip stylizer, and RESET starts a fresh
+    stream (next frame pairs with itself)."""
+    import io
+
+    from PIL import Image
+
+    from styletransfer_tpu.engines import video as video_engine
+    from styletransfer_tpu.utils import images as img_utils
+
+    params = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+    paths = []
+    for i in range(3):
+        arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        p = tmp_path / f"f{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+
+    stdin = io.StringIO(
+        f"{paths[0]}\n{paths[1]}\nRESET\n{paths[2]}\n\n"
+    )
+    stdout = io.StringIO()
+    n = video_engine.serve_stream_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=params,
+        size=32, stdin=stdin, stdout=stdout,
+    )
+    assert n == 3
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    assert [l.split()[0] for l in lines[1:]] == ["OK", "OK", "OK", "OK"]
+    assert lines[3] == "OK RESET"
+
+    # Scanned-reference for the first stream (frames 0,1):
+    frames_u8 = jnp.asarray(np.stack(
+        [img_utils.load_image_uint8(str(p), size=32)[0] for p in paths[:2]]
+    ))[:, None]  # [T,1,32,32,3]
+    carry0 = img_utils.maybe_normalize_on_device(frames_u8[0])
+    outs = video_engine._stylize_chunk(params, frames_u8, carry0)
+    want = np.asarray(img_utils.to_uint8_on_device(outs))[:, 0]
+    for t in (0, 1):
+        got = np.asarray(Image.open(lines[1 + t].split(" ", 1)[1]))
+        np.testing.assert_array_equal(got, want[t])
+
+    # After RESET, frame 2 must match a fresh single-frame stream, NOT a
+    # continuation of the old carry.
+    f2 = jnp.asarray(
+        img_utils.load_image_uint8(str(paths[2]), size=32)
+    )[None]  # [1,1,32,32,3]
+    out2 = video_engine._stylize_chunk(
+        params, f2, img_utils.maybe_normalize_on_device(f2[0])
+    )
+    want2 = np.asarray(img_utils.to_uint8_on_device(out2))[0, 0]
+    got2 = np.asarray(Image.open(lines[4].split(" ", 1)[1]))
+    np.testing.assert_array_equal(got2, want2)
