@@ -310,3 +310,35 @@ def serve(style_name, out_dir, size, precision, pad_mode):
         style_name=style_name, out_dir=out_dir, size=size,
         precision=precision, pad_mode=pad_mode,
     )
+
+
+@fast_st.command("serve-multi")
+@click.argument("name")
+@click.option("--num-styles", required=True, type=int,
+              help="Number of styles the checkpoint was trained with")
+@click.option("-o", "--out-dir", default="results/",
+              help="Default results directory for requests without an "
+                   "explicit output path")
+@click.option("--size", default=None, type=int,
+              help="Working resolution (default 256); all requests are "
+                   "resized to it so they share one compiled program")
+@click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
+              help="Activation precision")
+def serve_multi(name, num_styles, out_dir, size, precision):
+    """
+    Warm-process MULTI-STYLE daemon for a network trained by `train-multi`:
+    compiles one program, prints `READY`, then stylizes one image per stdin
+    line until EOF or a blank line — each request picks its own style or
+    blend, as data, with no recompile.
+
+    Each line is `INPUT[<TAB>OUTPUT[<TAB>STYLE]]` where STYLE is an index
+    (`2`) or comma-separated blend weights (`0.3,0.7`); leave OUTPUT empty
+    (two TABs) to use the default naming. Responses: `OK <output_path>` or
+    `ERR <input>: <reason>`.
+    """
+    from styletransfer_tpu.engines import multistyle as ms
+
+    ms.serve_loop(
+        name=name, num_styles=num_styles, out_dir=out_dir, size=size,
+        precision=precision,
+    )

@@ -13,6 +13,8 @@ interpolation — both are pure data, no recompiles across styles.
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -353,3 +355,132 @@ def stylize(params, images, style_idx, compute_dtype=None):
 def stylize_blend(params, images, weights, compute_dtype=None):
     """Stylize a batch with per-sample convex style blends [B, S]."""
     return multistyle.apply_blend(params, images, weights, compute_dtype)
+
+
+def serve_loop(
+    name: str,
+    num_styles: int,
+    out_dir: str = "results/",
+    params=None,
+    models_path=None,
+    size: Optional[int] = None,
+    precision: str = "f32",
+    stdin=None,
+    stdout=None,
+) -> int:
+    """Warm-process multi-style serving: per-request style selection AND
+    continuous blending from one compiled program.
+
+    The daemon form of ``convert-image-multi`` (see ``fast.serve_loop`` for
+    the rationale): every request carries its own style — a hard index or
+    arbitrary convex blend weights — as DATA, so switching or interpolating
+    styles costs nothing (hard selection is the one-hot special case of the
+    blended conditional-IN affines; tested identical).
+
+    Protocol (line-oriented, responses flushed): each request line is
+    ``INPUT[\\tOUTPUT[\\tSTYLE]]`` where STYLE is an index (``2``) or
+    comma-separated blend weights (``0.3,0.7``, normalized server-side);
+    empty OUTPUT means the default
+    ``{out_dir}/converted_fast_multi_st_{name}_{stem}_{style}.png``.
+    Missing STYLE means style 0. ``READY`` after compile; per request
+    ``OK <out_path>`` or ``ERR <input>: <reason>``; blank line / EOF shuts
+    down. Returns the number served.
+    """
+    import sys as _sys
+
+    import numpy as np
+    from PIL import Image
+
+    from styletransfer_tpu import ckpt, constants
+    from styletransfer_tpu.utils import images as img_utils
+    from styletransfer_tpu.utils.logging import get_logger
+
+    logger = get_logger()
+    stdin = stdin if stdin is not None else _sys.stdin
+    stdout = stdout if stdout is not None else _sys.stdout
+
+    if params is None:
+        template = multistyle.init_params(
+            jax.random.PRNGKey(0), num_styles=num_styles
+        )
+        params, _ = ckpt.load_latest_transformer(
+            MODEL_NAME, name, template, models_path
+        )
+
+    cd = jnp.bfloat16 if precision == "bf16" else None
+
+    @jax.jit
+    def serve_fn(params, batch_u8, weights):
+        x = img_utils.maybe_normalize_on_device(batch_u8)
+        y = multistyle.apply_blend(params, x, weights, compute_dtype=cd)
+        return img_utils.to_uint8_on_device(y)
+
+    sz = size or constants.IMSIZE
+    out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    warm_w = jnp.zeros((1, num_styles), jnp.float32).at[0, 0].set(1.0)
+    t0 = time.time()
+    np.asarray(serve_fn(params, jnp.zeros((1, sz, sz, 3), jnp.uint8), warm_w))
+    logger.info(
+        "multi serve: compiled %dpx %s program (%d styles) in %.1fs; ready",
+        sz, precision, num_styles, time.time() - t0,
+    )
+    print("READY", file=stdout, flush=True)
+
+    n_served = 0
+    for line in stdin:
+        line = line.rstrip("\n")
+        if not line.strip():
+            break
+        fields = line.split("\t")
+        in_path = fields[0].strip()
+        explicit_out = fields[1].strip() if len(fields) > 1 else ""
+        style_spec = fields[2].strip() if len(fields) > 2 else "0"
+        try:
+            if "," in style_spec:
+                w = np.asarray(
+                    [float(v) for v in style_spec.split(",")], np.float32
+                )
+                if w.shape[0] != num_styles:
+                    raise ValueError(
+                        f"expected {num_styles} blend weights, got {w.shape[0]}"
+                    )
+                if w.min() < 0 or w.sum() <= 0:
+                    raise ValueError("blend weights must be non-negative")
+                w = w / w.sum()
+                tag = "blend_" + "_".join(f"{v:g}" for v in w)
+            else:
+                idx = int(style_spec)
+                if not 0 <= idx < num_styles:
+                    raise ValueError(
+                        f"style index {idx} out of range [0, {num_styles})"
+                    )
+                w = np.zeros((num_styles,), np.float32)
+                w[idx] = 1.0
+                tag = f"style{idx}"
+            input_u8 = img_utils.load_image_uint8(
+                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+            )
+            out_u8 = np.asarray(
+                serve_fn(params, jnp.asarray(input_u8), jnp.asarray(w)[None])
+            )[0]
+            if explicit_out:
+                out_file = os.path.join(
+                    constants.PROJECT_ROOT_PATH, explicit_out
+                )
+                os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+            else:
+                stem = os.path.splitext(os.path.basename(in_path))[0]
+                out_file = os.path.join(
+                    out_dir,
+                    f"converted_fast_multi_st_{name}_{stem}_{tag}.png",
+                )
+            Image.fromarray(out_u8).save(out_file)
+            n_served += 1
+            print(f"OK {out_file}", file=stdout, flush=True)
+        except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
+            logger.warning("multi serve: failed on %s (%s)", in_path, exc)
+            print(f"ERR {in_path}: {exc}", file=stdout, flush=True)
+    logger.info("multi serve: shutting down after %d request(s)", n_served)
+    return n_served

@@ -167,3 +167,59 @@ def test_multistyle_train_and_convert_cli(tmp_path, monkeypatch, vgg_params):
         "converted_fast_multi_st_duo_blend.png",
         "converted_fast_multi_st_duo_style1.png",
     ]
+
+
+def test_multistyle_serve_loop_protocol(tmp_path, rng):
+    """serve-multi daemon: per-request hard index and blend weights from one
+    compiled program; invalid style specs answer ERR without killing it;
+    one-hot blend == hard selection == the convert path's output."""
+    import io
+    import os
+
+    from PIL import Image
+
+    from styletransfer_tpu.utils import images as img_utils
+
+    params = multistyle.init_params(jax.random.PRNGKey(0), num_styles=S)
+    # Make styles genuinely distinct so selection is observable.
+    params["in1"]["scale"] = params["in1"]["scale"].at[1].mul(3.0)
+
+    img = tmp_path / "photo.png"
+    arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(img)
+
+    stdin = io.StringIO(
+        f"{img}\n"                         # default style 0
+        f"{img}\t\t1\n"                    # hard index 1, default naming
+        f"{img}\t{tmp_path}/blend.png\t1,1,2\n"  # blend, explicit output
+        f"{img}\t\t7\n"                    # out-of-range index -> ERR
+        f"{img}\t\t0.5,0.5\n"              # wrong weight count -> ERR
+        "\n"
+    )
+    stdout = io.StringIO()
+    n = ms_engine.serve_loop(
+        name="tst", num_styles=S, out_dir=str(tmp_path / "results"),
+        params=params, size=32, stdin=stdin, stdout=stdout,
+    )
+    assert n == 3
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    assert [l.split()[0] for l in lines[1:]] == ["OK", "OK", "OK", "ERR", "ERR"]
+    assert "out of range" in lines[4]
+    assert "blend weights" in lines[5]
+
+    # Daemon's hard-index output == direct apply through the same uint8 path
+    # (the daemon evaluates every request as a blend; a one-hot blend equals
+    # hard selection up to f32 reassociation, so allow 1 uint8 count).
+    u8 = jnp.asarray(img_utils.load_image_uint8(str(img), size=32))
+    for line, idx in ((lines[1], 0), (lines[2], 1)):
+        x = img_utils.maybe_normalize_on_device(u8)
+        want = np.asarray(img_utils.to_uint8_on_device(
+            multistyle.apply(params, x, jnp.array([idx]))
+        ))[0]
+        got = np.asarray(Image.open(line.split(" ", 1)[1]))
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # Styles 0 and 1 actually differ.
+    a = np.asarray(Image.open(lines[1].split(" ", 1)[1])).astype(int)
+    b = np.asarray(Image.open(lines[2].split(" ", 1)[1])).astype(int)
+    assert np.abs(a - b).max() > 0
