@@ -1,0 +1,63 @@
+"""Shared line-oriented daemon protocol for the warm-process serve CLIs.
+
+One protocol, three daemons (`fast_st serve`, `fast_st serve-multi`,
+`video_st serve` — see docs/serving.md): requests are TAB-separated fields
+on stdin, one per line; responses are flushed per line on stdout:
+
+- ``READY`` is printed by the caller once its program is compiled (this
+  module only runs the request loop);
+- each request answers ``OK <result>`` or ``ERR <input>: <reason>`` —
+  a failed request never kills the daemon;
+- a blank line or EOF shuts down.
+
+The engines own everything model-specific (compile, warm-up, how a request
+is served); this loop owns parsing, error containment, and the response
+contract, so the three daemons cannot drift apart.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Callable, Dict, Optional
+
+from styletransfer_tpu.utils.logging import get_logger
+
+
+def run_request_loop(
+    handle: Callable[..., str],
+    stdin=None,
+    stdout=None,
+    name: str = "serve",
+    commands: Optional[Dict[str, Callable[[], str]]] = None,
+) -> int:
+    """Run the request loop. Returns the number of successful requests.
+
+    ``handle(*fields)`` serves one request (fields = the TAB-split line,
+    stripped) and returns the response payload (usually the output path);
+    raising answers ``ERR`` with the exception text. ``commands`` maps
+    bare keyword lines (e.g. ``"RESET"``) to zero-arg handlers whose
+    return value is echoed after ``OK`` without counting as a served
+    request.
+    """
+    logger = get_logger()
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+
+    n_served = 0
+    for line in stdin:
+        line = line.rstrip("\n")
+        if not line.strip():
+            break
+        if commands and line.strip() in commands:
+            print(f"OK {commands[line.strip()]()}", file=stdout, flush=True)
+            continue
+        fields = [f.strip() for f in line.split("\t")]
+        try:
+            result = handle(*fields)
+            n_served += 1
+            print(f"OK {result}", file=stdout, flush=True)
+        except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
+            logger.warning("%s: failed on %s (%s)", name, fields[0], exc)
+            print(f"ERR {fields[0]}: {exc}", file=stdout, flush=True)
+    logger.info("%s: shutting down after %d request(s)", name, n_served)
+    return n_served

@@ -582,8 +582,9 @@ def serve_loop(
     """
     from PIL import Image
 
+    from styletransfer_tpu.engines import daemon
+
     logger = get_logger()
-    stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
 
     if params is None:
@@ -616,33 +617,22 @@ def serve_loop(
                 sz, precision, time.time() - t0)
     print("READY", file=stdout, flush=True)
 
-    n_served = 0
-    for line in stdin:
-        line = line.rstrip("\n")
-        if not line.strip():
-            break
-        in_path, _, explicit_out = line.partition("\t")
-        in_path = in_path.strip()
-        try:
-            input_u8 = img_utils.load_image_uint8(
-                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+    def handle(in_path, explicit_out=""):
+        input_u8 = img_utils.load_image_uint8(
+            os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+        )
+        out_u8 = np.asarray(serve(params, jnp.asarray(input_u8)))[0]
+        if explicit_out:
+            out_file = os.path.join(constants.PROJECT_ROOT_PATH, explicit_out)
+            os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+        else:
+            stem = os.path.splitext(os.path.basename(in_path))[0]
+            out_file = os.path.join(
+                out_dir, f"converted_fast_st_{style_name}_{stem}.png"
             )
-            out_u8 = np.asarray(serve(params, jnp.asarray(input_u8)))[0]
-            if explicit_out.strip():
-                out_file = os.path.join(
-                    constants.PROJECT_ROOT_PATH, explicit_out.strip()
-                )
-                os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
-            else:
-                stem = os.path.splitext(os.path.basename(in_path))[0]
-                out_file = os.path.join(
-                    out_dir, f"converted_fast_st_{style_name}_{stem}.png"
-                )
-            Image.fromarray(out_u8).save(out_file)
-            n_served += 1
-            print(f"OK {out_file}", file=stdout, flush=True)
-        except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
-            logger.warning("serve: failed on %s (%s)", in_path, exc)
-            print(f"ERR {in_path}: {exc}", file=stdout, flush=True)
-    logger.info("serve: shutting down after %d request(s)", n_served)
-    return n_served
+        Image.fromarray(out_u8).save(out_file)
+        return out_file
+
+    return daemon.run_request_loop(
+        handle, stdin=stdin, stdout=stdout, name="serve"
+    )

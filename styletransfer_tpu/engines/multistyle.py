@@ -392,11 +392,11 @@ def serve_loop(
     from PIL import Image
 
     from styletransfer_tpu import ckpt, constants
+    from styletransfer_tpu.engines import daemon
     from styletransfer_tpu.utils import images as img_utils
     from styletransfer_tpu.utils.logging import get_logger
 
     logger = get_logger()
-    stdin = stdin if stdin is not None else _sys.stdin
     stdout = stdout if stdout is not None else _sys.stdout
 
     if params is None:
@@ -428,59 +428,46 @@ def serve_loop(
     )
     print("READY", file=stdout, flush=True)
 
-    n_served = 0
-    for line in stdin:
-        line = line.rstrip("\n")
-        if not line.strip():
-            break
-        fields = line.split("\t")
-        in_path = fields[0].strip()
-        explicit_out = fields[1].strip() if len(fields) > 1 else ""
-        style_spec = fields[2].strip() if len(fields) > 2 else "0"
-        try:
-            if "," in style_spec:
-                w = np.asarray(
-                    [float(v) for v in style_spec.split(",")], np.float32
-                )
-                if w.shape[0] != num_styles:
-                    raise ValueError(
-                        f"expected {num_styles} blend weights, got {w.shape[0]}"
-                    )
-                if w.min() < 0 or w.sum() <= 0:
-                    raise ValueError("blend weights must be non-negative")
-                w = w / w.sum()
-                tag = "blend_" + "_".join(f"{v:g}" for v in w)
-            else:
-                idx = int(style_spec)
-                if not 0 <= idx < num_styles:
-                    raise ValueError(
-                        f"style index {idx} out of range [0, {num_styles})"
-                    )
-                w = np.zeros((num_styles,), np.float32)
-                w[idx] = 1.0
-                tag = f"style{idx}"
-            input_u8 = img_utils.load_image_uint8(
-                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+    def handle(in_path, explicit_out="", style_spec="0"):
+        style_spec = style_spec or "0"
+        if "," in style_spec:
+            w = np.asarray(
+                [float(v) for v in style_spec.split(",")], np.float32
             )
-            out_u8 = np.asarray(
-                serve_fn(params, jnp.asarray(input_u8), jnp.asarray(w)[None])
-            )[0]
-            if explicit_out:
-                out_file = os.path.join(
-                    constants.PROJECT_ROOT_PATH, explicit_out
+            if w.shape[0] != num_styles:
+                raise ValueError(
+                    f"expected {num_styles} blend weights, got {w.shape[0]}"
                 )
-                os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
-            else:
-                stem = os.path.splitext(os.path.basename(in_path))[0]
-                out_file = os.path.join(
-                    out_dir,
-                    f"converted_fast_multi_st_{name}_{stem}_{tag}.png",
+            if w.min() < 0 or w.sum() <= 0:
+                raise ValueError("blend weights must be non-negative")
+            w = w / w.sum()
+            tag = "blend_" + "_".join(f"{v:g}" for v in w)
+        else:
+            idx = int(style_spec)
+            if not 0 <= idx < num_styles:
+                raise ValueError(
+                    f"style index {idx} out of range [0, {num_styles})"
                 )
-            Image.fromarray(out_u8).save(out_file)
-            n_served += 1
-            print(f"OK {out_file}", file=stdout, flush=True)
-        except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
-            logger.warning("multi serve: failed on %s (%s)", in_path, exc)
-            print(f"ERR {in_path}: {exc}", file=stdout, flush=True)
-    logger.info("multi serve: shutting down after %d request(s)", n_served)
-    return n_served
+            w = np.zeros((num_styles,), np.float32)
+            w[idx] = 1.0
+            tag = f"style{idx}"
+        input_u8 = img_utils.load_image_uint8(
+            os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+        )
+        out_u8 = np.asarray(
+            serve_fn(params, jnp.asarray(input_u8), jnp.asarray(w)[None])
+        )[0]
+        if explicit_out:
+            out_file = os.path.join(constants.PROJECT_ROOT_PATH, explicit_out)
+            os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+        else:
+            stem = os.path.splitext(os.path.basename(in_path))[0]
+            out_file = os.path.join(
+                out_dir, f"converted_fast_multi_st_{name}_{stem}_{tag}.png"
+            )
+        Image.fromarray(out_u8).save(out_file)
+        return out_file
+
+    return daemon.run_request_loop(
+        handle, stdin=stdin, stdout=stdout, name="multi serve"
+    )

@@ -846,7 +846,6 @@ def serve_stream_loop(
     from PIL import Image
 
     logger = get_logger()
-    stdin = stdin if stdin is not None else _sys.stdin
     stdout = stdout if stdout is not None else _sys.stdout
 
     if params is None:
@@ -880,41 +879,34 @@ def serve_stream_loop(
                 sz, precision, time.time() - t0)
     print("READY", file=stdout, flush=True)
 
+    from styletransfer_tpu.engines import daemon
+
     carry = None
-    n_served = 0
-    for line in stdin:
-        line = line.rstrip("\n")
-        if not line.strip():
-            break
-        if line.strip() == "RESET":
-            carry = None
-            print("OK RESET", file=stdout, flush=True)
-            continue
-        in_path, _, explicit_out = line.partition("\t")
-        in_path = in_path.strip()
-        try:
-            frame_u8 = jnp.asarray(img_utils.load_image_uint8(
-                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
-            ))
-            old = norm(frame_u8) if carry is None else carry
-            out_model, out_u8 = step(params, frame_u8, old)
-            out_arr = np.asarray(out_u8)[0]  # forces completion of out_model too
-            carry = out_model
-            if explicit_out.strip():
-                out_file = os.path.join(
-                    constants.PROJECT_ROOT_PATH, explicit_out.strip()
-                )
-                os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
-            else:
-                stem = os.path.splitext(os.path.basename(in_path))[0]
-                out_file = os.path.join(
-                    out_dir, f"video_st_{style_name}_{stem}.png"
-                )
-            Image.fromarray(out_arr).save(out_file)
-            n_served += 1
-            print(f"OK {out_file}", file=stdout, flush=True)
-        except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
-            logger.warning("video serve: failed on %s (%s)", in_path, exc)
-            print(f"ERR {in_path}: {exc}", file=stdout, flush=True)
-    logger.info("video serve: shutting down after %d frame(s)", n_served)
-    return n_served
+
+    def reset():
+        nonlocal carry
+        carry = None
+        return "RESET"
+
+    def handle(in_path, explicit_out=""):
+        nonlocal carry
+        frame_u8 = jnp.asarray(img_utils.load_image_uint8(
+            os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+        ))
+        old = norm(frame_u8) if carry is None else carry
+        out_model, out_u8 = step(params, frame_u8, old)
+        out_arr = np.asarray(out_u8)[0]  # forces completion of out_model too
+        carry = out_model
+        if explicit_out:
+            out_file = os.path.join(constants.PROJECT_ROOT_PATH, explicit_out)
+            os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+        else:
+            stem = os.path.splitext(os.path.basename(in_path))[0]
+            out_file = os.path.join(out_dir, f"video_st_{style_name}_{stem}.png")
+        Image.fromarray(out_arr).save(out_file)
+        return out_file
+
+    return daemon.run_request_loop(
+        handle, stdin=stdin, stdout=stdout, name="video serve",
+        commands={"RESET": reset},
+    )
