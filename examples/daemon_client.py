@@ -1,0 +1,97 @@
+"""Minimal reference client for the warm-process serving daemons.
+
+Spawns one of the `serve` CLIs (`fast_st serve`, `fast_st serve-multi`,
+`video_st serve` — docs/serving.md), waits for `READY`, streams requests
+from the command line (or stdin with `-`), and prints one response per
+request. Exits non-zero if any request failed.
+
+Examples:
+
+    python examples/daemon_client.py fast demo_style.png img1.jpg img2.jpg
+    python examples/daemon_client.py video demo_style.png frame*.png
+    python examples/daemon_client.py multi mymodel --num-styles 3 \
+        --style 0.5,0.5,0 img.jpg
+    ls photos/*.jpg | python examples/daemon_client.py fast demo_style.png -
+
+The protocol is plain line-oriented text, so this file is intentionally
+dependency-free — adapt it to a socket/queue transport by replacing the
+pipe plumbing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("mode", choices=["fast", "multi", "video"])
+    ap.add_argument("style_name", help="style / model name of the checkpoint")
+    ap.add_argument("inputs", nargs="+",
+                    help="input image/frame paths, or '-' to read from stdin")
+    ap.add_argument("--num-styles", type=int,
+                    help="(multi) number of styles in the checkpoint")
+    ap.add_argument("--style", default=None,
+                    help="(multi) style index or comma-separated blend "
+                         "weights applied to every request")
+    ap.add_argument("--precision", default="f32", choices=["f32", "bf16"])
+    args = ap.parse_args()
+
+    cmd = [sys.executable, "-m", "styletransfer_tpu"]
+    if args.mode == "fast":
+        cmd += ["fast_st", "serve", args.style_name]
+    elif args.mode == "multi":
+        if args.num_styles is None:
+            ap.error("--num-styles is required for multi")
+        cmd += ["fast_st", "serve-multi", args.style_name,
+                "--num-styles", str(args.num_styles)]
+    else:
+        cmd += ["video_st", "serve", args.style_name]
+    cmd += ["--precision", args.precision]
+
+    proc = subprocess.Popen(
+        cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        text=True, bufsize=1,
+    )
+    t0 = time.time()
+    line = ""
+    while line.strip() != "READY":
+        line = proc.stdout.readline()
+        if not line:
+            print("daemon exited before READY", file=sys.stderr)
+            return 2
+    print(f"READY in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    inputs = args.inputs
+    if inputs == ["-"]:
+        inputs = [l.strip() for l in sys.stdin if l.strip()]
+
+    failures = 0
+    t0 = time.time()
+    for path in inputs:
+        req = path
+        if args.mode == "multi" and args.style is not None:
+            req = f"{path}\t\t{args.style}"
+        proc.stdin.write(req + "\n")
+        proc.stdin.flush()
+        resp = proc.stdout.readline().strip()
+        print(resp)
+        failures += not resp.startswith("OK")
+    dt = time.time() - t0
+    print(
+        f"{len(inputs)} request(s) in {dt:.2f}s"
+        f" ({dt / max(len(inputs), 1) * 1e3:.0f} ms each), {failures} failed",
+        file=sys.stderr,
+    )
+
+    proc.stdin.write("\n")  # blank line = clean shutdown
+    proc.stdin.flush()
+    proc.wait(timeout=60)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
