@@ -419,6 +419,31 @@ def test_serve_loop_daemon_protocol(tmp_path, rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_serve_loop_malformed_request_answers_err(tmp_path, rng):
+    """A request with too many TAB fields is answered with ERR (not a
+    crash) and the daemon keeps serving the next request."""
+    import io
+
+    from PIL import Image
+
+    img = tmp_path / "p.png"
+    Image.fromarray(
+        rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    ).save(img)
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    stdin = io.StringIO(f"{img}\tx\ty\tz\n{img}\n\n")
+    stdout = io.StringIO()
+    n = fast.serve_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=params,
+        size=32, stdin=stdin, stdout=stdout,
+    )
+    assert n == 1
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    assert lines[1].startswith("ERR ")
+    assert lines[2].startswith("OK ")
+
+
 def test_video_serve_stream_matches_scan(tmp_path, rng):
     """video_st serve: frame-by-frame streaming with a persistent carry is
     bit-identical to the scanned clip stylizer, and RESET starts a fresh
