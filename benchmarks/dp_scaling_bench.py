@@ -55,7 +55,6 @@ def time_mesh(n_devices: int) -> float:
 
     params = mesh_lib.replicate(params, mesh)
     opt_state = mesh_lib.replicate(opt.init(params), mesh)
-    vgg_params_m = mesh_lib.replicate(vgg_params, mesh)  # noqa: F841 (closure)
     batch = mesh_lib.shard_batch(
         jnp.asarray(
             np.random.default_rng(2).standard_normal(

@@ -17,10 +17,24 @@ contract, so the three daemons cannot drift apart.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Callable, Dict, Optional
 
 from styletransfer_tpu.utils.logging import get_logger
+
+
+def resolve_out_path(explicit_out: str, out_dir: str, default_name: str) -> str:
+    """Output path for one request: the explicit TAB field (resolved
+    against the project root, parent dirs created) or ``out_dir`` +
+    the daemon's default naming."""
+    from styletransfer_tpu import constants
+
+    if explicit_out:
+        out_file = os.path.join(constants.PROJECT_ROOT_PATH, explicit_out)
+        os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+        return out_file
+    return os.path.join(out_dir, default_name)
 
 
 def run_request_loop(
@@ -58,6 +72,9 @@ def run_request_loop(
             print(f"OK {result}", file=stdout, flush=True)
         except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
             logger.warning("%s: failed on %s (%s)", name, fields[0], exc)
-            print(f"ERR {fields[0]}: {exc}", file=stdout, flush=True)
+            # Exception text can span lines (e.g. XLA runtime errors); the
+            # protocol is one response line per request, so collapse it.
+            reason = " ".join(str(exc).split()) or type(exc).__name__
+            print(f"ERR {fields[0]}: {reason}", file=stdout, flush=True)
     logger.info("%s: shutting down after %d request(s)", name, n_served)
     return n_served

@@ -353,6 +353,25 @@ def static_train(
     return params
 
 
+def make_serve_fn(precision: str = "f32", pad_mode: str = "reflect"):
+    """The uint8-in / uint8-out serving forward shared by every fast_st
+    serving path (process_image, process_dir, serve_loop): normalize and
+    denormalize/round run in-graph, so host<->device transfers ride uint8
+    (4x less traffic than f32; bit-identical to host normalization —
+    utils.images tests)."""
+
+    def serve_fn(params, batch_u8):
+        x = img_utils.maybe_normalize_on_device(batch_u8)
+        y = transformer.apply(
+            params, x,
+            compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
+            pad_mode=pad_mode,
+        )
+        return img_utils.to_uint8_on_device(y)
+
+    return serve_fn
+
+
 def process_image(
     image_path: str,
     style_name: str = "nsp",
@@ -387,14 +406,7 @@ def process_image(
         size=size or constants.IMSIZE,
     )
 
-    def serve_fn(params, batch_u8):
-        x = img_utils.maybe_normalize_on_device(batch_u8)
-        y = transformer.apply(
-            params, x,
-            compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
-            pad_mode=pad_mode,
-        )
-        return img_utils.to_uint8_on_device(y)
+    serve_fn = make_serve_fn(precision, pad_mode)
 
     # AOT executable cache: repeat invocations at the serving shapes skip
     # the backend compile entirely (utils/aot.py).
@@ -458,15 +470,7 @@ def process_dir(
             MODEL_NAME, style_name, template, models_path
         )
 
-    def serve_fn(params, batch_u8):
-        x = img_utils.maybe_normalize_on_device(batch_u8)
-        y = transformer.apply(
-            params, x,
-            compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
-            pad_mode=pad_mode,
-        )
-        return img_utils.to_uint8_on_device(y)
-
+    serve_fn = make_serve_fn(precision, pad_mode)
     serve_fn_compiled = None  # AOT-compiled lazily at the first batch shape
 
     sz = size or constants.IMSIZE
@@ -593,14 +597,7 @@ def serve_loop(
             MODEL_NAME, style_name, template, models_path
         )
 
-    def serve_fn(params, batch_u8):
-        x = img_utils.maybe_normalize_on_device(batch_u8)
-        y = transformer.apply(
-            params, x,
-            compute_dtype=jnp.bfloat16 if precision == "bf16" else None,
-            pad_mode=pad_mode,
-        )
-        return img_utils.to_uint8_on_device(y)
+    serve_fn = make_serve_fn(precision, pad_mode)
 
     sz = size or constants.IMSIZE
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
@@ -622,14 +619,10 @@ def serve_loop(
             os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
         )
         out_u8 = np.asarray(serve(params, jnp.asarray(input_u8)))[0]
-        if explicit_out:
-            out_file = os.path.join(constants.PROJECT_ROOT_PATH, explicit_out)
-            os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
-        else:
-            stem = os.path.splitext(os.path.basename(in_path))[0]
-            out_file = os.path.join(
-                out_dir, f"converted_fast_st_{style_name}_{stem}.png"
-            )
+        stem = os.path.splitext(os.path.basename(in_path))[0]
+        out_file = daemon.resolve_out_path(
+            explicit_out, out_dir, f"converted_fast_st_{style_name}_{stem}.png"
+        )
         Image.fromarray(out_u8).save(out_file)
         return out_file
 

@@ -457,14 +457,11 @@ def serve_loop(
         out_u8 = np.asarray(
             serve_fn(params, jnp.asarray(input_u8), jnp.asarray(w)[None])
         )[0]
-        if explicit_out:
-            out_file = os.path.join(constants.PROJECT_ROOT_PATH, explicit_out)
-            os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
-        else:
-            stem = os.path.splitext(os.path.basename(in_path))[0]
-            out_file = os.path.join(
-                out_dir, f"converted_fast_multi_st_{name}_{stem}_{tag}.png"
-            )
+        stem = os.path.splitext(os.path.basename(in_path))[0]
+        out_file = daemon.resolve_out_path(
+            explicit_out, out_dir,
+            f"converted_fast_multi_st_{name}_{stem}_{tag}.png",
+        )
         Image.fromarray(out_u8).save(out_file)
         return out_file
 

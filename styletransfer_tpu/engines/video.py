@@ -199,6 +199,24 @@ def _chunk_frames(
         yield np.stack(buf), valid
 
 
+def _all_processes_agree(flag: bool) -> bool:
+    """True iff ``flag`` is true on EVERY process (trivially ``flag`` on a
+    single process).
+
+    Used for resume decisions that change collective participation (e.g.
+    mid-batch vs batch-start): each process deciding from its own local
+    state alone could put processes at different positions in the train
+    loop, which deadlocks the mesh. Costs one tiny all-gather at startup.
+    """
+    if jax.process_count() == 1:
+        return flag
+    from jax.experimental import multihost_utils
+
+    return bool(
+        np.asarray(multihost_utils.process_allgather(np.asarray(flag))).all()
+    )
+
+
 def video_train(
     style_image: jnp.ndarray,
     style_name: str = "nsp",
@@ -233,9 +251,11 @@ def video_train(
     keep the readers in lockstep, but take no step). Multi-host runs store
     the carry as one iteration-stamped sidecar per process holding its
     LOCAL batch rows (a process cannot ``device_get`` the globally-sharded
-    array); resume is exact when each process restarts with its sidecar
-    present and the topology unchanged, and degrades to batch-level resume
-    (re-training the stored batch's earlier chunks) otherwise.
+    array); resume is exact when EVERY process restarts with its sidecar
+    present and the topology unchanged, and otherwise ALL processes degrade
+    together to batch-level resume (re-training the stored batch's earlier
+    chunks) — the decision is made collectively (one all-gather) because
+    per-process fallback would desync the mesh's collectives.
     """
     logger = get_logger()
     mesh = mesh or mesh_lib.auto_mesh(batch_size)
@@ -329,16 +349,26 @@ def video_train(
                     iteration, MODEL_NAME, style_name, models_path,
                     array_keys=("old_content", "old_stylized"),
                 )
-                if shard_arrays is not None:
+                # The mid-batch-vs-batch-start decision MUST be collective:
+                # if even one process lacks a valid sidecar (e.g. it died
+                # between a peer's sidecar write and its own), a per-process
+                # fallback would give processes different resume positions —
+                # mismatched collective participation and a distributed
+                # hang. All processes agree to resume mid-batch only when
+                # every sidecar is present and current.
+                have_shard = shard_arrays is not None
+                if _all_processes_agree(have_shard):
                     resume_carry = (
                         shard_arrays["old_content"],
                         shard_arrays["old_stylized"],
                     )
                 else:
                     logger.warning(
-                        "Step state has a mid-batch position but this "
-                        "process's carry sidecar is absent or stale; "
-                        "resuming from the start of video batch %d.",
+                        "Step state has a mid-batch position but at least "
+                        "one process's carry sidecar is absent or stale "
+                        "(this process: %s); all processes resume from the "
+                        "start of video batch %d.",
+                        "present" if have_shard else "missing",
                         resume_batches,
                     )
                     resume_chunks = 0
@@ -896,14 +926,15 @@ def serve_stream_loop(
         old = norm(frame_u8) if carry is None else carry
         out_model, out_u8 = step(params, frame_u8, old)
         out_arr = np.asarray(out_u8)[0]  # forces completion of out_model too
-        carry = out_model
-        if explicit_out:
-            out_file = os.path.join(constants.PROJECT_ROOT_PATH, explicit_out)
-            os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
-        else:
-            stem = os.path.splitext(os.path.basename(in_path))[0]
-            out_file = os.path.join(out_dir, f"video_st_{style_name}_{stem}.png")
+        stem = os.path.splitext(os.path.basename(in_path))[0]
+        out_file = daemon.resolve_out_path(
+            explicit_out, out_dir, f"video_st_{style_name}_{stem}.png"
+        )
         Image.fromarray(out_arr).save(out_file)
+        # Advance the carry only once the request has fully succeeded — a
+        # save failure answers ERR and must leave the stream state intact
+        # (the documented "failed requests do NOT advance the carry").
+        carry = out_model
         return out_file
 
     return daemon.run_request_loop(

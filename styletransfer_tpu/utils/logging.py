@@ -26,23 +26,30 @@ LOGGER_FORMATTER = logging.Formatter(
 
 
 class TqdmLoggingHandler(logging.StreamHandler):
-    """Console handler that emits through ``tqdm.write``.
+    """Console handler that emits through ``tqdm.write`` on **stderr**.
 
     Keeps tqdm progress bars pinned at the bottom of the terminal instead of
     interleaving log lines with bar redraws (reference ``c_logging.py:27-48``).
-    Falls back to a plain stream write if tqdm is unavailable.
+    Emits to stderr — not ``tqdm.write``'s stdout default: stdout must stay
+    clean for the line-oriented serving daemons (engines/daemon.py), whose
+    clients read one protocol line per request. ``sys.stderr`` is resolved
+    at emit time (not bound at handler construction) so stream redirection
+    (pytest capture, shell ``2>``) always applies. Falls back to a plain
+    stream write if tqdm is unavailable.
     """
 
     def emit(self, record: logging.LogRecord) -> None:
+        import sys
+
         try:
             msg = self.format(record)
             try:
                 import tqdm
 
-                tqdm.tqdm.write(msg)
+                tqdm.tqdm.write(msg, file=sys.stderr)
             except ImportError:  # pragma: no cover - tqdm is a hard dep in practice
-                self.stream.write(msg + "\n")
-            self.flush()
+                sys.stderr.write(msg + "\n")
+            sys.stderr.flush()
         except (KeyboardInterrupt, SystemExit):
             raise
         except Exception:  # noqa: BLE001 - match logging.Handler contract

@@ -219,6 +219,16 @@ assert ckpt.load_carry_shards(
     8, "video_st", "s", models_path, array_keys=("old_content",)
 ) is None
 
+# Collective resume agreement: mid-batch resume requires EVERY process to
+# hold a valid sidecar — a per-process fallback would put processes at
+# different loop positions and deadlock the mesh. Any disagreement must
+# collapse to False on ALL processes.
+from styletransfer_tpu.engines import video as video_engine
+
+assert video_engine._all_processes_agree(True) is True
+assert video_engine._all_processes_agree(pid == 0) is False
+assert video_engine._all_processes_agree(False) is False
+
 with open(out_path, "w") as f:
     json.dump({"ok": True, "pid": pid}, f)
 """

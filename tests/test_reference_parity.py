@@ -624,10 +624,9 @@ def test_fast_train_trajectory_matches_reference(ref, shared_vgg):
 
         ref_losses.append(float(optimizer.step(closure).detach()))
 
-    # --- ours: same weights, same batches, jitted train step ---
-    params = transformer.import_torch_state_dict(dict(tnet.state_dict()))
-    # tnet has been updated by 3 steps; rebuild initial params from a fresh
-    # seeded net instead: reconstruct with the same torch seed.
+    # --- ours: same INITIAL weights, same batches, jitted train step ---
+    # (tnet has been updated by 3 steps; reconstruct the initial params
+    # from a fresh net with the same torch seed.)
     torch.manual_seed(0)
     tnet0 = ref.network.ImageTransformNet(_nchw(style), batch_size=2)
     params = transformer.import_torch_state_dict(dict(tnet0.state_dict()))

@@ -37,6 +37,16 @@ def test_matmul_precision_env_knob(monkeypatch):
         jax.config.update("jax_default_matmul_precision", original)
 
 
+def test_console_logs_go_to_stderr_not_stdout(capsys):
+    """The serving daemons' stdout carries a one-line-per-request protocol;
+    console log lines must never interleave with it (engines/daemon.py)."""
+    logger = get_logger()
+    logger.warning("daemon-protocol-check %d", 7)
+    cap = capsys.readouterr()
+    assert "daemon-protocol-check 7" in cap.err
+    assert "daemon-protocol-check" not in cap.out
+
+
 def test_logger_singleton_and_handlers():
     a = get_logger()
     b = get_logger()
