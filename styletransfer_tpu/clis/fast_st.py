@@ -293,7 +293,11 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, size, precision,
 @click.option("--pad-mode", default="reflect", type=click.Choice(["reflect", "zeros"]),
               help="Conv padding. Use 'zeros' for checkpoints trained by the "
                    "ORIGINAL reference code")
-def serve(style_name, out_dir, size, precision, pad_mode):
+@click.option("-b", "--batch-size", default=1,
+              help="Dynamic batching: serve up to N already-queued requests "
+                   "per device call (lone requests keep single-request "
+                   "latency; piped bursts get batched throughput)")
+def serve(style_name, out_dir, size, precision, pad_mode, batch_size):
     """
     Warm-process stylization daemon: compiles the serving program once,
     prints `READY`, then stylizes one image per stdin line until EOF or a
@@ -308,7 +312,7 @@ def serve(style_name, out_dir, size, precision, pad_mode):
 
     fast.serve_loop(
         style_name=style_name, out_dir=out_dir, size=size,
-        precision=precision, pad_mode=pad_mode,
+        precision=precision, pad_mode=pad_mode, batch_size=batch_size,
     )
 
 

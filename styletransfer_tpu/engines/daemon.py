@@ -72,9 +72,91 @@ def run_request_loop(
             print(f"OK {result}", file=stdout, flush=True)
         except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
             logger.warning("%s: failed on %s (%s)", name, fields[0], exc)
-            # Exception text can span lines (e.g. XLA runtime errors); the
-            # protocol is one response line per request, so collapse it.
-            reason = " ".join(str(exc).split()) or type(exc).__name__
-            print(f"ERR {fields[0]}: {reason}", file=stdout, flush=True)
+            print(f"ERR {fields[0]}: {_reason(exc)}", file=stdout, flush=True)
+    logger.info("%s: shutting down after %d request(s)", name, n_served)
+    return n_served
+
+
+def _reason(exc: Exception) -> str:
+    # Exception text can span lines (e.g. XLA runtime errors); the protocol
+    # is one response line per request, so collapse it.
+    return " ".join(str(exc).split()) or type(exc).__name__
+
+
+def run_batched_request_loop(
+    handle_batch: Callable,
+    max_batch: int,
+    stdin=None,
+    stdout=None,
+    name: str = "serve",
+) -> int:
+    """Dynamic-batching variant of :func:`run_request_loop`.
+
+    A reader thread feeds a queue; the main loop blocks for the first
+    pending request, then drains (without waiting) whatever else has
+    already arrived, up to ``max_batch``, and hands the group to
+    ``handle_batch(requests)`` — one device call for the whole group. A
+    lone request therefore keeps single-request latency, while a client
+    that pipes N lines at once gets them served ``max_batch`` at a time.
+
+    ``handle_batch`` receives a list of field-lists and returns one result
+    per request IN ORDER: a string payload (answered ``OK <payload>``) or
+    an Exception instance (answered ``ERR <input>: <reason>``). Responses
+    are written in request order, one line each, so clients pairing
+    responses to requests by count work unchanged.
+
+    Returns the number of successful requests.
+    """
+    import queue
+    import threading
+
+    logger = get_logger()
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+
+    q: "queue.Queue" = queue.Queue()
+    _EOF = object()
+
+    def reader():
+        for line in stdin:
+            q.put(line.rstrip("\n"))
+            if not line.strip():
+                return  # blank line = shutdown; stop consuming stdin
+        q.put(_EOF)
+
+    threading.Thread(target=reader, daemon=True, name=f"{name}-reader").start()
+
+    n_served = 0
+    shutting_down = False
+    while not shutting_down:
+        first = q.get()
+        if first is _EOF or not str(first).strip():
+            break
+        pending = [first]
+        while len(pending) < max_batch:
+            try:
+                nxt = q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is _EOF or not str(nxt).strip():
+                shutting_down = True
+                break
+            pending.append(nxt)
+
+        requests = [[f.strip() for f in line.split("\t")] for line in pending]
+        try:
+            results = handle_batch(requests)
+        except Exception as exc:  # noqa: BLE001 - daemon must not die per-batch
+            logger.warning("%s: batch of %d failed (%s)", name, len(requests), exc)
+            results = [exc] * len(requests)
+        for fields, result in zip(requests, results):
+            if isinstance(result, Exception):
+                logger.warning("%s: failed on %s (%s)", name, fields[0], result)
+                print(f"ERR {fields[0]}: {_reason(result)}",
+                      file=stdout, flush=False)
+            else:
+                n_served += 1
+                print(f"OK {result}", file=stdout, flush=False)
+        stdout.flush()
     logger.info("%s: shutting down after %d request(s)", name, n_served)
     return n_served

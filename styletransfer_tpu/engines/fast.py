@@ -559,6 +559,7 @@ def serve_loop(
     size: Optional[int] = None,
     precision: str = "f32",
     pad_mode: str = "reflect",
+    batch_size: int = 1,
     stdin=None,
     stdout=None,
 ) -> int:
@@ -577,9 +578,15 @@ def serve_loop(
 
     Responses: ``READY`` once the program is compiled (requests sent before
     then are simply queued in the pipe), then per request ``OK <out_path>``
-    or ``ERR <input_path>: <reason>``. Every image is resized to ``size``
-    (the reference's 256 default) so all requests share one compiled shape.
-    Returns the number of successfully served requests.
+    or ``ERR <input_path>: <reason>``, in request order. Every image is
+    resized to ``size`` (the reference's 256 default) so all requests share
+    one compiled shape. Returns the number of successfully served requests.
+
+    ``batch_size > 1`` enables DYNAMIC BATCHING: the daemon drains whatever
+    requests have already arrived on stdin (up to ``batch_size``) and runs
+    them as one device call — a lone request keeps single-request latency,
+    a piped burst gets batched throughput (engines/daemon.py). The ragged
+    group is padded to the one compiled shape and sliced after.
 
     The reference has no serving story beyond one image per process
     (network.py:798-832); this is the daemon form of that CLI contract.
@@ -607,25 +614,64 @@ def serve_loop(
     # every subsequent request is pure execute (+ the persistent XLA cache
     # makes even this warm-up cheap after the first-ever process).
     serve = jax.jit(serve_fn)
-    warm = jnp.zeros((1, sz, sz, 3), jnp.uint8)
+    warm = jnp.zeros((batch_size, sz, sz, 3), jnp.uint8)
     t0 = time.time()
     np.asarray(serve(params, warm))
-    logger.info("serve: compiled %dpx %s program in %.1fs; ready",
-                sz, precision, time.time() - t0)
+    logger.info("serve: compiled %dpx %s b%d program in %.1fs; ready",
+                sz, precision, batch_size, time.time() - t0)
     print("READY", file=stdout, flush=True)
 
-    def handle(in_path, explicit_out=""):
-        input_u8 = img_utils.load_image_uint8(
-            os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
-        )
-        out_u8 = np.asarray(serve(params, jnp.asarray(input_u8)))[0]
+    def save_one(in_path, explicit_out, img):
         stem = os.path.splitext(os.path.basename(in_path))[0]
         out_file = daemon.resolve_out_path(
             explicit_out, out_dir, f"converted_fast_st_{style_name}_{stem}.png"
         )
-        Image.fromarray(out_u8).save(out_file)
+        Image.fromarray(img).save(out_file)
         return out_file
 
-    return daemon.run_request_loop(
-        handle, stdin=stdin, stdout=stdout, name="serve"
+    if batch_size == 1:
+
+        def handle(in_path, explicit_out=""):
+            input_u8 = img_utils.load_image_uint8(
+                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+            )
+            out_u8 = np.asarray(serve(params, jnp.asarray(input_u8)))[0]
+            return save_one(in_path, explicit_out, out_u8)
+
+        return daemon.run_request_loop(
+            handle, stdin=stdin, stdout=stdout, name="serve"
+        )
+
+    def handle_batch(requests):
+        results: list = [None] * len(requests)
+        arrs, metas = [], []
+        for i, fields in enumerate(requests):
+            try:
+                if len(fields) > 2:
+                    raise ValueError(
+                        f"expected INPUT[\\tOUTPUT], got {len(fields)} fields"
+                    )
+                in_path = fields[0]
+                arrs.append(img_utils.load_image_uint8(
+                    os.path.join(constants.PROJECT_ROOT_PATH, in_path),
+                    size=sz,
+                )[0])
+                metas.append((i, in_path, fields[1] if len(fields) > 1 else ""))
+            except Exception as exc:  # noqa: BLE001 - answered per-request
+                results[i] = exc
+        if metas:
+            arr = np.stack(arrs)
+            pad = batch_size - len(arrs)
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            out = np.asarray(serve(params, jnp.asarray(arr)))[: len(metas)]
+            for (i, in_path, explicit_out), img in zip(metas, out):
+                try:
+                    results[i] = save_one(in_path, explicit_out, img)
+                except Exception as exc:  # noqa: BLE001
+                    results[i] = exc
+        return results
+
+    return daemon.run_batched_request_loop(
+        handle_batch, batch_size, stdin=stdin, stdout=stdout, name="serve"
     )

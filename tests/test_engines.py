@@ -419,6 +419,59 @@ def test_serve_loop_daemon_protocol(tmp_path, rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_serve_loop_dynamic_batching(tmp_path, rng):
+    """serve --batch N: queued requests are drained and served in one
+    device call; responses stay in request order (errors included) and the
+    outputs are bit-identical to the unbatched daemon's."""
+    import io
+
+    from PIL import Image
+
+    imgs = []
+    for i in range(5):
+        p = tmp_path / f"in{i}.png"
+        Image.fromarray(
+            rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        ).save(p)
+        imgs.append(p)
+    params = transformer.init_params(jax.random.PRNGKey(0))
+
+    # 5 good requests + 1 missing + 1 malformed, all pre-queued (StringIO
+    # delivers them instantly, so the loop forms multi-request groups).
+    reqs = [str(p) for p in imgs]
+    reqs.insert(2, str(tmp_path / "missing.png"))
+    reqs.insert(4, f"{imgs[0]}\tx\ty")  # 3 fields: malformed
+    stdin = io.StringIO("\n".join(reqs) + "\n\n")
+    stdout = io.StringIO()
+    n = fast.serve_loop(
+        style_name="tst", out_dir=str(tmp_path / "batched"), params=params,
+        size=32, batch_size=3, stdin=stdin, stdout=stdout,
+    )
+    assert n == 5
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    # Responses in request order: OK OK ERR OK ERR OK OK.
+    kinds = [l.split()[0] for l in lines[1:]]
+    assert kinds == ["OK", "OK", "ERR", "OK", "ERR", "OK", "OK"]
+    assert "missing.png" in lines[3]
+    assert "fields" in lines[5]
+
+    # Bit-identical to the unbatched daemon on the same inputs.
+    stdin1 = io.StringIO("\n".join(str(p) for p in imgs) + "\n\n")
+    stdout1 = io.StringIO()
+    fast.serve_loop(
+        style_name="tst", out_dir=str(tmp_path / "single"), params=params,
+        size=32, batch_size=1, stdin=stdin1, stdout=stdout1,
+    )
+    single_ok = [l.split(" ", 1)[1] for l in stdout1.getvalue().splitlines()
+                 if l.startswith("OK")]
+    batched_ok = [l.split(" ", 1)[1] for l in lines[1:] if l.startswith("OK")]
+    for b, s in zip(batched_ok, single_ok):
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(b)), np.asarray(Image.open(s))
+        )
+
+
 def test_serve_loop_malformed_request_answers_err(tmp_path, rng):
     """A request with too many TAB fields is answered with ERR (not a
     crash) and the daemon keeps serving the next request."""
