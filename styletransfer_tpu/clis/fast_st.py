@@ -328,7 +328,11 @@ def serve(style_name, out_dir, size, precision, pad_mode, batch_size):
                    "resized to it so they share one compiled program")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="Activation precision")
-def serve_multi(name, num_styles, out_dir, size, precision):
+@click.option("-b", "--batch-size", default=1,
+              help="Dynamic batching: serve up to N already-queued requests "
+                   "per device call (mixed styles/blends batch together — "
+                   "the style is per-sample data)")
+def serve_multi(name, num_styles, out_dir, size, precision, batch_size):
     """
     Warm-process MULTI-STYLE daemon for a network trained by `train-multi`:
     compiles one program, prints `READY`, then stylizes one image per stdin
@@ -344,5 +348,5 @@ def serve_multi(name, num_styles, out_dir, size, precision):
 
     ms.serve_loop(
         name=name, num_styles=num_styles, out_dir=out_dir, size=size,
-        precision=precision,
+        precision=precision, batch_size=batch_size,
     )

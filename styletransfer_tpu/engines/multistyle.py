@@ -365,6 +365,7 @@ def serve_loop(
     models_path=None,
     size: Optional[int] = None,
     precision: str = "f32",
+    batch_size: int = 1,
     stdin=None,
     stdout=None,
 ) -> int:
@@ -419,16 +420,22 @@ def serve_loop(
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    warm_w = jnp.zeros((1, num_styles), jnp.float32).at[0, 0].set(1.0)
+    warm_w = jnp.tile(
+        jnp.zeros((1, num_styles), jnp.float32).at[0, 0].set(1.0),
+        (batch_size, 1),
+    )
     t0 = time.time()
-    np.asarray(serve_fn(params, jnp.zeros((1, sz, sz, 3), jnp.uint8), warm_w))
+    np.asarray(
+        serve_fn(params, jnp.zeros((batch_size, sz, sz, 3), jnp.uint8), warm_w)
+    )
     logger.info(
-        "multi serve: compiled %dpx %s program (%d styles) in %.1fs; ready",
-        sz, precision, num_styles, time.time() - t0,
+        "multi serve: compiled %dpx %s b%d program (%d styles) in %.1fs; ready",
+        sz, precision, batch_size, num_styles, time.time() - t0,
     )
     print("READY", file=stdout, flush=True)
 
-    def handle(in_path, explicit_out="", style_spec="0"):
+    def parse_style(style_spec):
+        """Style spec -> ([num_styles] convex weights, filename tag)."""
         style_spec = style_spec or "0"
         if "," in style_spec:
             w = np.asarray(
@@ -441,30 +448,83 @@ def serve_loop(
             if w.min() < 0 or w.sum() <= 0:
                 raise ValueError("blend weights must be non-negative")
             w = w / w.sum()
-            tag = "blend_" + "_".join(f"{v:g}" for v in w)
-        else:
-            idx = int(style_spec)
-            if not 0 <= idx < num_styles:
-                raise ValueError(
-                    f"style index {idx} out of range [0, {num_styles})"
-                )
-            w = np.zeros((num_styles,), np.float32)
-            w[idx] = 1.0
-            tag = f"style{idx}"
-        input_u8 = img_utils.load_image_uint8(
-            os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
-        )
-        out_u8 = np.asarray(
-            serve_fn(params, jnp.asarray(input_u8), jnp.asarray(w)[None])
-        )[0]
+            return w, "blend_" + "_".join(f"{v:g}" for v in w)
+        idx = int(style_spec)
+        if not 0 <= idx < num_styles:
+            raise ValueError(
+                f"style index {idx} out of range [0, {num_styles})"
+            )
+        w = np.zeros((num_styles,), np.float32)
+        w[idx] = 1.0
+        return w, f"style{idx}"
+
+    def save_one(in_path, explicit_out, tag, img):
         stem = os.path.splitext(os.path.basename(in_path))[0]
         out_file = daemon.resolve_out_path(
             explicit_out, out_dir,
             f"converted_fast_multi_st_{name}_{stem}_{tag}.png",
         )
-        Image.fromarray(out_u8).save(out_file)
+        Image.fromarray(img).save(out_file)
         return out_file
 
-    return daemon.run_request_loop(
-        handle, stdin=stdin, stdout=stdout, name="multi serve"
+    if batch_size == 1:
+
+        def handle(in_path, explicit_out="", style_spec="0"):
+            w, tag = parse_style(style_spec)
+            input_u8 = img_utils.load_image_uint8(
+                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+            )
+            out_u8 = np.asarray(
+                serve_fn(params, jnp.asarray(input_u8), jnp.asarray(w)[None])
+            )[0]
+            return save_one(in_path, explicit_out, tag, out_u8)
+
+        return daemon.run_request_loop(
+            handle, stdin=stdin, stdout=stdout, name="multi serve"
+        )
+
+    def handle_batch(requests):
+        # Per-request styles are DATA ([B, S] blend weights), so a mixed
+        # group of hard selections and blends runs as ONE device call.
+        results: list = [None] * len(requests)
+        arrs, ws, metas = [], [], []
+        for i, fields in enumerate(requests):
+            try:
+                if len(fields) > 3:
+                    raise ValueError(
+                        "expected INPUT[\\tOUTPUT[\\tSTYLE]], got "
+                        f"{len(fields)} fields"
+                    )
+                in_path = fields[0]
+                w, tag = parse_style(fields[2] if len(fields) > 2 else "0")
+                arrs.append(img_utils.load_image_uint8(
+                    os.path.join(constants.PROJECT_ROOT_PATH, in_path),
+                    size=sz,
+                )[0])
+                ws.append(w)
+                metas.append(
+                    (i, in_path, fields[1] if len(fields) > 1 else "", tag)
+                )
+            except Exception as exc:  # noqa: BLE001 - answered per-request
+                results[i] = exc
+        if metas:
+            arr = np.stack(arrs)
+            wb = np.stack(ws)
+            pad = batch_size - len(arrs)
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+                wb = np.concatenate([wb, np.repeat(wb[-1:], pad, axis=0)])
+            out = np.asarray(
+                serve_fn(params, jnp.asarray(arr), jnp.asarray(wb))
+            )[: len(metas)]
+            for (i, in_path, explicit_out, tag), img in zip(metas, out):
+                try:
+                    results[i] = save_one(in_path, explicit_out, tag, img)
+                except Exception as exc:  # noqa: BLE001
+                    results[i] = exc
+        return results
+
+    return daemon.run_batched_request_loop(
+        handle_batch, batch_size, stdin=stdin, stdout=stdout,
+        name="multi serve",
     )

@@ -223,3 +223,56 @@ def test_multistyle_serve_loop_protocol(tmp_path, rng):
     a = np.asarray(Image.open(lines[1].split(" ", 1)[1])).astype(int)
     b = np.asarray(Image.open(lines[2].split(" ", 1)[1])).astype(int)
     assert np.abs(a - b).max() > 0
+
+
+def test_multistyle_serve_loop_batched_mixed_styles(tmp_path, rng):
+    """serve-multi -b N: a group mixing hard indices and blends runs as one
+    device call (styles are per-sample data); responses keep request order
+    and match the unbatched daemon within 1 uint8 count (different batch
+    sizes compile different XLA tilings, which can reassociate f32
+    accumulation at a round-half boundary)."""
+    import io
+
+    from PIL import Image
+
+    params = multistyle.init_params(jax.random.PRNGKey(0), num_styles=S)
+    params["in1"]["scale"] = params["in1"]["scale"].at[1].mul(3.0)
+    img = tmp_path / "photo.png"
+    Image.fromarray(
+        rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    ).save(img)
+
+    reqs = (
+        f"{img}\t{tmp_path}/b0.png\t0\n"
+        f"{img}\t{tmp_path}/b1.png\t1\n"
+        f"{img}\t{tmp_path}/bb.png\t1,1,2\n"
+        f"{img}\t\t9\n"  # out of range -> ERR, in order
+        "\n"
+    )
+    stdout = io.StringIO()
+    n = ms_engine.serve_loop(
+        name="tst", num_styles=S, out_dir=str(tmp_path / "results"),
+        params=params, size=32, batch_size=4,
+        stdin=io.StringIO(reqs), stdout=stdout,
+    )
+    assert n == 3
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    assert [l.split()[0] for l in lines[1:]] == ["OK", "OK", "OK", "ERR"]
+
+    # Bit-identical to the unbatched daemon on the same requests.
+    reqs1 = (
+        f"{img}\t{tmp_path}/s0.png\t0\n"
+        f"{img}\t{tmp_path}/s1.png\t1\n"
+        f"{img}\t{tmp_path}/sb.png\t1,1,2\n"
+        "\n"
+    )
+    ms_engine.serve_loop(
+        name="tst", num_styles=S, out_dir=str(tmp_path / "results"),
+        params=params, size=32, batch_size=1,
+        stdin=io.StringIO(reqs1), stdout=io.StringIO(),
+    )
+    for b, s in (("b0", "s0"), ("b1", "s1"), ("bb", "sb")):
+        got = np.asarray(Image.open(tmp_path / f"{b}.png")).astype(int)
+        want = np.asarray(Image.open(tmp_path / f"{s}.png")).astype(int)
+        assert np.abs(got - want).max() <= 1
