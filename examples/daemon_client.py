@@ -38,6 +38,10 @@ def main() -> int:
                     help="(multi) style index or comma-separated blend "
                          "weights applied to every request")
     ap.add_argument("--precision", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--batch", type=int, default=1,
+                    help="(fast/multi) dynamic-batching group size on the "
+                         "daemon side — piped bursts serve one group per "
+                         "device call")
     args = ap.parse_args()
 
     cmd = [sys.executable, "-m", "styletransfer_tpu"]
@@ -51,6 +55,10 @@ def main() -> int:
     else:
         cmd += ["video_st", "serve", args.style_name]
     cmd += ["--precision", args.precision]
+    if args.batch > 1:
+        if args.mode == "video":
+            ap.error("--batch applies to fast/multi only (video is serial)")
+        cmd += ["--batch-size", str(args.batch)]
 
     proc = subprocess.Popen(
         cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
@@ -69,17 +77,31 @@ def main() -> int:
     if inputs == ["-"]:
         inputs = [l.strip() for l in sys.stdin if l.strip()]
 
+    def request_line(path: str) -> str:
+        if args.mode == "multi" and args.style is not None:
+            return f"{path}\t\t{args.style}"
+        return path
+
     failures = 0
     t0 = time.time()
-    for path in inputs:
-        req = path
-        if args.mode == "multi" and args.style is not None:
-            req = f"{path}\t\t{args.style}"
-        proc.stdin.write(req + "\n")
+    if args.batch > 1:
+        # Pipeline: send everything up front so the daemon can drain
+        # multi-request groups; responses come back one line per request,
+        # in order.
+        for path in inputs:
+            proc.stdin.write(request_line(path) + "\n")
         proc.stdin.flush()
-        resp = proc.stdout.readline().strip()
-        print(resp)
-        failures += not resp.startswith("OK")
+        for _ in inputs:
+            resp = proc.stdout.readline().strip()
+            print(resp)
+            failures += not resp.startswith("OK")
+    else:
+        for path in inputs:
+            proc.stdin.write(request_line(path) + "\n")
+            proc.stdin.flush()
+            resp = proc.stdout.readline().strip()
+            print(resp)
+            failures += not resp.startswith("OK")
     dt = time.time() - t0
     print(
         f"{len(inputs)} request(s) in {dt:.2f}s"
