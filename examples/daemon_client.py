@@ -84,24 +84,32 @@ def main() -> int:
 
     failures = 0
     t0 = time.time()
-    if args.batch > 1:
-        # Pipeline: send everything up front so the daemon can drain
-        # multi-request groups; responses come back one line per request,
-        # in order.
-        for path in inputs:
-            proc.stdin.write(request_line(path) + "\n")
-        proc.stdin.flush()
-        for _ in inputs:
-            resp = proc.stdout.readline().strip()
-            print(resp)
-            failures += not resp.startswith("OK")
-    else:
-        for path in inputs:
-            proc.stdin.write(request_line(path) + "\n")
+    try:
+        if args.batch > 1:
+            # Pipeline: send everything up front so the daemon can drain
+            # multi-request groups; responses come back one line per
+            # request, in order.
+            for path in inputs:
+                proc.stdin.write(request_line(path) + "\n")
             proc.stdin.flush()
-            resp = proc.stdout.readline().strip()
-            print(resp)
-            failures += not resp.startswith("OK")
+            for _ in inputs:
+                resp = proc.stdout.readline().strip()
+                if not resp:  # daemon died mid-burst
+                    raise BrokenPipeError("daemon closed its stdout")
+                print(resp)
+                failures += not resp.startswith("OK")
+        else:
+            for path in inputs:
+                proc.stdin.write(request_line(path) + "\n")
+                proc.stdin.flush()
+                resp = proc.stdout.readline().strip()
+                if not resp:
+                    raise BrokenPipeError("daemon closed its stdout")
+                print(resp)
+                failures += not resp.startswith("OK")
+    except (BrokenPipeError, OSError) as exc:
+        print(f"daemon died mid-session: {exc}", file=sys.stderr)
+        return 2
     dt = time.time() - t0
     print(
         f"{len(inputs)} request(s) in {dt:.2f}s"
@@ -109,8 +117,11 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    proc.stdin.write("\n")  # blank line = clean shutdown
-    proc.stdin.flush()
+    try:
+        proc.stdin.write("\n")  # blank line = clean shutdown
+        proc.stdin.flush()
+    except (BrokenPipeError, OSError):
+        pass  # daemon already gone; nothing to shut down
     proc.wait(timeout=60)
     return 1 if failures else 0
 

@@ -294,6 +294,7 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, size, precision,
               help="Conv padding. Use 'zeros' for checkpoints trained by the "
                    "ORIGINAL reference code")
 @click.option("-b", "--batch-size", default=1,
+              type=click.IntRange(min=1),
               help="Dynamic batching: serve up to N already-queued requests "
                    "per device call (lone requests keep single-request "
                    "latency; piped bursts get batched throughput)")
@@ -329,6 +330,7 @@ def serve(style_name, out_dir, size, precision, pad_mode, batch_size):
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="Activation precision")
 @click.option("-b", "--batch-size", default=1,
+              type=click.IntRange(min=1),
               help="Dynamic batching: serve up to N already-queued requests "
                    "per device call (mixed styles/blends batch together — "
                    "the style is per-sample data)")

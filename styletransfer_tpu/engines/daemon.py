@@ -118,11 +118,18 @@ def run_batched_request_loop(
     _EOF = object()
 
     def reader():
-        for line in stdin:
-            q.put(line.rstrip("\n"))
-            if not line.strip():
-                return  # blank line = shutdown; stop consuming stdin
-        q.put(_EOF)
+        try:
+            for line in stdin:
+                q.put(line.rstrip("\n"))
+                if not line.strip():
+                    return  # blank line = shutdown; stop consuming stdin
+        except Exception as exc:  # noqa: BLE001 - e.g. undecodable stdin bytes
+            logger.warning("%s: stdin reader failed (%s); shutting down",
+                           name, exc)
+        finally:
+            # ALWAYS unblock the main loop — a reader that dies without a
+            # sentinel would leave the daemon hanging in q.get() forever.
+            q.put(_EOF)
 
     threading.Thread(target=reader, daemon=True, name=f"{name}-reader").start()
 
@@ -146,6 +153,15 @@ def run_batched_request_loop(
         requests = [[f.strip() for f in line.split("\t")] for line in pending]
         try:
             results = handle_batch(requests)
+            if len(results) != len(requests):
+                # Protocol invariant: exactly one response per request. A
+                # short/long result list must not silently drop responses
+                # (a counting client would block forever on the missing
+                # lines) — answer the whole group ERR instead.
+                raise RuntimeError(
+                    f"handle_batch returned {len(results)} results for "
+                    f"{len(requests)} requests"
+                )
         except Exception as exc:  # noqa: BLE001 - daemon must not die per-batch
             logger.warning("%s: batch of %d failed (%s)", name, len(requests), exc)
             results = [exc] * len(requests)

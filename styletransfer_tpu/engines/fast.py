@@ -595,6 +595,9 @@ def serve_loop(
 
     from styletransfer_tpu.engines import daemon
 
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+
     logger = get_logger()
     stdout = stdout if stdout is not None else sys.stdout
 

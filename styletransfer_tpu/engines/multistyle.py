@@ -397,6 +397,9 @@ def serve_loop(
     from styletransfer_tpu.utils import images as img_utils
     from styletransfer_tpu.utils.logging import get_logger
 
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+
     logger = get_logger()
     stdout = stdout if stdout is not None else _sys.stdout
 

@@ -472,6 +472,55 @@ def test_serve_loop_dynamic_batching(tmp_path, rng):
         )
 
 
+def test_serve_loop_rejects_invalid_batch_size(tmp_path):
+    import pytest
+
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="batch_size"):
+            fast.serve_loop(
+                style_name="tst", params=params, size=32, batch_size=bad,
+            )
+
+
+def test_batched_loop_survives_reader_death(tmp_path, rng):
+    """A failing stdin (e.g. undecodable bytes) must shut the batched
+    daemon down cleanly instead of deadlocking it in q.get()."""
+    import io
+
+    from PIL import Image
+
+    img = tmp_path / "p.png"
+    Image.fromarray(
+        rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    ).save(img)
+
+    class ExplodingStdin:
+        """Yields one good request, then raises mid-iteration."""
+
+        def __init__(self):
+            self._lines = iter([f"{img}\n"])
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            try:
+                return next(self._lines)
+            except StopIteration:
+                raise UnicodeDecodeError("utf-8", b"\xff", 0, 1, "bad byte")
+
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    stdout = io.StringIO()
+    n = fast.serve_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=params,
+        size=32, batch_size=4, stdin=ExplodingStdin(), stdout=stdout,
+    )
+    assert n == 1  # the good request was served; then clean shutdown
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY" and lines[1].startswith("OK ")
+
+
 def test_serve_loop_malformed_request_answers_err(tmp_path, rng):
     """A request with too many TAB fields is answered with ERR (not a
     crash) and the daemon keeps serving the next request."""
