@@ -124,7 +124,15 @@ def main() -> int:
     np.savez(args.out, **sd)
     print(f"wrote {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB)")
 
-    # Smoke-load through the framework's importer.
+    # Smoke-load through the framework's importer. Force the CPU backend
+    # first: the load only checks structure/shapes, and on a host with a
+    # tunneled TPU attached, initializing that backend here costs minutes
+    # of tunnel round-trips for zero benefit (JAX_PLATFORMS=cpu is not
+    # honored by such backends; the config update is).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from styletransfer_tpu.models import vgg
 
     params = vgg.load_params(args.out)
