@@ -1,7 +1,8 @@
 """Minimal reference client for the warm-process serving daemons.
 
 Spawns one of the `serve` CLIs (`fast_st serve`, `fast_st serve-multi`,
-`video_st serve` — docs/serving.md), waits for `READY`, streams requests
+`video_st serve`, `gatys_st --serve` — docs/serving.md), waits for
+`READY`, streams requests
 from the command line (or stdin with `-`), and prints one response per
 request. Exits non-zero if any request failed.
 
@@ -12,6 +13,8 @@ Examples:
     python examples/daemon_client.py multi mymodel --num-styles 3 \
         --style 0.5,0.5,0 img.jpg
     ls photos/*.jpg | python examples/daemon_client.py fast demo_style.png -
+    python examples/daemon_client.py gatys data/styles/demo_style.png \
+        --steps 40 photo1.jpg photo2.jpg
 
 The protocol is plain line-oriented text, so this file is intentionally
 dependency-free — adapt it to a socket/queue transport by replacing the
@@ -28,8 +31,10 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("mode", choices=["fast", "multi", "video"])
-    ap.add_argument("style_name", help="style / model name of the checkpoint")
+    ap.add_argument("mode", choices=["fast", "multi", "video", "gatys"])
+    ap.add_argument("style_name",
+                    help="style / model name of the checkpoint "
+                         "(gatys: path of the style image itself)")
     ap.add_argument("inputs", nargs="+",
                     help="input image/frame paths, or '-' to read from stdin")
     ap.add_argument("--num-styles", type=int,
@@ -39,9 +44,12 @@ def main() -> int:
                          "weights applied to every request")
     ap.add_argument("--precision", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=1,
-                    help="(fast/multi) dynamic-batching group size on the "
-                         "daemon side — piped bursts serve one group per "
-                         "device call")
+                    help="(fast/multi/gatys) dynamic-batching group size on "
+                         "the daemon side — piped bursts serve one group "
+                         "per device call")
+    ap.add_argument("--steps", type=int, default=300,
+                    help="(gatys) optimization steps per request "
+                         "(compiled into the daemon)")
     args = ap.parse_args()
 
     cmd = [sys.executable, "-m", "styletransfer_tpu"]
@@ -52,13 +60,16 @@ def main() -> int:
             ap.error("--num-styles is required for multi")
         cmd += ["fast_st", "serve-multi", args.style_name,
                 "--num-styles", str(args.num_styles)]
+    elif args.mode == "gatys":
+        cmd += ["gatys_st", "--serve", "--steps", str(args.steps)]
     else:
         cmd += ["video_st", "serve", args.style_name]
     cmd += ["--precision", args.precision]
     if args.batch > 1:
         if args.mode == "video":
-            ap.error("--batch applies to fast/multi only (video is serial)")
-        cmd += ["--batch-size", str(args.batch)]
+            ap.error("--batch applies to fast/multi/gatys only (video is serial)")
+        cmd += ["-b" if args.mode == "gatys" else "--batch-size",
+                str(args.batch)]
 
     proc = subprocess.Popen(
         cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
@@ -80,6 +91,8 @@ def main() -> int:
     def request_line(path: str) -> str:
         if args.mode == "multi" and args.style is not None:
             return f"{path}\t\t{args.style}"
+        if args.mode == "gatys":
+            return f"{path}\t{args.style_name}"
         return path
 
     failures = 0

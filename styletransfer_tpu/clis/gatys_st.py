@@ -17,8 +17,8 @@ LOGGER = get_logger()
 
 
 @click.command()
-@click.argument("content-image-path")
-@click.argument("style-image-path")
+@click.argument("content-image-path", required=False)
+@click.argument("style-image-path", required=False)
 @click.option("-n", "--out-name", default="gatys_converted.png",
               help="The name of the result file (transformed image)")
 @click.option("-s", "--steps", default=300,
@@ -49,9 +49,17 @@ LOGGER = get_logger()
               help="VGG tower activation precision (bf16 is faster; pixels stay f32)")
 @click.option("--size", default=None, type=int,
               help="Working resolution (default 256)")
+@click.option("--serve", is_flag=True, default=False,
+              help="Warm-process daemon mode: compile once, print READY, "
+                   "then run one optimization per stdin line "
+                   "(CONTENT<TAB>STYLE[<TAB>OUTPUT]) until EOF or a blank "
+                   "line. The positional image paths are omitted. "
+                   "Optimizer/steps/weights are compiled into the daemon. "
+                   "With -b N, pending requests group into one vmapped "
+                   "device call of N independent lanes (styles may mix).")
 def gatys_st(content_image_path, style_image_path, out_name, steps,
              content_weight, style_weight, optimizer, batch, learning_rate,
-             history_math, precision, size):
+             history_math, precision, size, serve):
     """
     Run the original Gatys style transfer. Both `style-image` and
     `content-image` should be the paths to the image we want to take the
@@ -60,6 +68,21 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
     CONTENT-IMAGE-PATH may also be a directory: every image in it is
     stylized in a single batched on-device optimization (see --batch).
     """
+    if serve:
+        from styletransfer_tpu.engines import gatys
+
+        gatys.serve_loop(
+            steps=steps, style_weight=style_weight,
+            content_weight=content_weight, optimizer=optimizer,
+            learning_rate=learning_rate, history_math=history_math,
+            precision=precision, size=size, batch=max(batch, 1),
+        )
+        return
+    if not content_image_path or not style_image_path:
+        raise click.UsageError(
+            "CONTENT-IMAGE-PATH and STYLE-IMAGE-PATH are required "
+            "(or pass --serve for daemon mode)."
+        )
     # Heavy imports deferred so `--help` stays instant.
     import numpy as np
 

@@ -27,6 +27,8 @@ Three optimizers:
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -234,6 +236,106 @@ def _run_lbfgs(
     return run_one(content_image.reshape(-1), sub_shape=shape)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "steps", "style_weight", "content_weight", "learning_rate",
+        "optimizer", "compute_dtype", "history_math",
+    ),
+)
+def _run_serve_batched(
+    vgg_params,
+    contents: jnp.ndarray,
+    grams,
+    steps: int,
+    style_weight: float,
+    content_weight: float,
+    learning_rate: float,
+    optimizer: str,
+    compute_dtype=None,
+    history_math: str = "compact",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mixed-style batched Gatys for the serving daemon: lane ``i``
+    optimizes ``contents[i]`` against its OWN Gram targets ``grams`` lane
+    ``i`` (a pytree with a leading [B] axis over the usual [1, C, C]
+    targets).
+
+    The single-style batched paths (`_run_lbfgs_torch` / `_run_lbfgs`
+    with N > 1 contents) share one ``style_grams`` across lanes; here the
+    targets are per-lane data, so one compiled program serves a request
+    group mixing arbitrary styles. Lanes are fully independent vmapped
+    optimizers, with the same vmap adaptations those paths use
+    (compact_shift history, branchless closure eval — measured in
+    docs/performance.md). Returns ``(pixels [B, H, W, 3],
+    per-lane loss histories [B, steps])`` — per-lane, NOT the mean, since
+    each daemon response carries its own final loss.
+    """
+    from styletransfer_tpu.ops.lbfgs import lbfgs_torch
+
+    shape = contents.shape
+    sub_shape = (1,) + shape[1:]
+
+    def lane(content_flat: jnp.ndarray, grams_i):
+        content_i = content_flat.reshape(sub_shape).astype(contents.dtype)
+        loss_fn = make_loss_fn(
+            vgg_params, content_i, grams_i, style_weight, content_weight,
+            compute_dtype=compute_dtype,
+        )
+
+        if optimizer == "adam":
+            opt = optax.adam(learning_rate)
+
+            def step(carry, _):
+                x, opt_state = carry
+                loss, grads = jax.value_and_grad(
+                    lambda f: loss_fn(f.reshape(sub_shape))
+                )(x)
+                updates, opt_state = opt.update(grads, opt_state, x)
+                return (optax.apply_updates(x, updates), opt_state), loss
+
+            (x, _), losses = jax.lax.scan(
+                step, (content_flat, opt.init(content_flat)), None, length=steps
+            )
+            return x, losses
+
+        if optimizer == "lbfgs":
+
+            def flat_loss_and_grad(x_flat):
+                return jax.value_and_grad(
+                    lambda x: loss_fn(x.reshape(sub_shape))
+                )(x_flat)
+
+            math = "compact_shift" if history_math == "compact" else history_math
+            return lbfgs_torch(
+                flat_loss_and_grad, content_flat,
+                steps=steps, max_iter=20, history_size=100,
+                history_math=math, branchless=True,
+            )
+
+        # lbfgs-zoom
+        loss_flat = lambda f: loss_fn(f.reshape(sub_shape))  # noqa: E731
+        opt = optax.lbfgs()
+        value_and_grad = optax.value_and_grad_from_state(loss_flat)
+
+        def step(carry, _):
+            x, opt_state = carry
+            loss, grads = value_and_grad(x, state=opt_state)
+            updates, opt_state = opt.update(
+                grads, opt_state, x, value=loss, grad=grads,
+                value_fn=loss_flat,
+            )
+            return (optax.apply_updates(x, updates), opt_state), loss
+
+        (x, _), losses = jax.lax.scan(
+            step, (content_flat, opt.init(content_flat)), None, length=steps
+        )
+        return x, losses
+
+    flat0 = contents.reshape(shape[0], -1).astype(jnp.float32)
+    x, losses = jax.vmap(lane)(flat0, grams)
+    return x.reshape(shape).astype(contents.dtype), losses
+
+
 def train_gatys(
     vgg_params,
     style_image: jnp.ndarray,
@@ -310,3 +412,230 @@ def train_gatys(
             logger.info("Gatys step %d  loss: %.6f", i, float(losses[i]))
         logger.info("Gatys final loss: %.6f", float(losses[-1]))
     return pixels, losses
+
+
+def serve_loop(
+    steps: int = 300,
+    style_weight: float = 100_000.0,
+    content_weight: float = 1.0,
+    optimizer: str = "lbfgs",
+    learning_rate: float = 0.05,
+    history_math: str = "compact",
+    precision: str = "f32",
+    size: Optional[int] = None,
+    out_dir: str = "results/",
+    batch: int = 1,
+    vgg_params=None,
+    stdin=None,
+    stdout=None,
+) -> int:
+    """Warm-process Gatys daemon: repeated optimizations without recompiles.
+
+    The Gatys optimizer program (a scan of L-BFGS steps, each a scan of
+    inner iterations under the torch contract) is the most expensive
+    compile in the framework — and both the content pixels AND the style's
+    Gram targets are pure DATA to it. One warm process therefore serves
+    arbitrary (content, style) pairs: per request it runs one jitted VGG
+    pass for the style's Gram targets and one jitted optimization, both
+    compiled exactly once at startup.
+
+    Protocol (line-oriented; see ``engines.daemon``): each request line is
+    ``CONTENT\\tSTYLE[\\tOUTPUT]``; empty OUTPUT means
+    ``{out_dir}/gatys_{content_stem}_{style_stem}.png``. Responses:
+    ``READY`` after the warm-up compile, then per request
+    ``OK <out_path> loss=<final_loss>`` or ``ERR <input>: <reason>``.
+    The optimizer/steps/weights are fixed per daemon (they are compiled
+    into the program); start one daemon per configuration.
+
+    ``batch > 1`` turns on dynamic batching (engines/daemon.py): pending
+    requests group into ONE vmapped device call of independent lanes —
+    each with its own per-lane Gram targets, so a group may mix styles
+    (`_run_serve_batched`). A lone request routes to the single-lane
+    program rather than padding the group: under the torch-contract
+    L-BFGS a batch of N costs ~N x one image (history HBM traffic adds
+    linearly — docs/performance.md), so padded lanes would be pure waste;
+    ragged groups of 2+ pad to the one compiled shape. Batching buys
+    Adam / lbfgs-zoom near-linear throughput, and for the contract
+    optimizer amortized per-request overhead. Style Gram targets are
+    LRU-cached across requests (keyed by path + mtime).
+
+    The reference runs one optimization per process (network.py:413-455);
+    this is the daemon form of that CLI contract.
+    """
+    import sys as _sys
+    from collections import OrderedDict
+
+    import numpy as np
+
+    from styletransfer_tpu import constants
+    from styletransfer_tpu.engines import daemon
+    from styletransfer_tpu.utils import images as img_utils
+
+    logger = get_logger()
+    stdout = stdout if stdout is not None else _sys.stdout
+
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    if vgg_params is None:
+        vgg_params = vgg.load_params()
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else None
+    sz = size or constants.IMSIZE
+    out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    grams_fn = jax.jit(vgg.style_gram_targets)
+
+    # Style Gram targets are pure functions of (path, mtime): a daemon
+    # hammering one or a few styles skips their VGG pass entirely.
+    _gram_cache: "OrderedDict" = OrderedDict()
+
+    def style_grams_cached(style_path: str):
+        full = os.path.join(constants.PROJECT_ROOT_PATH, style_path)
+        key = (full, os.path.getmtime(full))
+        if key in _gram_cache:
+            _gram_cache.move_to_end(key)
+            return _gram_cache[key]
+        style = jnp.asarray(img_utils.load_image(full, size=sz))
+        grams = grams_fn(vgg_params, style)
+        _gram_cache[key] = grams
+        while len(_gram_cache) > 16:
+            _gram_cache.popitem(last=False)
+        return grams
+
+    def optimize(content, grams):
+        if optimizer == "adam":
+            return _run_adam(
+                vgg_params, content, grams, steps,
+                float(style_weight), float(content_weight),
+                float(learning_rate), compute_dtype=compute_dtype,
+            )
+        if optimizer == "lbfgs":
+            return _run_lbfgs_torch(
+                vgg_params, content, grams, steps,
+                float(style_weight), float(content_weight),
+                compute_dtype=compute_dtype, history_math=history_math,
+            )
+        if optimizer == "lbfgs-zoom":
+            return _run_lbfgs(
+                vgg_params, content, grams, steps,
+                float(style_weight), float(content_weight),
+                compute_dtype=compute_dtype,
+            )
+        raise ValueError(
+            f"unknown optimizer {optimizer!r}; use 'lbfgs', 'lbfgs-zoom' or 'adam'"
+        )
+
+    def optimize_batched(contents, grams_stacked):
+        return _run_serve_batched(
+            vgg_params, contents, grams_stacked, steps,
+            float(style_weight), float(content_weight), float(learning_rate),
+            optimizer, compute_dtype=compute_dtype, history_math=history_math,
+        )
+
+    # Warm-up: compile the gram pass AND the optimization(s) at the fixed
+    # shapes so READY means ready (the persistent cache makes this cheap
+    # after the first-ever process with this configuration). With dynamic
+    # batching BOTH shapes compile: lone requests route to the single-lane
+    # program (padding a group of 1 to `batch` would cost ~batch x one
+    # image under the contract optimizer), ragged groups pad to `batch`.
+    t0 = time.time()
+    warm = jnp.zeros((1, sz, sz, 3), jnp.float32)
+    warm_grams = grams_fn(vgg_params, warm)
+    out, losses = optimize(warm, warm_grams)
+    float(jnp.sum(out))  # force completion (axon ignores block_until_ready)
+    if batch > 1:
+        warm_b = jnp.zeros((batch, sz, sz, 3), jnp.float32)
+        warm_grams_b = jax.tree.map(
+            lambda g: jnp.stack([g] * batch), warm_grams
+        )
+        out_b, _ = optimize_batched(warm_b, warm_grams_b)
+        float(jnp.sum(out_b))
+    logger.info(
+        "gatys serve: compiled %dpx %s %s (steps=%d, batch=%d) in %.1fs; ready",
+        sz, precision, optimizer, steps, batch, time.time() - t0,
+    )
+    print("READY", file=stdout, flush=True)
+
+    def parse_and_load(fields):
+        """One request line -> (content_path, style_path, explicit_out,
+        content [1,H,W,3], grams). Raises on malformed lines / bad files."""
+        if not 2 <= len(fields) <= 3 or not fields[1]:
+            raise ValueError("expected CONTENT\\tSTYLE[\\tOUTPUT]")
+        content_path, style_path = fields[0], fields[1]
+        explicit_out = fields[2] if len(fields) > 2 else ""
+        content = np.asarray(img_utils.load_image(
+            os.path.join(constants.PROJECT_ROOT_PATH, content_path), size=sz
+        ))
+        return (content_path, style_path, explicit_out, content,
+                style_grams_cached(style_path))
+
+    def save_one(content_path, style_path, explicit_out, pixels, final):
+        cstem = os.path.splitext(os.path.basename(content_path))[0]
+        sstem = os.path.splitext(os.path.basename(style_path))[0]
+        out_file = daemon.resolve_out_path(
+            explicit_out, out_dir, f"gatys_{cstem}_{sstem}.png"
+        )
+        img_utils.save_image(np.asarray(pixels), out_file)
+        return f"{out_file} loss={float(final):.4f}"
+
+    def handle(*fields):
+        content_path, style_path, explicit_out, content, grams = (
+            parse_and_load(fields)
+        )
+        pixels, losses = optimize(jnp.asarray(content), grams)
+        return save_one(
+            content_path, style_path, explicit_out, pixels,
+            np.asarray(losses)[-1],
+        )
+
+    if batch == 1:
+        return daemon.run_request_loop(
+            handle, stdin=stdin, stdout=stdout, name="gatys serve"
+        )
+
+    def handle_batch(requests):
+        results: list = [None] * len(requests)
+        if len(requests) == 1:
+            # Lone request: the single-lane program (no padded-lane waste).
+            try:
+                results[0] = handle(*requests[0])
+            except Exception as exc:  # noqa: BLE001 - per-request containment
+                results[0] = exc
+            return results
+        lanes = []  # (request index, content_path, style_path, out, content, grams)
+        for i, fields in enumerate(requests):
+            try:
+                lanes.append((i,) + parse_and_load(fields))
+            except Exception as exc:  # noqa: BLE001
+                results[i] = exc
+        if not lanes:
+            return results
+        contents = np.concatenate([l[4] for l in lanes])
+        grams_stacked = jax.tree.map(
+            lambda *gs: jnp.concatenate(gs)[:, None], *[l[5] for l in lanes]
+        )
+        pad = batch - len(lanes)
+        if pad:
+            contents = np.concatenate(
+                [contents, np.repeat(contents[-1:], pad, axis=0)]
+            )
+            grams_stacked = jax.tree.map(
+                lambda g: jnp.concatenate([g, jnp.repeat(g[-1:], pad, axis=0)]),
+                grams_stacked,
+            )
+        pixels, losses = optimize_batched(jnp.asarray(contents), grams_stacked)
+        pixels = np.asarray(pixels)
+        finals = np.asarray(losses)[:, -1]
+        for k, (i, content_path, style_path, explicit_out, _, _) in enumerate(lanes):
+            try:
+                results[i] = save_one(
+                    content_path, style_path, explicit_out,
+                    pixels[k:k + 1], finals[k],
+                )
+            except Exception as exc:  # noqa: BLE001
+                results[i] = exc
+        return results
+
+    return daemon.run_batched_request_loop(
+        handle_batch, batch, stdin=stdin, stdout=stdout, name="gatys serve"
+    )

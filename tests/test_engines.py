@@ -472,6 +472,88 @@ def test_serve_loop_dynamic_batching(tmp_path, rng):
         )
 
 
+def test_gatys_serve_loop_protocol(tmp_path, rng, vgg_params):
+    """gatys serve daemon: per-request (content, style) pairs run through
+    one compiled optimization; the response carries the final loss; bad
+    requests answer ERR without killing the daemon."""
+    import io
+
+    from PIL import Image
+
+    content = tmp_path / "content.png"
+    style = tmp_path / "style.png"
+    for p in (content, style):
+        Image.fromarray(
+            rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        ).save(p)
+
+    stdin = io.StringIO(
+        f"{content}\t{style}\n"
+        f"{content}\n"                      # missing style -> ERR
+        f"{tmp_path}/nope.png\t{style}\n"   # unreadable content -> ERR
+        "\n"
+    )
+    stdout = io.StringIO()
+    n = gatys.serve_loop(
+        steps=3, optimizer="adam", size=32, out_dir=str(tmp_path / "results"),
+        vgg_params=vgg_params, stdin=stdin, stdout=stdout,
+    )
+    assert n == 1
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    assert lines[1].startswith("OK ") and "loss=" in lines[1]
+    assert lines[2].startswith("ERR ") and lines[3].startswith("ERR ")
+    out_path = lines[1].split(" ")[1]
+    assert out_path.endswith("gatys_content_style.png")
+    assert os.path.isfile(out_path)
+
+
+def test_gatys_serve_loop_batched_mixed_styles(tmp_path, rng, vgg_params):
+    """gatys serve with -b N: a group mixing two styles runs as one vmapped
+    device call of independent lanes, and each lane's output matches the
+    single-request program's on the same (content, style) pair."""
+    import io
+
+    from PIL import Image
+
+    c1, c2 = tmp_path / "c1.png", tmp_path / "c2.png"
+    s1, s2 = tmp_path / "s1.png", tmp_path / "s2.png"
+    for p in (c1, c2, s1, s2):
+        Image.fromarray(
+            rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        ).save(p)
+
+    def run(batch, lines, sub):
+        stdout = io.StringIO()
+        gatys.serve_loop(
+            steps=3, optimizer="adam", size=32, batch=batch,
+            out_dir=str(tmp_path / sub), vgg_params=vgg_params,
+            stdin=io.StringIO("".join(lines) + "\n"), stdout=stdout,
+        )
+        return stdout.getvalue().splitlines()
+
+    # 3 requests, batch=2: one mixed-style group of 2 + a lone request
+    # (which routes through the single-lane program).
+    batched = run(2, [f"{c1}\t{s1}\n", f"{c2}\t{s2}\n", f"{c1}\t{s2}\n"], "b")
+    single = run(1, [f"{c1}\t{s1}\n", f"{c2}\t{s2}\n", f"{c1}\t{s2}\n"], "s")
+    assert batched[0] == single[0] == "READY"
+    assert all(l.startswith("OK ") for l in batched[1:] + single[1:])
+
+    for lb, ls in zip(batched[1:], single[1:]):
+        path_b, loss_b = lb.split(" ")[1], float(lb.rsplit("loss=", 1)[1])
+        path_s, loss_s = ls.split(" ")[1], float(ls.rsplit("loss=", 1)[1])
+        assert os.path.basename(path_b) == os.path.basename(path_s)
+        np.testing.assert_allclose(loss_b, loss_s, rtol=1e-4)
+        # Lane pixels match the single-lane program to uint8 rounding.
+        b = np.asarray(Image.open(path_b), dtype=np.int16)
+        s = np.asarray(Image.open(path_s), dtype=np.int16)
+        assert np.abs(b - s).max() <= 1
+    # The two styles actually produced different stylizations.
+    o1 = np.asarray(Image.open(batched[1].split(" ")[1]))
+    o3 = np.asarray(Image.open(batched[3].split(" ")[1]))
+    assert np.abs(o1.astype(np.int16) - o3.astype(np.int16)).max() > 2
+
+
 def test_serve_loop_rejects_invalid_batch_size(tmp_path):
     import pytest
 
@@ -481,6 +563,8 @@ def test_serve_loop_rejects_invalid_batch_size(tmp_path):
             fast.serve_loop(
                 style_name="tst", params=params, size=32, batch_size=bad,
             )
+    with pytest.raises(ValueError, match="batch"):
+        gatys.serve_loop(steps=1, optimizer="adam", size=32, batch=0)
 
 
 def test_batched_loop_survives_reader_death(tmp_path, rng):
