@@ -533,9 +533,15 @@ def test_gatys_serve_loop_batched_mixed_styles(tmp_path, rng, vgg_params):
         return stdout.getvalue().splitlines()
 
     # 3 requests, batch=2: one mixed-style group of 2 + a lone request
-    # (which routes through the single-lane program).
-    batched = run(2, [f"{c1}\t{s1}\n", f"{c2}\t{s2}\n", f"{c1}\t{s2}\n"], "b")
-    single = run(1, [f"{c1}\t{s1}\n", f"{c2}\t{s2}\n", f"{c1}\t{s2}\n"], "s")
+    # (which routes through the single-lane program). The second request
+    # uses an explicit OUTPUT field; it must be honored inside a group.
+    exp_b = tmp_path / "eb" / "explicit.png"
+    exp_s = tmp_path / "es" / "explicit.png"
+    batched = run(2, [f"{c1}\t{s1}\n", f"{c2}\t{s2}\t{exp_b}\n",
+                      f"{c1}\t{s2}\n"], "b")
+    single = run(1, [f"{c1}\t{s1}\n", f"{c2}\t{s2}\t{exp_s}\n",
+                     f"{c1}\t{s2}\n"], "s")
+    assert batched[2].split(" ")[1] == str(exp_b) and exp_b.is_file()
     assert batched[0] == single[0] == "READY"
     assert all(l.startswith("OK ") for l in batched[1:] + single[1:])
 
