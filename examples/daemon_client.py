@@ -50,6 +50,10 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=300,
                     help="(gatys) optimization steps per request "
                          "(compiled into the daemon)")
+    ap.add_argument("--optimizer", default=None,
+                    choices=["adam", "lbfgs", "lbfgs-zoom"],
+                    help="(gatys) daemon optimizer — adam/lbfgs-zoom give "
+                         "near-linear batched throughput")
     args = ap.parse_args()
 
     cmd = [sys.executable, "-m", "styletransfer_tpu"]
@@ -62,6 +66,8 @@ def main() -> int:
                 "--num-styles", str(args.num_styles)]
     elif args.mode == "gatys":
         cmd += ["gatys_st", "--serve", "--steps", str(args.steps)]
+        if args.optimizer:
+            cmd += ["--optimizer", args.optimizer]
     else:
         cmd += ["video_st", "serve", args.style_name]
     cmd += ["--precision", args.precision]

@@ -6,6 +6,11 @@ after the first reuse them. Enabled automatically at package import
 (:mod:`styletransfer_tpu.__init__`); opt out with ``STX_NO_COMPILE_CACHE=1``
 or point elsewhere with ``STX_COMPILE_CACHE_DIR``.
 
+``STX_PLATFORM`` (also applied at import) forces JAX's platform selection
+via the ``jax_platforms`` config update — honored by plugin backends that
+ignore the ``JAX_PLATFORMS`` environment variable — so every CLI has a
+deliberate CPU-only mode: ``STX_PLATFORM=cpu python -m styletransfer_tpu``.
+
 ``STX_MATMUL_PRECISION`` (also applied at import) sets JAX's default
 matmul/conv precision: TPU "f32" convs run the MXU in its default
 single-pass-bf16 mode — the standard XLA/TPU behavior behind the headline
@@ -26,9 +31,33 @@ _DEFAULT_DIR = os.path.join(
 _enabled = False
 
 
+def apply_platform() -> None:
+    """Apply ``STX_PLATFORM`` (e.g. ``cpu``) to JAX's platform selection.
+
+    Some plugin backends (e.g. tunneled TPU services) register themselves
+    unconditionally and ignore the ``JAX_PLATFORMS`` environment variable;
+    the ``jax_platforms`` config update below is honored before backend
+    init regardless. This gives every CLI entry point a deliberate
+    CPU-only mode (CI, laptops, or a TPU tunnel outage) without touching
+    code: ``STX_PLATFORM=cpu python -m styletransfer_tpu ...``.
+    """
+    value = os.environ.get("STX_PLATFORM")
+    if not value:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", value)
+    except Exception:  # noqa: BLE001 - older jax without the option
+        from styletransfer_tpu.utils.logging import get_logger
+
+        get_logger().warning("could not apply STX_PLATFORM=%r; ignoring", value)
+
+
 def enable_persistent_cache() -> None:
     """Idempotently enable the JAX persistent compilation cache."""
     global _enabled
+    apply_platform()
     apply_matmul_precision()
     if _enabled or os.environ.get("STX_NO_COMPILE_CACHE") == "1":
         return

@@ -37,6 +37,26 @@ def test_matmul_precision_env_knob(monkeypatch):
         jax.config.update("jax_default_matmul_precision", original)
 
 
+def test_platform_env_knob_forces_cpu_backend():
+    """STX_PLATFORM=cpu forces the CPU backend through the jax_platforms
+    config update at package import — the deliberate CPU-only mode for CI
+    hosts and accelerator-tunnel outages (plugin backends that register
+    unconditionally ignore the JAX_PLATFORMS environment variable, but
+    honor the config update; utils/cache.py:apply_platform)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, STX_PLATFORM="cpu")
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import styletransfer_tpu, jax; print(jax.devices())"],
+        capture_output=True, text=True, timeout=180, env=env,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "cpu" in out.stdout.lower()
+
+
 def test_console_logs_go_to_stderr_not_stdout(capsys):
     """The serving daemons' stdout carries a one-line-per-request protocol;
     console log lines must never interleave with it (engines/daemon.py)."""
