@@ -272,6 +272,10 @@ def _run_serve_batched(
     """
     from styletransfer_tpu.ops.lbfgs import lbfgs_torch
 
+    if optimizer not in ("adam", "lbfgs", "lbfgs-zoom"):
+        raise ValueError(
+            f"unknown optimizer {optimizer!r}; use 'lbfgs', 'lbfgs-zoom' or 'adam'"
+        )
     shape = contents.shape
     sub_shape = (1,) + shape[1:]
 
