@@ -529,6 +529,27 @@ def serve_loop(
             f"unknown optimizer {optimizer!r}; use 'lbfgs', 'lbfgs-zoom' or 'adam'"
         )
 
+    # Multi-chip serving: the group's lanes are fully independent, so the
+    # lane axis shards over a 1-D data mesh (auto_mesh logs idle devices
+    # when batch doesn't divide the count) — N chips run N optimizations
+    # at single-image latency. Per-lane Gram targets shard WITH their
+    # lanes; VGG params replicate. On one device this collapses to plain
+    # device placement (identical program to the unsharded path).
+    from styletransfer_tpu.parallel import mesh as mesh_lib
+
+    serve_mesh = mesh_lib.auto_mesh(batch) if batch > 1 else None
+    multi = serve_mesh is not None and serve_mesh.devices.size > 1
+    if multi:
+        vgg_params = mesh_lib.replicate(vgg_params, serve_mesh)
+
+    def place_group(contents, grams_stacked):
+        if not multi:
+            return jnp.asarray(contents), grams_stacked
+        return (
+            mesh_lib.shard_batch(np.asarray(contents), serve_mesh),
+            mesh_lib.shard_batch(grams_stacked, serve_mesh),
+        )
+
     def optimize_batched(contents, grams_stacked):
         return _run_serve_batched(
             vgg_params, contents, grams_stacked, steps,
@@ -548,9 +569,9 @@ def serve_loop(
     out, losses = optimize(warm, warm_grams)
     float(jnp.sum(out))  # force completion (axon ignores block_until_ready)
     if batch > 1:
-        warm_b = jnp.zeros((batch, sz, sz, 3), jnp.float32)
-        warm_grams_b = jax.tree.map(
-            lambda g: jnp.stack([g] * batch), warm_grams
+        warm_b, warm_grams_b = place_group(
+            np.zeros((batch, sz, sz, 3), np.float32),
+            jax.tree.map(lambda g: jnp.stack([g] * batch), warm_grams),
         )
         out_b, _ = optimize_batched(warm_b, warm_grams_b)
         float(jnp.sum(out_b))
@@ -627,7 +648,8 @@ def serve_loop(
                 lambda g: jnp.concatenate([g, jnp.repeat(g[-1:], pad, axis=0)]),
                 grams_stacked,
             )
-        pixels, losses = optimize_batched(jnp.asarray(contents), grams_stacked)
+        contents_dev, grams_stacked = place_group(contents, grams_stacked)
+        pixels, losses = optimize_batched(contents_dev, grams_stacked)
         pixels = np.asarray(pixels)
         finals = np.asarray(losses)[:, -1]
         for k, (i, content_path, style_path, explicit_out, _, _) in enumerate(lanes):
