@@ -489,6 +489,20 @@ def process_dir(
     # Single-batch directories compile at their natural size; larger runs
     # compile once at batch_size and pad the ragged tail.
     batch_size = min(batch_size, len(files))
+
+    # Multi-chip serving: the batch is pure data parallelism — shard it
+    # over a 1-D mesh (auto_mesh logs idle devices when batch_size doesn't
+    # divide the count), replicate the params. One device collapses to
+    # plain placement.
+    serve_mesh = mesh_lib.auto_mesh(batch_size)
+    multi = serve_mesh.devices.size > 1
+    if multi:
+        params = mesh_lib.replicate(params, serve_mesh)
+
+    def place(arr):
+        if multi:
+            return mesh_lib.shard_batch(arr, serve_mesh)
+        return jnp.asarray(arr)
     out_paths = []
     t0 = time.time()
     n_done = 0
@@ -527,7 +541,7 @@ def process_dir(
             pad = batch_size - len(good)
             if pad:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-            batch_dev = jnp.asarray(arr)
+            batch_dev = place(arr)
             if serve_fn_compiled is None:
                 from styletransfer_tpu.utils import aot
 
@@ -613,11 +627,24 @@ def serve_loop(
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
+    # Multi-chip serving: a request group is pure data parallelism —
+    # shard the batch axis over a 1-D mesh, replicate params (one device
+    # collapses to plain placement; auto_mesh logs idle devices).
+    serve_mesh = mesh_lib.auto_mesh(batch_size)
+    multi = serve_mesh.devices.size > 1
+    if multi:
+        params = mesh_lib.replicate(params, serve_mesh)
+
+    def place(arr):
+        if multi:
+            return mesh_lib.shard_batch(np.asarray(arr), serve_mesh)
+        return jnp.asarray(arr)
+
     # Compile eagerly at the fixed serving shape so READY means ready:
     # every subsequent request is pure execute (+ the persistent XLA cache
     # makes even this warm-up cheap after the first-ever process).
     serve = jax.jit(serve_fn)
-    warm = jnp.zeros((batch_size, sz, sz, 3), jnp.uint8)
+    warm = place(np.zeros((batch_size, sz, sz, 3), np.uint8))
     t0 = time.time()
     np.asarray(serve(params, warm))
     logger.info("serve: compiled %dpx %s b%d program in %.1fs; ready",
@@ -667,7 +694,7 @@ def serve_loop(
             pad = batch_size - len(arrs)
             if pad:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-            out = np.asarray(serve(params, jnp.asarray(arr)))[: len(metas)]
+            out = np.asarray(serve(params, place(arr)))[: len(metas)]
             for (i, in_path, explicit_out), img in zip(metas, out):
                 try:
                     results[i] = save_one(in_path, explicit_out, img)

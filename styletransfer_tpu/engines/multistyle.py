@@ -394,6 +394,7 @@ def serve_loop(
 
     from styletransfer_tpu import ckpt, constants
     from styletransfer_tpu.engines import daemon
+    from styletransfer_tpu.parallel import mesh as mesh_lib
     from styletransfer_tpu.utils import images as img_utils
     from styletransfer_tpu.utils.logging import get_logger
 
@@ -423,13 +424,28 @@ def serve_loop(
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    warm_w = jnp.tile(
-        jnp.zeros((1, num_styles), jnp.float32).at[0, 0].set(1.0),
-        (batch_size, 1),
+    # Multi-chip serving: batch AND the [B, S] per-request style weights
+    # shard over a 1-D mesh, params replicate (one device collapses to
+    # plain placement; auto_mesh logs idle devices).
+    serve_mesh = mesh_lib.auto_mesh(batch_size)
+    multi = serve_mesh.devices.size > 1
+    if multi:
+        params = mesh_lib.replicate(params, serve_mesh)
+
+    def place(arr):
+        if multi:
+            return mesh_lib.shard_batch(np.asarray(arr), serve_mesh)
+        return jnp.asarray(arr)
+
+    warm_w = np.tile(
+        np.eye(1, num_styles, dtype=np.float32), (batch_size, 1)
     )
     t0 = time.time()
     np.asarray(
-        serve_fn(params, jnp.zeros((batch_size, sz, sz, 3), jnp.uint8), warm_w)
+        serve_fn(
+            params, place(np.zeros((batch_size, sz, sz, 3), np.uint8)),
+            place(warm_w),
+        )
     )
     logger.info(
         "multi serve: compiled %dpx %s b%d program (%d styles) in %.1fs; ready",
@@ -518,7 +534,7 @@ def serve_loop(
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
                 wb = np.concatenate([wb, np.repeat(wb[-1:], pad, axis=0)])
             out = np.asarray(
-                serve_fn(params, jnp.asarray(arr), jnp.asarray(wb))
+                serve_fn(params, place(arr), place(wb))
             )[: len(metas)]
             for (i, in_path, explicit_out, tag), img in zip(metas, out):
                 try:

@@ -741,6 +741,16 @@ def process_video_dir(
     cd = jnp.bfloat16 if precision == "bf16" else None
 
     batch_size = min(batch_size, len(files))
+
+    # Multi-chip serving: clip lanes are independent recurrences, so the
+    # clip axis (axis 1 of each [T, B, ...] chunk) shards over a 1-D mesh
+    # and the carry rides sharded [B, ...]; params replicate. One device
+    # collapses to plain placement (auto_mesh logs idle devices).
+    serve_mesh = mesh_lib.auto_mesh(batch_size)
+    multi_dev = serve_mesh.devices.size > 1
+    if multi_dev:
+        params = mesh_lib.replicate(params, serve_mesh)
+
     outputs = []
     t0 = time.time()
     total_written = 0
@@ -802,7 +812,10 @@ def process_video_dir(
                 chunk = np.concatenate(
                     [chunk] + [chunk[:, :1]] * (batch_size - nb), axis=1
                 )
-            frames = jnp.asarray(chunk)  # uint8
+            frames = (
+                mesh_lib.shard_frames(chunk, serve_mesh) if multi_dev
+                else jnp.asarray(chunk)
+            )  # uint8
             if old_stylized is None:
                 old_stylized = img_utils.maybe_normalize_on_device(frames[0])
             outs = _stylize_chunk(
