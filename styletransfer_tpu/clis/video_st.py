@@ -156,7 +156,15 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, fps, precision,
 @click.option("--pad-mode", default="reflect", type=click.Choice(["reflect", "zeros"]),
               help="Conv padding. Use 'zeros' for checkpoints trained by the "
                    "ORIGINAL reference code")
-def serve(style_name, out_dir, size, precision, pad_mode):
+@click.option("-b", "--batch-size", default=1,
+              help="Cross-STREAM dynamic batching: pending requests for "
+                   "different streams run as one device call (same-stream "
+                   "requests serialize — the carry is a dependency). 1 = "
+                   "strictly serial.")
+@click.option("--max-streams", default=64,
+              help="LRU cap on concurrently-held stream carries")
+def serve(style_name, out_dir, size, precision, pad_mode, batch_size,
+          max_streams):
     """
     Warm-process STREAMING stylization daemon: compiles the recurrent step
     once, prints `READY`, then stylizes one frame per stdin line until EOF
@@ -164,13 +172,16 @@ def serve(style_name, out_dir, size, precision, pad_mode):
     between requests, so consecutive requests form one temporally-consistent
     stream (a live camera/capture source that cannot be batch-scanned).
 
-    Each line is `FRAME_PATH` or `FRAME_PATH<TAB>OUTPUT_PATH`; `RESET`
-    starts a new stream (the next frame pairs with itself). Each response
-    line is `OK <output_path>`, `OK RESET`, or `ERR <input>: <reason>`.
+    Each line is `FRAME_PATH[<TAB>OUTPUT_PATH[<TAB>STREAM]]`; the optional
+    STREAM field serves several concurrent streams (each with its own
+    carry) through one daemon. `RESET` starts everything fresh;
+    `RESET<TAB><TAB>STREAM` resets one stream. Each response line is
+    `OK <output_path>`, `OK RESET`, or `ERR <input>: <reason>`.
     """
     from styletransfer_tpu.engines import video
 
     video.serve_stream_loop(
         style_name=style_name, out_dir=out_dir, size=size,
-        precision=precision, pad_mode=pad_mode,
+        precision=precision, pad_mode=pad_mode, batch_size=batch_size,
+        max_streams=max_streams,
     )

@@ -857,6 +857,8 @@ def serve_stream_loop(
     size: Optional[int] = None,
     precision: str = "f32",
     pad_mode: str = "reflect",
+    batch_size: int = 1,
+    max_streams: int = 64,
     stdin=None,
     stdout=None,
 ) -> int:
@@ -883,14 +885,37 @@ def serve_stream_loop(
 
     Returns the number of frames served. Failed requests reply
     ``ERR <input>: <reason>`` and do NOT advance the carry.
+
+    **Multiple concurrent streams**: an optional third field names the
+    stream — ``FRAME[\\tOUTPUT[\\tSTREAM]]`` — and each stream keeps its
+    own carry (several cameras / capture sessions through ONE warm
+    daemon; omitted = stream ``"0"``, the single-stream contract above).
+    ``RESET\\t\\t<stream>`` resets one stream; bare ``RESET`` resets all.
+    Per-stream carries are LRU-capped at ``max_streams`` (eviction is
+    logged; an evicted stream silently restarts on its next frame). The
+    default output name gains an ``s{stream}_`` tag for streams other
+    than ``"0"``.
+
+    **Cross-stream dynamic batching** (``batch_size > 1``): pending
+    requests for DIFFERENT streams group into one device call — lanes
+    never mix (every op is per-sample), so outputs are bit-identical to
+    serial single-stream serving. Same-stream requests in one group are
+    serialized into successive waves (the carry is a dependency), a lone
+    request keeps the single-frame program's latency, and ragged waves
+    pad to the compiled shape. The lane axis shards over a 1-D device
+    mesh like every batched serving path (docs/serving.md "Scaling out").
     """
+    import re as _re
     import sys as _sys
+    from collections import OrderedDict
 
     from PIL import Image
 
     logger = get_logger()
     stdout = stdout if stdout is not None else _sys.stdout
 
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     if params is None:
         template = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
         params, _ = ckpt.load_latest_transformer(
@@ -914,43 +939,180 @@ def serve_stream_loop(
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    # Eager compile at the fixed stream shape: READY means ready.
+    # Multi-chip serving: cross-stream waves shard the lane axis (one
+    # device collapses to plain placement; auto_mesh logs idle devices).
+    serve_mesh = mesh_lib.auto_mesh(batch_size)
+    multi_dev = serve_mesh.devices.size > 1
+    if multi_dev:
+        params = mesh_lib.replicate(params, serve_mesh)
+
+    def place(arr):
+        if multi_dev:
+            return mesh_lib.shard_batch(np.asarray(arr), serve_mesh)
+        return jnp.asarray(arr)
+
+    # Eager compile at the fixed shapes: READY means ready. The [1, ...]
+    # single-frame program always compiles (lone requests use it); the
+    # batched wave program compiles only when batching is on.
     warm = jnp.zeros((1, sz, sz, 3), jnp.uint8)
     t0 = time.time()
     np.asarray(step(params, warm, norm(warm))[1])
-    logger.info("video serve: compiled %dpx %s stream step in %.1fs; ready",
-                sz, precision, time.time() - t0)
+    if batch_size > 1:
+        warm_b = place(np.zeros((batch_size, sz, sz, 3), np.uint8))
+        old_b = place(np.zeros((batch_size, sz, sz, 3), np.float32))
+        np.asarray(step(params, warm_b, old_b)[1])
+    logger.info(
+        "video serve: compiled %dpx %s stream step (batch=%d) in %.1fs; ready",
+        sz, precision, batch_size, time.time() - t0,
+    )
     print("READY", file=stdout, flush=True)
 
     from styletransfer_tpu.engines import daemon
 
-    carry = None
+    # stream id -> previous stylized frame [1,H,W,3] in normalized model
+    # space. Values may be device arrays (single-lane path) or host arrays
+    # (batched waves stack host-side); both convert losslessly.
+    carries: "OrderedDict" = OrderedDict()
 
-    def reset():
-        nonlocal carry
-        carry = None
+    def touch(sid):
+        carries.move_to_end(sid)
+        while len(carries) > max_streams:
+            evicted, _ = carries.popitem(last=False)
+            logger.warning(
+                "video serve: evicted stream %r (max-streams=%d); its next "
+                "frame starts a fresh stream", evicted, max_streams,
+            )
+
+    def reset_all():
+        carries.clear()
         return "RESET"
 
-    def handle(in_path, explicit_out=""):
-        nonlocal carry
-        frame_u8 = jnp.asarray(img_utils.load_image_uint8(
-            os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
-        ))
-        old = norm(frame_u8) if carry is None else carry
-        out_model, out_u8 = step(params, frame_u8, old)
-        out_arr = np.asarray(out_u8)[0]  # forces completion of out_model too
+    def default_name(in_path, sid):
         stem = os.path.splitext(os.path.basename(in_path))[0]
+        tag = "" if sid == "0" else f"s{_re.sub(r'[^\w.-]', '_', sid)}_"
+        return f"video_st_{style_name}_{tag}{stem}.png"
+
+    def load_frame(in_path):
+        return img_utils.load_image_uint8(
+            os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+        )
+
+    def run_single(in_path, explicit_out, sid, frame_dev, old_dev):
+        out_model, out_u8 = step(params, frame_dev, old_dev)
+        out_arr = np.asarray(out_u8)[0]  # forces completion of out_model too
         out_file = daemon.resolve_out_path(
-            explicit_out, out_dir, f"video_st_{style_name}_{stem}.png"
+            explicit_out, out_dir, default_name(in_path, sid)
         )
         Image.fromarray(out_arr).save(out_file)
         # Advance the carry only once the request has fully succeeded — a
         # save failure answers ERR and must leave the stream state intact
         # (the documented "failed requests do NOT advance the carry").
-        carry = out_model
+        carries[sid] = out_model
+        touch(sid)
         return out_file
 
-    return daemon.run_request_loop(
-        handle, stdin=stdin, stdout=stdout, name="video serve",
-        commands={"RESET": reset},
+    def parse(fields):
+        if len(fields) > 3:
+            raise ValueError(
+                f"expected FRAME[\\tOUTPUT[\\tSTREAM]], got {len(fields)} fields"
+            )
+        return (fields[0], fields[1] if len(fields) > 1 else "",
+                (fields[2] if len(fields) > 2 else "") or "0")
+
+    def handle(*fields):
+        in_path, explicit_out, sid = parse(fields)
+        if in_path == "RESET":
+            carries.pop(sid, None)
+            return f"RESET {sid}" if len(fields) > 2 else "RESET"
+        frame_dev = jnp.asarray(load_frame(in_path))
+        old = carries.get(sid)
+        old_dev = jnp.asarray(old) if old is not None else norm(frame_dev)
+        return run_single(in_path, explicit_out, sid, frame_dev, old_dev)
+
+    if batch_size == 1:
+        return daemon.run_request_loop(
+            handle, stdin=stdin, stdout=stdout, name="video serve",
+            commands={"RESET": reset_all},
+        )
+
+    def handle_batch(requests):
+        results: list = [None] * len(requests)
+        pending = list(enumerate(requests))
+        while pending:
+            # One wave: at most one request per stream (the carry is a
+            # dependency within a stream) and at most batch_size lanes;
+            # leftovers serialize into the next wave.
+            wave, rest, seen = [], [], set()
+            for i, fields in pending:
+                sid = (fields[2] if len(fields) > 2 else "") or "0"
+                if sid in seen or len(wave) == batch_size:
+                    rest.append((i, fields))
+                else:
+                    seen.add(sid)
+                    wave.append((i, fields))
+            pending = rest
+
+            lanes = []  # (result idx, in_path, out, sid, frame u8, old f32)
+            for i, fields in wave:
+                try:
+                    in_path, explicit_out, sid = parse(fields)
+                    if in_path == "RESET":
+                        if len(fields) > 2:
+                            carries.pop(sid, None)
+                            results[i] = f"RESET {sid}"
+                        else:
+                            results[i] = reset_all()
+                        continue
+                    frame = load_frame(in_path)
+                    old = carries.get(sid)
+                    old_np = (np.asarray(old) if old is not None
+                              else np.asarray(norm(jnp.asarray(frame))))
+                    lanes.append(
+                        (i, in_path, explicit_out, sid, frame[0], old_np[0])
+                    )
+                except Exception as exc:  # noqa: BLE001 - answered per-request
+                    results[i] = exc
+            if not lanes:
+                continue
+            if len(lanes) == 1:
+                i, in_path, explicit_out, sid, frame, old = lanes[0]
+                try:
+                    results[i] = run_single(
+                        in_path, explicit_out, sid,
+                        jnp.asarray(frame[None]), jnp.asarray(old[None]),
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    results[i] = exc
+                continue
+            frames = np.stack([l[4] for l in lanes])
+            olds = np.stack([l[5] for l in lanes])
+            padn = batch_size - len(lanes)
+            if padn:
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], padn, axis=0)]
+                )
+                olds = np.concatenate(
+                    [olds, np.repeat(olds[-1:], padn, axis=0)]
+                )
+            out_model, out_u8 = step(params, place(frames), place(olds))
+            out_u8 = np.asarray(out_u8)[: len(lanes)]
+            out_model = np.asarray(out_model)[: len(lanes)]
+            for (i, in_path, explicit_out, sid, _, _), img, mdl in zip(
+                lanes, out_u8, out_model
+            ):
+                try:
+                    out_file = daemon.resolve_out_path(
+                        explicit_out, out_dir, default_name(in_path, sid)
+                    )
+                    Image.fromarray(img).save(out_file)
+                    carries[sid] = mdl[None]
+                    touch(sid)
+                    results[i] = out_file
+                except Exception as exc:  # noqa: BLE001
+                    results[i] = exc
+        return results
+
+    return daemon.run_batched_request_loop(
+        handle_batch, batch_size, stdin=stdin, stdout=stdout,
+        name="video serve",
     )

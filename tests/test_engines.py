@@ -636,6 +636,73 @@ def test_serve_loop_malformed_request_answers_err(tmp_path, rng):
     assert lines[2].startswith("OK ")
 
 
+def test_video_serve_multi_stream_batched_matches_scan(tmp_path, rng):
+    """Two interleaved streams through ONE batched daemon: cross-stream
+    waves run as one device call, same-stream requests serialize, each
+    stream's outputs stay bit-identical to its own scanned reference, and
+    a per-stream RESET restarts only that stream."""
+    import io
+
+    from PIL import Image
+
+    from styletransfer_tpu.engines import video as video_engine
+    from styletransfer_tpu.utils import images as img_utils
+
+    params = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+    frames = {}
+    for name in ("a0", "a1", "b0", "b1"):
+        arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        p = tmp_path / f"{name}.png"
+        Image.fromarray(arr).save(p)
+        frames[name] = p
+
+    out = {k: tmp_path / f"out_{k}.png" for k in
+           ("a0", "a1", "b0", "b1", "a0_again")}
+    # One burst: wave 1 = (a0@A, b0@B) batched; wave 2 = (a1@A, b1@B);
+    # then RESET stream A only; then a0 again on A (must be fresh) while
+    # B's carry must survive the reset of A.
+    stdin = io.StringIO(
+        f"{frames['a0']}\t{out['a0']}\tA\n"
+        f"{frames['b0']}\t{out['b0']}\tB\n"
+        f"{frames['a1']}\t{out['a1']}\tA\n"
+        f"{frames['b1']}\t{out['b1']}\tB\n"
+        "RESET\t\tA\n"
+        f"{frames['a0']}\t{out['a0_again']}\tA\n"
+        "\n"
+    )
+    stdout = io.StringIO()
+    n = video_engine.serve_stream_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=params,
+        size=32, batch_size=2, stdin=stdin, stdout=stdout,
+    )
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    assert all(l.startswith("OK ") for l in lines[1:])
+    assert lines[5] == "OK RESET A"
+    assert n == 6  # batched loop counts RESET responses too
+
+    def scan_ref(names):
+        u8 = jnp.asarray(np.stack(
+            [img_utils.load_image_uint8(str(frames[m]), size=32)[0]
+             for m in names]
+        ))[:, None]
+        outs = video_engine._stylize_chunk(
+            params, u8, img_utils.maybe_normalize_on_device(u8[0])
+        )
+        return np.asarray(img_utils.to_uint8_on_device(outs))[:, 0]
+
+    want_a = scan_ref(["a0", "a1"])
+    want_b = scan_ref(["b0", "b1"])
+    np.testing.assert_array_equal(np.asarray(Image.open(out["a0"])), want_a[0])
+    np.testing.assert_array_equal(np.asarray(Image.open(out["a1"])), want_a[1])
+    np.testing.assert_array_equal(np.asarray(Image.open(out["b0"])), want_b[0])
+    np.testing.assert_array_equal(np.asarray(Image.open(out["b1"])), want_b[1])
+    # Post-RESET a0 on stream A pairs with itself again (fresh stream).
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(out["a0_again"])), want_a[0]
+    )
+
+
 def test_video_serve_stream_matches_scan(tmp_path, rng):
     """video_st serve: frame-by-frame streaming with a persistent carry is
     bit-identical to the scanned clip stylizer, and RESET starts a fresh
