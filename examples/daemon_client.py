@@ -73,7 +73,12 @@ def main() -> int:
     cmd += ["--precision", args.precision]
     if args.batch > 1:
         if args.mode == "video":
-            ap.error("--batch applies to fast/multi/gatys only (video is serial)")
+            # The daemon CAN batch across different streams (video_st serve
+            # -b N + a STREAM field), but this client feeds ONE stream of
+            # sequential frames — same-stream requests serialize anyway.
+            ap.error("--batch applies to fast/multi/gatys only (this client "
+                     "streams one video; cross-stream batching needs the "
+                     "daemon's STREAM field)")
         cmd += ["-b" if args.mode == "gatys" else "--batch-size",
                 str(args.batch)]
 
