@@ -490,19 +490,9 @@ def process_dir(
     # compile once at batch_size and pad the ragged tail.
     batch_size = min(batch_size, len(files))
 
-    # Multi-chip serving: the batch is pure data parallelism — shard it
-    # over a 1-D mesh (auto_mesh logs idle devices when batch_size doesn't
-    # divide the count), replicate the params. One device collapses to
-    # plain placement.
-    serve_mesh = mesh_lib.auto_mesh(batch_size)
-    multi = serve_mesh.devices.size > 1
-    if multi:
-        params = mesh_lib.replicate(params, serve_mesh)
-
-    def place(arr):
-        if multi:
-            return mesh_lib.shard_batch(arr, serve_mesh)
-        return jnp.asarray(arr)
+    # Multi-chip serving: the batch is pure data parallelism
+    # (parallel/mesh.py:serving_placement; one device = plain placement).
+    params, place, _ = mesh_lib.serving_placement(batch_size, params)
     out_paths = []
     t0 = time.time()
     n_done = 0
@@ -627,18 +617,9 @@ def serve_loop(
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    # Multi-chip serving: a request group is pure data parallelism —
-    # shard the batch axis over a 1-D mesh, replicate params (one device
-    # collapses to plain placement; auto_mesh logs idle devices).
-    serve_mesh = mesh_lib.auto_mesh(batch_size)
-    multi = serve_mesh.devices.size > 1
-    if multi:
-        params = mesh_lib.replicate(params, serve_mesh)
-
-    def place(arr):
-        if multi:
-            return mesh_lib.shard_batch(np.asarray(arr), serve_mesh)
-        return jnp.asarray(arr)
+    # Multi-chip serving: a request group is pure data parallelism
+    # (parallel/mesh.py:serving_placement; one device = plain placement).
+    params, place, _ = mesh_lib.serving_placement(batch_size, params)
 
     # Compile eagerly at the fixed serving shape so READY means ready:
     # every subsequent request is pure execute (+ the persistent XLA cache
@@ -694,7 +675,12 @@ def serve_loop(
             pad = batch_size - len(arrs)
             if pad:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-            out = np.asarray(serve(params, place(arr)))[: len(metas)]
+            try:
+                out = np.asarray(serve(params, place(arr)))[: len(metas)]
+            except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
+                for i, _, _ in metas:
+                    results[i] = exc
+                return results
             for (i, in_path, explicit_out), img in zip(metas, out):
                 try:
                     results[i] = save_one(in_path, explicit_out, img)

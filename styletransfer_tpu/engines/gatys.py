@@ -530,25 +530,17 @@ def serve_loop(
         )
 
     # Multi-chip serving: the group's lanes are fully independent, so the
-    # lane axis shards over a 1-D data mesh (auto_mesh logs idle devices
-    # when batch doesn't divide the count) — N chips run N optimizations
+    # lane axis shards over the serving mesh — N chips run N optimizations
     # at single-image latency. Per-lane Gram targets shard WITH their
-    # lanes; VGG params replicate. On one device this collapses to plain
-    # device placement (identical program to the unsharded path).
+    # lanes; VGG params replicate. One device = plain placement
+    # (parallel/mesh.py:serving_placement).
     from styletransfer_tpu.parallel import mesh as mesh_lib
 
-    serve_mesh = mesh_lib.auto_mesh(batch) if batch > 1 else None
-    multi = serve_mesh is not None and serve_mesh.devices.size > 1
-    if multi:
-        vgg_params = mesh_lib.replicate(vgg_params, serve_mesh)
+    if batch > 1:
+        vgg_params, place, _ = mesh_lib.serving_placement(batch, vgg_params)
 
     def place_group(contents, grams_stacked):
-        if not multi:
-            return jnp.asarray(contents), grams_stacked
-        return (
-            mesh_lib.shard_batch(np.asarray(contents), serve_mesh),
-            mesh_lib.shard_batch(grams_stacked, serve_mesh),
-        )
+        return place(jnp.asarray(contents)), place(grams_stacked)
 
     def optimize_batched(contents, grams_stacked):
         return _run_serve_batched(
@@ -620,13 +612,6 @@ def serve_loop(
 
     def handle_batch(requests):
         results: list = [None] * len(requests)
-        if len(requests) == 1:
-            # Lone request: the single-lane program (no padded-lane waste).
-            try:
-                results[0] = handle(*requests[0])
-            except Exception as exc:  # noqa: BLE001 - per-request containment
-                results[0] = exc
-            return results
         lanes = []  # (request index, content_path, style_path, out, content, grams)
         for i, fields in enumerate(requests):
             try:
@@ -634,6 +619,21 @@ def serve_loop(
             except Exception as exc:  # noqa: BLE001
                 results[i] = exc
         if not lanes:
+            return results
+        if len(lanes) == 1:
+            # A lone SURVIVING lane (lone request, or the rest of its group
+            # failed to parse/load) takes the single-lane program: padding
+            # one lane to `batch` costs ~batch x one image under the
+            # contract optimizer.
+            i, content_path, style_path, explicit_out, content, grams = lanes[0]
+            try:
+                pixels, losses = optimize(jnp.asarray(content), grams)
+                results[i] = save_one(
+                    content_path, style_path, explicit_out, pixels,
+                    np.asarray(losses)[-1],
+                )
+            except Exception as exc:  # noqa: BLE001 - per-request containment
+                results[i] = exc
             return results
         contents = np.concatenate([l[4] for l in lanes])
         grams_stacked = jax.tree.map(
@@ -648,10 +648,15 @@ def serve_loop(
                 lambda g: jnp.concatenate([g, jnp.repeat(g[-1:], pad, axis=0)]),
                 grams_stacked,
             )
-        contents_dev, grams_stacked = place_group(contents, grams_stacked)
-        pixels, losses = optimize_batched(contents_dev, grams_stacked)
-        pixels = np.asarray(pixels)
-        finals = np.asarray(losses)[:, -1]
+        try:
+            contents_dev, grams_stacked = place_group(contents, grams_stacked)
+            pixels, losses = optimize_batched(contents_dev, grams_stacked)
+            pixels = np.asarray(pixels)
+            finals = np.asarray(losses)[:, -1]
+        except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
+            for lane in lanes:
+                results[lane[0]] = exc
+            return results
         for k, (i, content_path, style_path, explicit_out, _, _) in enumerate(lanes):
             try:
                 results[i] = save_one(

@@ -425,17 +425,9 @@ def serve_loop(
     os.makedirs(out_dir, exist_ok=True)
 
     # Multi-chip serving: batch AND the [B, S] per-request style weights
-    # shard over a 1-D mesh, params replicate (one device collapses to
-    # plain placement; auto_mesh logs idle devices).
-    serve_mesh = mesh_lib.auto_mesh(batch_size)
-    multi = serve_mesh.devices.size > 1
-    if multi:
-        params = mesh_lib.replicate(params, serve_mesh)
-
-    def place(arr):
-        if multi:
-            return mesh_lib.shard_batch(np.asarray(arr), serve_mesh)
-        return jnp.asarray(arr)
+    # are data parallelism (parallel/mesh.py:serving_placement; one
+    # device = plain placement).
+    params, place, _ = mesh_lib.serving_placement(batch_size, params)
 
     warm_w = np.tile(
         np.eye(1, num_styles, dtype=np.float32), (batch_size, 1)
@@ -533,9 +525,14 @@ def serve_loop(
             if pad:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
                 wb = np.concatenate([wb, np.repeat(wb[-1:], pad, axis=0)])
-            out = np.asarray(
-                serve_fn(params, place(arr), place(wb))
-            )[: len(metas)]
+            try:
+                out = np.asarray(
+                    serve_fn(params, place(arr), place(wb))
+                )[: len(metas)]
+            except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
+                for meta in metas:
+                    results[meta[0]] = exc
+                return results
             for (i, in_path, explicit_out, tag), img in zip(metas, out):
                 try:
                     results[i] = save_one(in_path, explicit_out, tag, img)

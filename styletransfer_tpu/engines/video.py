@@ -743,13 +743,10 @@ def process_video_dir(
     batch_size = min(batch_size, len(files))
 
     # Multi-chip serving: clip lanes are independent recurrences, so the
-    # clip axis (axis 1 of each [T, B, ...] chunk) shards over a 1-D mesh
-    # and the carry rides sharded [B, ...]; params replicate. One device
-    # collapses to plain placement (auto_mesh logs idle devices).
-    serve_mesh = mesh_lib.auto_mesh(batch_size)
-    multi_dev = serve_mesh.devices.size > 1
-    if multi_dev:
-        params = mesh_lib.replicate(params, serve_mesh)
+    # clip axis (axis 1 of each [T, B, ...] chunk) shards and the carry
+    # rides sharded [B, ...] (parallel/mesh.py:serving_placement; one
+    # device = plain placement).
+    params, _, place_frames = mesh_lib.serving_placement(batch_size, params)
 
     outputs = []
     t0 = time.time()
@@ -812,10 +809,7 @@ def process_video_dir(
                 chunk = np.concatenate(
                     [chunk] + [chunk[:, :1]] * (batch_size - nb), axis=1
                 )
-            frames = (
-                mesh_lib.shard_frames(chunk, serve_mesh) if multi_dev
-                else jnp.asarray(chunk)
-            )  # uint8
+            frames = place_frames(chunk)  # uint8
             if old_stylized is None:
                 old_stylized = img_utils.maybe_normalize_on_device(frames[0])
             outs = _stylize_chunk(
@@ -883,8 +877,11 @@ def serve_stream_loop(
       (pairs with itself, like a clip's first frame). Replies ``OK RESET``.
     - blank line or EOF — shut down.
 
-    Returns the number of frames served. Failed requests reply
-    ``ERR <input>: <reason>`` and do NOT advance the carry.
+    Returns the number of OK responses — bare ``RESET`` in serial mode
+    rides the command path and is not counted; per-stream resets and
+    batched-mode resets are acknowledgements and do count. Failed
+    requests reply ``ERR <input>: <reason>`` and do NOT advance the
+    carry (per request — a failed wave never un-serves earlier waves).
 
     **Multiple concurrent streams**: an optional third field names the
     stream — ``FRAME[\\tOUTPUT[\\tSTREAM]]`` — and each stream keeps its
@@ -939,17 +936,9 @@ def serve_stream_loop(
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    # Multi-chip serving: cross-stream waves shard the lane axis (one
-    # device collapses to plain placement; auto_mesh logs idle devices).
-    serve_mesh = mesh_lib.auto_mesh(batch_size)
-    multi_dev = serve_mesh.devices.size > 1
-    if multi_dev:
-        params = mesh_lib.replicate(params, serve_mesh)
-
-    def place(arr):
-        if multi_dev:
-            return mesh_lib.shard_batch(np.asarray(arr), serve_mesh)
-        return jnp.asarray(arr)
+    # Multi-chip serving: cross-stream waves shard the lane axis
+    # (parallel/mesh.py:serving_placement; one device = plain placement).
+    params, place, _ = mesh_lib.serving_placement(batch_size, params)
 
     # Eager compile at the fixed shapes: READY means ready. The [1, ...]
     # single-frame program always compiles (lone requests use it); the
@@ -1041,9 +1030,22 @@ def serve_stream_loop(
         while pending:
             # One wave: at most one request per stream (the carry is a
             # dependency within a stream) and at most batch_size lanes;
-            # leftovers serialize into the next wave.
+            # leftovers serialize into the next wave. A bare RESET touches
+            # EVERY stream, so it is a barrier: it rides a wave alone, and
+            # nothing after it may be pulled into an earlier wave.
             wave, rest, seen = [], [], set()
+            barrier = False
             for i, fields in pending:
+                if barrier:
+                    rest.append((i, fields))
+                    continue
+                if fields[0] == "RESET" and len(fields) <= 2:
+                    barrier = True
+                    if wave:
+                        rest.append((i, fields))
+                    else:
+                        wave.append((i, fields))
+                    continue
                 sid = (fields[2] if len(fields) > 2 else "") or "0"
                 if sid in seen or len(wave) == batch_size:
                     rest.append((i, fields))
@@ -1094,9 +1096,19 @@ def serve_stream_loop(
                 olds = np.concatenate(
                     [olds, np.repeat(olds[-1:], padn, axis=0)]
                 )
-            out_model, out_u8 = step(params, place(frames), place(olds))
-            out_u8 = np.asarray(out_u8)[: len(lanes)]
-            out_model = np.asarray(out_model)[: len(lanes)]
+            try:
+                out_model, out_u8 = step(params, place(frames), place(olds))
+                out_u8 = np.asarray(out_u8)[: len(lanes)]
+                out_model = np.asarray(out_model)[: len(lanes)]
+            except Exception as exc:  # noqa: BLE001
+                # ERR only THIS wave's lanes: earlier waves already saved
+                # outputs and advanced their carries — answering the whole
+                # group ERR would tell the client those succeeded requests
+                # failed ("failed requests do NOT advance the carry" must
+                # stay true per request, not per group).
+                for lane in lanes:
+                    results[lane[0]] = exc
+                continue
             for (i, in_path, explicit_out, sid, _, _), img, mdl in zip(
                 lanes, out_u8, out_model
             ):

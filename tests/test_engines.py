@@ -703,6 +703,99 @@ def test_video_serve_multi_stream_batched_matches_scan(tmp_path, rng):
     )
 
 
+def test_video_serve_batched_bare_reset_is_a_barrier(tmp_path, rng):
+    """A bare RESET inside a batched burst must also reset streams whose
+    frames preceded it in the SAME group: waves serialize around it, so
+    the frame before it advances its carry first and the frame after it
+    starts fresh."""
+    import io
+
+    from PIL import Image
+
+    from styletransfer_tpu.engines import video as video_engine
+    from styletransfer_tpu.utils import images as img_utils
+
+    params = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+    a0, a1 = tmp_path / "a0.png", tmp_path / "a1.png"
+    for p in (a0, a1):
+        Image.fromarray(
+            rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        ).save(p)
+    o1, o2 = tmp_path / "o1.png", tmp_path / "o2.png"
+
+    stdin = io.StringIO(
+        f"{a0}\t{o1}\tA\n"
+        "RESET\n"
+        f"{a1}\t{o2}\tA\n"
+        "\n"
+    )
+    stdout = io.StringIO()
+    video_engine.serve_stream_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=params,
+        size=32, batch_size=2, stdin=stdin, stdout=stdout,
+    )
+    lines = stdout.getvalue().splitlines()
+    assert [l.split()[0] for l in lines[1:]] == ["OK", "OK", "OK"]
+
+    # a1 must match a FRESH single-frame stream (pairs with itself), not a
+    # continuation of a0's carry.
+    u8 = jnp.asarray(
+        img_utils.load_image_uint8(str(a1), size=32)
+    )[None]
+    fresh = video_engine._stylize_chunk(
+        params, u8, img_utils.maybe_normalize_on_device(u8[0])
+    )
+    want = np.asarray(img_utils.to_uint8_on_device(fresh))[0, 0]
+    np.testing.assert_array_equal(np.asarray(Image.open(o2)), want)
+
+
+def test_gatys_serve_batched_lone_survivor_uses_single_lane(
+    tmp_path, rng, vgg_params, monkeypatch
+):
+    """When parse/load failures leave ONE surviving lane in a group, it
+    must route through the single-lane program (padding one lane to the
+    full compiled batch costs ~batch x one image under the contract
+    optimizer). Guarded by making the batched program unreachable."""
+    import io
+
+    from PIL import Image
+
+    content = tmp_path / "c.png"
+    style = tmp_path / "s.png"
+    for p in (content, style):
+        Image.fromarray(
+            rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        ).save(p)
+
+    real = gatys._run_serve_batched
+    calls = {"n": 0}
+
+    def guard(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] > 1:  # call 1 is the daemon's warm-up compile
+            raise AssertionError("batched program must not run for one lane")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(gatys, "_run_serve_batched", guard)
+
+    stdin = io.StringIO(
+        f"{tmp_path}/missing.png\t{style}\n"   # fails to load
+        f"{content}\t{style}\n"                # the lone survivor
+        "\n"
+    )
+    stdout = io.StringIO()
+    gatys.serve_loop(
+        steps=2, optimizer="adam", size=32, batch=2,
+        out_dir=str(tmp_path / "results"),
+        vgg_params=vgg_params, stdin=stdin, stdout=stdout,
+    )
+    lines = stdout.getvalue().splitlines()
+    oks = [l for l in lines[1:] if l.startswith("OK ")]
+    errs = [l for l in lines[1:] if l.startswith("ERR ")]
+    assert len(oks) == 1 and len(errs) == 1
+    assert os.path.isfile(oks[0].split(" ")[1])
+
+
 def test_video_serve_stream_matches_scan(tmp_path, rng):
     """video_st serve: frame-by-frame streaming with a persistent carry is
     bit-identical to the scanned clip stylizer, and RESET starts a fresh
