@@ -304,6 +304,8 @@ def serve(style_name, out_dir, size, precision, pad_mode, batch_size):
     prints `READY`, then stylizes one image per stdin line until EOF or a
     blank line. Each line is `INPUT_PATH` or `INPUT_PATH<TAB>OUTPUT_PATH`;
     each response line is `OK <output_path>` or `ERR <input>: <reason>`.
+    A `RELOAD` line swaps in the latest checkpoint without recompiling
+    (zero-downtime model updates).
 
     Keeping one process warm is the cold-start answer on backends where
     compiles are expensive (docs/serving.md): after `READY`, every request
@@ -344,7 +346,8 @@ def serve_multi(name, num_styles, out_dir, size, precision, batch_size):
     Each line is `INPUT[<TAB>OUTPUT[<TAB>STYLE]]` where STYLE is an index
     (`2`) or comma-separated blend weights (`0.3,0.7`); leave OUTPUT empty
     (two TABs) to use the default naming. Responses: `OK <output_path>` or
-    `ERR <input>: <reason>`.
+    `ERR <input>: <reason>`. A `RELOAD` line swaps in the latest
+    checkpoint without recompiling.
     """
     from styletransfer_tpu.engines import multistyle as ms
 

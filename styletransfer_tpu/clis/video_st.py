@@ -175,8 +175,10 @@ def serve(style_name, out_dir, size, precision, pad_mode, batch_size,
     Each line is `FRAME_PATH[<TAB>OUTPUT_PATH[<TAB>STREAM]]`; the optional
     STREAM field serves several concurrent streams (each with its own
     carry) through one daemon. `RESET` starts everything fresh;
-    `RESET<TAB><TAB>STREAM` resets one stream. Each response line is
-    `OK <output_path>`, `OK RESET`, or `ERR <input>: <reason>`.
+    `RESET<TAB><TAB>STREAM` resets one stream; `RELOAD` swaps in the
+    latest checkpoint without recompiling (carries survive). Each
+    response line is `OK <output_path>`, `OK RESET`, or
+    `ERR <input>: <reason>`.
     """
     from styletransfer_tpu.engines import video
 

@@ -63,7 +63,12 @@ def run_request_loop(
         if not line.strip():
             break
         if commands and line.strip() in commands:
-            print(f"OK {commands[line.strip()]()}", file=stdout, flush=True)
+            word = line.strip()
+            try:
+                print(f"OK {commands[word]()}", file=stdout, flush=True)
+            except Exception as exc:  # noqa: BLE001 - e.g. RELOAD with no ckpt
+                logger.warning("%s: command %s failed (%s)", name, word, exc)
+                print(f"ERR {word}: {_reason(exc)}", file=stdout, flush=True)
             continue
         fields = [f.strip() for f in line.split("\t")]
         try:

@@ -492,7 +492,9 @@ def process_dir(
 
     # Multi-chip serving: the batch is pure data parallelism
     # (parallel/mesh.py:serving_placement; one device = plain placement).
-    params, place, _ = mesh_lib.serving_placement(batch_size, params)
+    params, place, _, place_params = mesh_lib.serving_placement(
+        batch_size, params
+    )
     out_paths = []
     t0 = time.time()
     n_done = 0
@@ -578,6 +580,13 @@ def serve_loop(
     - ``<input_path>`` — stylize, write to
       ``{out_dir}/converted_fast_st_{style}_{stem}.png``.
     - ``<input_path>\\t<output_path>`` — stylize to an explicit output.
+    - ``RELOAD`` — re-read the latest checkpoint for (model, style) and
+      swap it in WITHOUT recompiling (params are data to the compiled
+      program): zero-downtime model updates while training produces new
+      epochs. Replies ``OK RELOAD epoch=<n>``; on failure ``ERR RELOAD:
+      <reason>`` and the daemon keeps serving the old params. In batched
+      mode a RELOAD line splits its group: requests before it serve with
+      the old params, after it with the new.
     - blank line or EOF — shut down.
 
     Responses: ``READY`` once the program is compiled (requests sent before
@@ -619,7 +628,9 @@ def serve_loop(
 
     # Multi-chip serving: a request group is pure data parallelism
     # (parallel/mesh.py:serving_placement; one device = plain placement).
-    params, place, _ = mesh_lib.serving_placement(batch_size, params)
+    params, place, _, place_params = mesh_lib.serving_placement(
+        batch_size, params
+    )
 
     # Compile eagerly at the fixed serving shape so READY means ready:
     # every subsequent request is pure execute (+ the persistent XLA cache
@@ -631,6 +642,18 @@ def serve_loop(
     logger.info("serve: compiled %dpx %s b%d program in %.1fs; ready",
                 sz, precision, batch_size, time.time() - t0)
     print("READY", file=stdout, flush=True)
+
+    # The served params live in a cell so RELOAD can swap them: identical
+    # pytree structure/shapes means the jitted program is reused as-is.
+    state = {"params": params}
+
+    def reload():
+        new, epoch = ckpt.load_latest_transformer(
+            MODEL_NAME, style_name,
+            transformer.init_params(jax.random.PRNGKey(0)), models_path,
+        )
+        state["params"] = place_params(new)
+        return f"RELOAD epoch={epoch}"
 
     def save_one(in_path, explicit_out, img):
         stem = os.path.splitext(os.path.basename(in_path))[0]
@@ -646,17 +669,18 @@ def serve_loop(
             input_u8 = img_utils.load_image_uint8(
                 os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
             )
-            out_u8 = np.asarray(serve(params, jnp.asarray(input_u8)))[0]
+            out_u8 = np.asarray(serve(state["params"], jnp.asarray(input_u8)))[0]
             return save_one(in_path, explicit_out, out_u8)
 
         return daemon.run_request_loop(
-            handle, stdin=stdin, stdout=stdout, name="serve"
+            handle, stdin=stdin, stdout=stdout, name="serve",
+            commands={"RELOAD": reload},
         )
 
-    def handle_batch(requests):
-        results: list = [None] * len(requests)
+    def run_segment(segment, results):
+        """Serve one RELOAD-free run of requests as one device call."""
         arrs, metas = [], []
-        for i, fields in enumerate(requests):
+        for i, fields in segment:
             try:
                 if len(fields) > 2:
                     raise ValueError(
@@ -670,22 +694,40 @@ def serve_loop(
                 metas.append((i, in_path, fields[1] if len(fields) > 1 else ""))
             except Exception as exc:  # noqa: BLE001 - answered per-request
                 results[i] = exc
-        if metas:
-            arr = np.stack(arrs)
-            pad = batch_size - len(arrs)
-            if pad:
-                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+        if not metas:
+            return
+        arr = np.stack(arrs)
+        pad = batch_size - len(arrs)
+        if pad:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+        try:
+            out = np.asarray(serve(state["params"], place(arr)))[: len(metas)]
+        except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
+            for i, _, _ in metas:
+                results[i] = exc
+            return
+        for (i, in_path, explicit_out), img in zip(metas, out):
             try:
-                out = np.asarray(serve(params, place(arr)))[: len(metas)]
-            except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
-                for i, _, _ in metas:
-                    results[i] = exc
-                return results
-            for (i, in_path, explicit_out), img in zip(metas, out):
+                results[i] = save_one(in_path, explicit_out, img)
+            except Exception as exc:  # noqa: BLE001
+                results[i] = exc
+
+    def handle_batch(requests):
+        results: list = [None] * len(requests)
+        # A RELOAD splits the group: earlier requests serve with the old
+        # params, later ones with the new.
+        segment: list = []
+        for i, fields in enumerate(requests):
+            if fields[0] == "RELOAD" and len(fields) == 1:
+                run_segment(segment, results)
+                segment = []
                 try:
-                    results[i] = save_one(in_path, explicit_out, img)
-                except Exception as exc:  # noqa: BLE001
+                    results[i] = reload()
+                except Exception as exc:  # noqa: BLE001 - keep old params
                     results[i] = exc
+                continue
+            segment.append((i, fields))
+        run_segment(segment, results)
         return results
 
     return daemon.run_batched_request_loop(

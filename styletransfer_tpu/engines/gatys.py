@@ -537,7 +537,7 @@ def serve_loop(
     from styletransfer_tpu.parallel import mesh as mesh_lib
 
     if batch > 1:
-        vgg_params, place, _ = mesh_lib.serving_placement(batch, vgg_params)
+        vgg_params, place, _, _ = mesh_lib.serving_placement(batch, vgg_params)
 
     def place_group(contents, grams_stacked):
         return place(jnp.asarray(contents)), place(grams_stacked)

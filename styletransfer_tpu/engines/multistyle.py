@@ -427,7 +427,9 @@ def serve_loop(
     # Multi-chip serving: batch AND the [B, S] per-request style weights
     # are data parallelism (parallel/mesh.py:serving_placement; one
     # device = plain placement).
-    params, place, _ = mesh_lib.serving_placement(batch_size, params)
+    params, place, _, place_params = mesh_lib.serving_placement(
+        batch_size, params
+    )
 
     warm_w = np.tile(
         np.eye(1, num_styles, dtype=np.float32), (batch_size, 1)
@@ -444,6 +446,19 @@ def serve_loop(
         sz, precision, batch_size, num_styles, time.time() - t0,
     )
     print("READY", file=stdout, flush=True)
+
+    # Served params live in a cell so RELOAD can swap in a newer checkpoint
+    # without recompiling (same pytree structure -> same jitted program).
+    state = {"params": params}
+
+    def reload():
+        new, epoch = ckpt.load_latest_transformer(
+            MODEL_NAME, name,
+            multistyle.init_params(jax.random.PRNGKey(0), num_styles=num_styles),
+            models_path,
+        )
+        state["params"] = place_params(new)
+        return f"RELOAD epoch={epoch}"
 
     def parse_style(style_spec):
         """Style spec -> ([num_styles] convex weights, filename tag)."""
@@ -486,20 +501,23 @@ def serve_loop(
                 os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
             )
             out_u8 = np.asarray(
-                serve_fn(params, jnp.asarray(input_u8), jnp.asarray(w)[None])
+                serve_fn(
+                    state["params"], jnp.asarray(input_u8),
+                    jnp.asarray(w)[None],
+                )
             )[0]
             return save_one(in_path, explicit_out, tag, out_u8)
 
         return daemon.run_request_loop(
-            handle, stdin=stdin, stdout=stdout, name="multi serve"
+            handle, stdin=stdin, stdout=stdout, name="multi serve",
+            commands={"RELOAD": reload},
         )
 
-    def handle_batch(requests):
+    def run_segment(segment, results):
         # Per-request styles are DATA ([B, S] blend weights), so a mixed
         # group of hard selections and blends runs as ONE device call.
-        results: list = [None] * len(requests)
         arrs, ws, metas = [], [], []
-        for i, fields in enumerate(requests):
+        for i, fields in segment:
             try:
                 if len(fields) > 3:
                     raise ValueError(
@@ -518,26 +536,44 @@ def serve_loop(
                 )
             except Exception as exc:  # noqa: BLE001 - answered per-request
                 results[i] = exc
-        if metas:
-            arr = np.stack(arrs)
-            wb = np.stack(ws)
-            pad = batch_size - len(arrs)
-            if pad:
-                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-                wb = np.concatenate([wb, np.repeat(wb[-1:], pad, axis=0)])
+        if not metas:
+            return
+        arr = np.stack(arrs)
+        wb = np.stack(ws)
+        pad = batch_size - len(arrs)
+        if pad:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            wb = np.concatenate([wb, np.repeat(wb[-1:], pad, axis=0)])
+        try:
+            out = np.asarray(
+                serve_fn(state["params"], place(arr), place(wb))
+            )[: len(metas)]
+        except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
+            for meta in metas:
+                results[meta[0]] = exc
+            return
+        for (i, in_path, explicit_out, tag), img in zip(metas, out):
             try:
-                out = np.asarray(
-                    serve_fn(params, place(arr), place(wb))
-                )[: len(metas)]
-            except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
-                for meta in metas:
-                    results[meta[0]] = exc
-                return results
-            for (i, in_path, explicit_out, tag), img in zip(metas, out):
+                results[i] = save_one(in_path, explicit_out, tag, img)
+            except Exception as exc:  # noqa: BLE001
+                results[i] = exc
+
+    def handle_batch(requests):
+        results: list = [None] * len(requests)
+        # A RELOAD splits the group: earlier requests serve with the old
+        # params, later ones with the new (fast.serve_loop's contract).
+        segment: list = []
+        for i, fields in enumerate(requests):
+            if fields[0] == "RELOAD" and len(fields) == 1:
+                run_segment(segment, results)
+                segment = []
                 try:
-                    results[i] = save_one(in_path, explicit_out, tag, img)
-                except Exception as exc:  # noqa: BLE001
+                    results[i] = reload()
+                except Exception as exc:  # noqa: BLE001 - keep old params
                     results[i] = exc
+                continue
+            segment.append((i, fields))
+        run_segment(segment, results)
         return results
 
     return daemon.run_batched_request_loop(

@@ -746,7 +746,9 @@ def process_video_dir(
     # clip axis (axis 1 of each [T, B, ...] chunk) shards and the carry
     # rides sharded [B, ...] (parallel/mesh.py:serving_placement; one
     # device = plain placement).
-    params, _, place_frames = mesh_lib.serving_placement(batch_size, params)
+    params, _, place_frames, _ = mesh_lib.serving_placement(
+        batch_size, params
+    )
 
     outputs = []
     t0 = time.time()
@@ -875,6 +877,12 @@ def serve_stream_loop(
       next frame of the current stream; reply ``OK <out_path>``.
     - ``RESET`` — end the stream; the next frame starts a fresh one
       (pairs with itself, like a clip's first frame). Replies ``OK RESET``.
+    - ``RELOAD`` — swap in the latest checkpoint without recompiling
+      (``OK RELOAD epoch=<n>``; failure answers ERR and keeps the old
+      params). Stream carries survive a reload — the recurrence
+      conditions on the previous stylized frame as data, whatever params
+      produced it. In batched mode RELOAD is a wave barrier like bare
+      ``RESET``.
     - blank line or EOF — shut down.
 
     Returns the number of OK responses — bare ``RESET`` in serial mode
@@ -938,7 +946,9 @@ def serve_stream_loop(
 
     # Multi-chip serving: cross-stream waves shard the lane axis
     # (parallel/mesh.py:serving_placement; one device = plain placement).
-    params, place, _ = mesh_lib.serving_placement(batch_size, params)
+    params, place, _, place_params = mesh_lib.serving_placement(
+        batch_size, params
+    )
 
     # Eager compile at the fixed shapes: READY means ready. The [1, ...]
     # single-frame program always compiles (lone requests use it); the
@@ -976,6 +986,21 @@ def serve_stream_loop(
         carries.clear()
         return "RESET"
 
+    # Served params live in a cell so RELOAD can swap in a newer checkpoint
+    # without recompiling (same pytree structure -> same jitted program).
+    # Stream carries survive a reload: the recurrence conditions on the
+    # previous stylized frame as data, whatever params produced it.
+    state = {"params": params}
+
+    def reload():
+        new, epoch = ckpt.load_latest_transformer(
+            MODEL_NAME, style_name,
+            transformer.init_params(jax.random.PRNGKey(0), in_channels=6),
+            models_path,
+        )
+        state["params"] = place_params(new)
+        return f"RELOAD epoch={epoch}"
+
     def default_name(in_path, sid):
         stem = os.path.splitext(os.path.basename(in_path))[0]
         tag = "" if sid == "0" else f"s{_re.sub(r'[^\w.-]', '_', sid)}_"
@@ -987,7 +1012,7 @@ def serve_stream_loop(
         )
 
     def run_single(in_path, explicit_out, sid, frame_dev, old_dev):
-        out_model, out_u8 = step(params, frame_dev, old_dev)
+        out_model, out_u8 = step(state["params"], frame_dev, old_dev)
         out_arr = np.asarray(out_u8)[0]  # forces completion of out_model too
         out_file = daemon.resolve_out_path(
             explicit_out, out_dir, default_name(in_path, sid)
@@ -1021,7 +1046,7 @@ def serve_stream_loop(
     if batch_size == 1:
         return daemon.run_request_loop(
             handle, stdin=stdin, stdout=stdout, name="video serve",
-            commands={"RESET": reset_all},
+            commands={"RESET": reset_all, "RELOAD": reload},
         )
 
     def handle_batch(requests):
@@ -1031,15 +1056,18 @@ def serve_stream_loop(
             # One wave: at most one request per stream (the carry is a
             # dependency within a stream) and at most batch_size lanes;
             # leftovers serialize into the next wave. A bare RESET touches
-            # EVERY stream, so it is a barrier: it rides a wave alone, and
-            # nothing after it may be pulled into an earlier wave.
+            # EVERY stream and a RELOAD swaps the params, so both are
+            # barriers: each rides a wave alone, and nothing after one may
+            # be pulled into an earlier wave.
             wave, rest, seen = [], [], set()
             barrier = False
             for i, fields in pending:
                 if barrier:
                     rest.append((i, fields))
                     continue
-                if fields[0] == "RESET" and len(fields) <= 2:
+                if (fields[0] == "RESET" and len(fields) <= 2) or (
+                    fields[0] == "RELOAD" and len(fields) == 1
+                ):
                     barrier = True
                     if wave:
                         rest.append((i, fields))
@@ -1058,6 +1086,9 @@ def serve_stream_loop(
             for i, fields in wave:
                 try:
                     in_path, explicit_out, sid = parse(fields)
+                    if in_path == "RELOAD" and len(fields) == 1:
+                        results[i] = reload()
+                        continue
                     if in_path == "RESET":
                         if len(fields) > 2:
                             carries.pop(sid, None)
@@ -1097,7 +1128,9 @@ def serve_stream_loop(
                     [olds, np.repeat(olds[-1:], padn, axis=0)]
                 )
             try:
-                out_model, out_u8 = step(params, place(frames), place(olds))
+                out_model, out_u8 = step(
+                    state["params"], place(frames), place(olds)
+                )
                 out_u8 = np.asarray(out_u8)[: len(lanes)]
                 out_model = np.asarray(out_model)[: len(lanes)]
             except Exception as exc:  # noqa: BLE001

@@ -120,15 +120,17 @@ def serving_placement(batch_size: int, params: Any):
     """The shared multi-chip placement policy of every batched serving path.
 
     Builds ``auto_mesh(batch_size)`` (which logs idle devices) and returns
-    ``(params, place, place_frames)``: ``place(tree)`` shards a
-    batch-leading pytree over the mesh's data axis, ``place_frames(tree)``
-    shards axis 1 of a ``[T, B, ...]`` chunk, and ``params`` come back
-    replicated. On a single device all three are plain ``jnp.asarray``
-    placement — the identical program to an unsharded run — so serving
-    code calls this unconditionally. Used by ``fast.process_dir`` /
-    ``fast.serve_loop`` / ``multistyle.serve_loop`` /
-    ``video.process_video_dir`` / ``video.serve_stream_loop`` /
-    ``gatys.serve_loop`` (docs/serving.md "Scaling out").
+    ``(params, place, place_frames, place_params)``: ``place(tree)``
+    shards a batch-leading pytree over the mesh's data axis,
+    ``place_frames(tree)`` shards axis 1 of a ``[T, B, ...]`` chunk,
+    ``params`` come back replicated, and ``place_params(tree)`` applies
+    that same replication to NEW params later (the daemons' ``RELOAD``).
+    On a single device all are plain ``jnp.asarray`` placement — the
+    identical program to an unsharded run — so serving code calls this
+    unconditionally. Used by ``fast.process_dir`` / ``fast.serve_loop`` /
+    ``multistyle.serve_loop`` / ``video.process_video_dir`` /
+    ``video.serve_stream_loop`` / ``gatys.serve_loop`` (docs/serving.md
+    "Scaling out").
     """
     import jax.numpy as jnp
 
@@ -137,10 +139,14 @@ def serving_placement(batch_size: int, params: Any):
         def asarray(tree: Any):
             return jax.tree_util.tree_map(jnp.asarray, tree)
 
-        return params, asarray, asarray
+        return params, asarray, asarray, asarray
+
+    def place_params(tree: Any):
+        return replicate(tree, mesh)
 
     return (
         replicate(params, mesh),
         lambda tree: shard_batch(tree, mesh),
         lambda tree: shard_frames(tree, mesh),
+        place_params,
     )

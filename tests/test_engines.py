@@ -472,6 +472,66 @@ def test_serve_loop_dynamic_batching(tmp_path, rng):
         )
 
 
+def test_fast_serve_reload_swaps_checkpoint(tmp_path, rng):
+    """RELOAD swaps the latest checkpoint into a running daemon without
+    recompiling; in batched mode it splits its group (before = old params,
+    after = new); a failed RELOAD answers ERR and keeps the old params."""
+    import io
+
+    from PIL import Image
+
+    from styletransfer_tpu import ckpt as ckpt_mod
+    from styletransfer_tpu.utils import images as img_utils
+
+    p_old = transformer.init_params(jax.random.PRNGKey(1))
+    p_new = transformer.init_params(jax.random.PRNGKey(2))
+    models = str(tmp_path / "models")
+    ckpt_mod.save_epoch(p_new, "fast_st", "tst", 0, models)
+
+    img = tmp_path / "in.png"
+    Image.fromarray(
+        rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    ).save(img)
+    o1, o2 = tmp_path / "o1.png", tmp_path / "o2.png"
+
+    stdin = io.StringIO(f"{img}\t{o1}\nRELOAD\n{img}\t{o2}\n\n")
+    stdout = io.StringIO()
+    fast.serve_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=p_old,
+        models_path=models, size=32, batch_size=4,
+        stdin=stdin, stdout=stdout,
+    )
+    lines = stdout.getvalue().splitlines()
+    assert lines[1].startswith("OK ") and lines[3].startswith("OK ")
+    assert lines[2] == "OK RELOAD epoch=0"
+
+    u8 = jnp.asarray(img_utils.load_image_uint8(str(img), size=32))
+    serve_fn = fast.make_serve_fn("f32", "reflect")
+    want_old = np.asarray(serve_fn(p_old, u8))[0].astype(np.int16)
+    want_new = np.asarray(serve_fn(p_new, u8))[0].astype(np.int16)
+
+    def against(path, want):  # jitted-batched vs eager: uint8 rounding +-1
+        return np.abs(np.asarray(Image.open(path), np.int16) - want).max()
+
+    assert np.abs(want_old - want_new).max() > 2  # the params really differ
+    assert against(o1, want_old) <= 1 and against(o1, want_new) > 2
+    assert against(o2, want_new) <= 1 and against(o2, want_old) > 2
+
+    # A RELOAD that finds no checkpoint answers ERR and keeps serving the
+    # old params (serial mode exercises the command path's containment).
+    stdin = io.StringIO(f"RELOAD\n{img}\t{o1}\n\n")
+    stdout = io.StringIO()
+    fast.serve_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=p_old,
+        models_path=str(tmp_path / "empty"), size=32, batch_size=1,
+        stdin=stdin, stdout=stdout,
+    )
+    lines = stdout.getvalue().splitlines()
+    assert lines[1].startswith("ERR RELOAD")
+    assert lines[2].startswith("OK ")
+    assert against(o1, want_old) <= 1  # still the old params
+
+
 def test_gatys_serve_loop_protocol(tmp_path, rng, vgg_params):
     """gatys serve daemon: per-request (content, style) pairs run through
     one compiled optimization; the response carries the final loss; bad
