@@ -88,6 +88,40 @@ def _reason(exc: Exception) -> str:
     return " ".join(str(exc).split()) or type(exc).__name__
 
 
+def segmented_handle_batch(run_segment: Callable, commands: Dict[str, Callable]):
+    """Build a ``handle_batch`` that splits groups on bare command lines.
+
+    ``run_segment(segment, results)`` serves one command-free run of
+    ``(request index, fields)`` pairs, writing each outcome (payload string
+    or Exception) into ``results`` at the request's index. ``commands``
+    maps bare single-field words (e.g. ``"RELOAD"``) to zero-arg handlers:
+    requests before the command are served first (one segment), then the
+    command runs, then the rest — so e.g. a mid-burst RELOAD serves
+    earlier requests with the old params and later ones with the new. A
+    command-handler exception answers ERR for that line only. Shared by
+    ``fast.serve_loop`` and ``multistyle.serve_loop`` so the two batched
+    protocols cannot drift.
+    """
+
+    def handle_batch(requests):
+        results: list = [None] * len(requests)
+        segment: list = []
+        for i, fields in enumerate(requests):
+            if len(fields) == 1 and fields[0] in commands:
+                run_segment(segment, results)
+                segment = []
+                try:
+                    results[i] = commands[fields[0]]()
+                except Exception as exc:  # noqa: BLE001 - answered per-line
+                    results[i] = exc
+                continue
+            segment.append((i, fields))
+        run_segment(segment, results)
+        return results
+
+    return handle_batch
+
+
 def run_batched_request_loop(
     handle_batch: Callable,
     max_batch: int,

@@ -712,24 +712,7 @@ def serve_loop(
             except Exception as exc:  # noqa: BLE001
                 results[i] = exc
 
-    def handle_batch(requests):
-        results: list = [None] * len(requests)
-        # A RELOAD splits the group: earlier requests serve with the old
-        # params, later ones with the new.
-        segment: list = []
-        for i, fields in enumerate(requests):
-            if fields[0] == "RELOAD" and len(fields) == 1:
-                run_segment(segment, results)
-                segment = []
-                try:
-                    results[i] = reload()
-                except Exception as exc:  # noqa: BLE001 - keep old params
-                    results[i] = exc
-                continue
-            segment.append((i, fields))
-        run_segment(segment, results)
-        return results
-
     return daemon.run_batched_request_loop(
-        handle_batch, batch_size, stdin=stdin, stdout=stdout, name="serve"
+        daemon.segmented_handle_batch(run_segment, {"RELOAD": reload}),
+        batch_size, stdin=stdin, stdout=stdout, name="serve",
     )

@@ -921,6 +921,14 @@ def serve_stream_loop(
 
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if max_streams < max(batch_size, 1):
+        # Fewer carry slots than lanes per wave would evict carries written
+        # in the SAME wave — every stream would silently restart each wave
+        # while answering OK, destroying temporal consistency.
+        raise ValueError(
+            f"max_streams must be >= batch_size (and >= 1), got "
+            f"{max_streams} with batch_size={batch_size}"
+        )
     if params is None:
         template = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
         params, _ = ckpt.load_latest_transformer(
@@ -969,8 +977,9 @@ def serve_stream_loop(
     from styletransfer_tpu.engines import daemon
 
     # stream id -> previous stylized frame [1,H,W,3] in normalized model
-    # space. Values may be device arrays (single-lane path) or host arrays
-    # (batched waves stack host-side); both convert losslessly.
+    # space, kept as DEVICE arrays: waves assemble their `olds` with a
+    # device-side concatenate, so the f32 carry never rides the host link
+    # (only the uint8 output is read back).
     carries: "OrderedDict" = OrderedDict()
 
     def touch(sid):
@@ -1036,6 +1045,13 @@ def serve_stream_loop(
     def handle(*fields):
         in_path, explicit_out, sid = parse(fields)
         if in_path == "RESET":
+            if len(fields) == 2:
+                # Reject rather than guess: batched and serial modes must
+                # not diverge on a malformed trailing-tab RESET.
+                raise ValueError(
+                    "RESET takes no OUTPUT field; use RESET or "
+                    "RESET\\t\\t<stream>"
+                )
             carries.pop(sid, None)
             return f"RESET {sid}" if len(fields) > 2 else "RESET"
         frame_dev = jnp.asarray(load_frame(in_path))
@@ -1065,9 +1081,7 @@ def serve_stream_loop(
                 if barrier:
                     rest.append((i, fields))
                     continue
-                if (fields[0] == "RESET" and len(fields) <= 2) or (
-                    fields[0] == "RELOAD" and len(fields) == 1
-                ):
+                if len(fields) == 1 and fields[0] in ("RESET", "RELOAD"):
                     barrier = True
                     if wave:
                         rest.append((i, fields))
@@ -1090,6 +1104,11 @@ def serve_stream_loop(
                         results[i] = reload()
                         continue
                     if in_path == "RESET":
+                        if len(fields) == 2:
+                            raise ValueError(
+                                "RESET takes no OUTPUT field; use RESET "
+                                "or RESET\\t\\t<stream>"
+                            )
                         if len(fields) > 2:
                             carries.pop(sid, None)
                             results[i] = f"RESET {sid}"
@@ -1098,41 +1117,43 @@ def serve_stream_loop(
                         continue
                     frame = load_frame(in_path)
                     old = carries.get(sid)
-                    old_np = (np.asarray(old) if old is not None
-                              else np.asarray(norm(jnp.asarray(frame))))
+                    old_dev = (jnp.asarray(old) if old is not None
+                               else norm(jnp.asarray(frame)))
                     lanes.append(
-                        (i, in_path, explicit_out, sid, frame[0], old_np[0])
+                        (i, in_path, explicit_out, sid, frame[0], old_dev)
                     )
                 except Exception as exc:  # noqa: BLE001 - answered per-request
                     results[i] = exc
             if not lanes:
                 continue
             if len(lanes) == 1:
-                i, in_path, explicit_out, sid, frame, old = lanes[0]
+                i, in_path, explicit_out, sid, frame, old_dev = lanes[0]
                 try:
                     results[i] = run_single(
                         in_path, explicit_out, sid,
-                        jnp.asarray(frame[None]), jnp.asarray(old[None]),
+                        jnp.asarray(frame[None]), old_dev,
                     )
                 except Exception as exc:  # noqa: BLE001
                     results[i] = exc
                 continue
             frames = np.stack([l[4] for l in lanes])
-            olds = np.stack([l[5] for l in lanes])
+            # Carries stay on device: concatenate there and read back only
+            # the uint8 output (the f32 model-space carry never rides the
+            # host link).
+            olds = jnp.concatenate([l[5] for l in lanes])
             padn = batch_size - len(lanes)
             if padn:
                 frames = np.concatenate(
                     [frames, np.repeat(frames[-1:], padn, axis=0)]
                 )
-                olds = np.concatenate(
-                    [olds, np.repeat(olds[-1:], padn, axis=0)]
+                olds = jnp.concatenate(
+                    [olds, jnp.repeat(olds[-1:], padn, axis=0)]
                 )
             try:
                 out_model, out_u8 = step(
                     state["params"], place(frames), place(olds)
                 )
                 out_u8 = np.asarray(out_u8)[: len(lanes)]
-                out_model = np.asarray(out_model)[: len(lanes)]
             except Exception as exc:  # noqa: BLE001
                 # ERR only THIS wave's lanes: earlier waves already saved
                 # outputs and advanced their carries — answering the whole
@@ -1142,15 +1163,13 @@ def serve_stream_loop(
                 for lane in lanes:
                     results[lane[0]] = exc
                 continue
-            for (i, in_path, explicit_out, sid, _, _), img, mdl in zip(
-                lanes, out_u8, out_model
-            ):
+            for k, (i, in_path, explicit_out, sid, _, _) in enumerate(lanes):
                 try:
                     out_file = daemon.resolve_out_path(
                         explicit_out, out_dir, default_name(in_path, sid)
                     )
-                    Image.fromarray(img).save(out_file)
-                    carries[sid] = mdl[None]
+                    Image.fromarray(out_u8[k]).save(out_file)
+                    carries[sid] = out_model[k:k + 1]
                     touch(sid)
                     results[i] = out_file
                 except Exception as exc:  # noqa: BLE001

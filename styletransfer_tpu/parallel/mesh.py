@@ -134,8 +134,11 @@ def serving_placement(batch_size: int, params: Any):
     """
     import jax.numpy as jnp
 
-    mesh = auto_mesh(batch_size)
-    if mesh.devices.size <= 1:
+    # A serial path (batch 1) never shards; skip auto_mesh so a deliberate
+    # single-lane daemon on a multi-chip host doesn't log its idle-devices
+    # warning (that hint is for batch sizes that COULD have sharded).
+    mesh = auto_mesh(batch_size) if batch_size > 1 else None
+    if mesh is None or mesh.devices.size <= 1:
         def asarray(tree: Any):
             return jax.tree_util.tree_map(jnp.asarray, tree)
 

@@ -631,6 +631,16 @@ def test_serve_loop_rejects_invalid_batch_size(tmp_path):
             )
     with pytest.raises(ValueError, match="batch"):
         gatys.serve_loop(steps=1, optimizer="adam", size=32, batch=0)
+    from styletransfer_tpu.engines import video as video_engine
+
+    vparams = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+    # Fewer carry slots than wave lanes would evict carries written in the
+    # same wave (streams silently restart while answering OK) — rejected.
+    with pytest.raises(ValueError, match="max_streams"):
+        video_engine.serve_stream_loop(
+            style_name="tst", params=vparams, size=32, batch_size=4,
+            max_streams=2,
+        )
 
 
 def test_batched_loop_survives_reader_death(tmp_path, rng):
