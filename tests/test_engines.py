@@ -773,6 +773,68 @@ def test_video_serve_multi_stream_batched_matches_scan(tmp_path, rng):
     )
 
 
+def test_video_serve_batched_stress_interleaved_streams(tmp_path, rng):
+    """12 requests across 3 ragged-length interleaved streams through a
+    batch-4 daemon: one response per request in order, and every stream's
+    outputs stay bit-identical to its scanned single-stream reference —
+    however the burst happens to group into waves."""
+    import io
+
+    from PIL import Image
+
+    from styletransfer_tpu.engines import video as video_engine
+    from styletransfer_tpu.utils import images as img_utils
+
+    params = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+    lengths = {"A": 5, "B": 3, "C": 4}
+    frames = {}
+    for sname, n in lengths.items():
+        for t in range(n):
+            arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+            p = tmp_path / f"{sname}{t}.png"
+            Image.fromarray(arr).save(p)
+            frames[(sname, t)] = p
+
+    # Round-robin interleave: A0 B0 C0 A1 B1 C1 ...
+    order = []
+    for t in range(max(lengths.values())):
+        for sname, n in lengths.items():
+            if t < n:
+                order.append((sname, t))
+    outs = {k: tmp_path / f"out_{k[0]}{k[1]}.png" for k in order}
+    stdin = io.StringIO(
+        "".join(f"{frames[k]}\t{outs[k]}\t{k[0]}\n" for k in order) + "\n"
+    )
+    stdout = io.StringIO()
+    n = video_engine.serve_stream_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=params,
+        size=32, batch_size=4, stdin=stdin, stdout=stdout,
+    )
+    assert n == len(order)
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY" and len(lines) == 1 + len(order)
+    # Responses in request order: the k-th line names the k-th output.
+    for line, k in zip(lines[1:], order):
+        assert line == f"OK {outs[k]}"
+
+    for sname, count in lengths.items():
+        u8 = jnp.asarray(np.stack([
+            img_utils.load_image_uint8(str(frames[(sname, t)]), size=32)[0]
+            for t in range(count)
+        ]))[:, None]
+        ref = video_engine._stylize_chunk(
+            params, u8, img_utils.maybe_normalize_on_device(u8[0])
+        )
+        want = np.asarray(img_utils.to_uint8_on_device(ref))[:, 0]
+        for t in range(count):
+            got = np.asarray(Image.open(outs[(sname, t)]))
+            # Different program shapes ([4,...] waves vs the scanned
+            # reference) can round differently at the uint8 quantize
+            # boundary; anything beyond one level would mean a stream
+            # got the wrong carry.
+            assert np.abs(got.astype(np.int16) - want[t]).max() <= 1
+
+
 def test_video_serve_batched_bare_reset_is_a_barrier(tmp_path, rng):
     """A bare RESET inside a batched burst must also reset streams whose
     frames preceded it in the SAME group: waves serialize around it, so
