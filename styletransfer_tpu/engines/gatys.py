@@ -576,6 +576,13 @@ def serve_loop(
     def parse_and_load(fields):
         """One request line -> (content_path, style_path, explicit_out,
         content [1,H,W,3], grams). Raises on malformed lines / bad files."""
+        if fields[0] in ("RELOAD", "RESET"):
+            # Answer intelligibly instead of "No such file: RELOAD".
+            raise ValueError(
+                f"the gatys daemon has no {fields[0]}: requests are "
+                "stateless and there is no checkpoint; start a new daemon "
+                "to change configuration"
+            )
         if not 2 <= len(fields) <= 3 or not fields[1]:
             raise ValueError("expected CONTENT\\tSTYLE[\\tOUTPUT]")
         content_path, style_path = fields[0], fields[1]
