@@ -37,6 +37,57 @@ def resolve_out_path(explicit_out: str, out_dir: str, default_name: str) -> str:
     return os.path.join(out_dir, default_name)
 
 
+class _ServeStats:
+    """Request-latency bookkeeping for the daemon loops.
+
+    Keeps a bounded reservoir of per-request wall times (ms) plus error
+    and batch-fill counts; logs a one-line summary every ``report_every``
+    requests and at shutdown, so a long-lived daemon's health is visible
+    from its stderr without any external metrics stack.
+    """
+
+    RESERVOIR = 4096
+
+    def __init__(self, name: str, logger, report_every: int = 100):
+        self.name, self.logger = name, logger
+        self.report_every = report_every
+        self.times_ms: list = []
+        self.n_ok = 0
+        self.n_err = 0
+        self.group_sizes: list = []
+
+    def record(self, n_ok: int, n_err: int, elapsed_s: float,
+               group_size: Optional[int] = None) -> None:
+        n = n_ok + n_err
+        if n == 0:
+            return
+        self.n_ok += n_ok
+        self.n_err += n_err
+        per_req_ms = elapsed_s * 1e3 / n
+        room = self.RESERVOIR - len(self.times_ms)
+        self.times_ms.extend([per_req_ms] * min(n, room))
+        if group_size is not None:
+            self.group_sizes.append(group_size)
+        before = (self.n_ok + self.n_err - n) // self.report_every
+        if (self.n_ok + self.n_err) // self.report_every != before:
+            self.report("stats")
+
+    def report(self, label: str) -> None:
+        if not self.times_ms:
+            return
+        ts = sorted(self.times_ms)
+        p = lambda q: ts[min(len(ts) - 1, int(q * len(ts)))]  # noqa: E731
+        fill = ""
+        if self.group_sizes:
+            fill = (f", mean batch fill {sum(self.group_sizes) / len(self.group_sizes):.1f}"
+                    f" over {len(self.group_sizes)} group(s)")
+        self.logger.info(
+            "%s %s: %d ok / %d err, per-request ms p50=%.1f p95=%.1f mean=%.1f%s",
+            self.name, label, self.n_ok, self.n_err,
+            p(0.50), p(0.95), sum(ts) / len(ts), fill,
+        )
+
+
 def run_request_loop(
     handle: Callable[..., str],
     stdin=None,
@@ -52,10 +103,17 @@ def run_request_loop(
     bare keyword lines (e.g. ``"RESET"``) to zero-arg handlers whose
     return value is echoed after ``OK`` without counting as a served
     request.
+
+    Logs per-request latency percentiles every 100 requests and at
+    shutdown (`_ServeStats`) — a warm daemon's health is visible from
+    stderr alone.
     """
+    import time
+
     logger = get_logger()
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
+    stats = _ServeStats(name, logger)
 
     n_served = 0
     for line in stdin:
@@ -71,14 +129,18 @@ def run_request_loop(
                 print(f"ERR {word}: {_reason(exc)}", file=stdout, flush=True)
             continue
         fields = [f.strip() for f in line.split("\t")]
+        t0 = time.perf_counter()
         try:
             result = handle(*fields)
             n_served += 1
             print(f"OK {result}", file=stdout, flush=True)
+            stats.record(1, 0, time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
             logger.warning("%s: failed on %s (%s)", name, fields[0], exc)
             print(f"ERR {fields[0]}: {_reason(exc)}", file=stdout, flush=True)
+            stats.record(0, 1, time.perf_counter() - t0)
     logger.info("%s: shutting down after %d request(s)", name, n_served)
+    stats.report("final")
     return n_served
 
 
@@ -148,10 +210,12 @@ def run_batched_request_loop(
     """
     import queue
     import threading
+    import time
 
     logger = get_logger()
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
+    stats = _ServeStats(name, logger)
 
     q: "queue.Queue" = queue.Queue()
     _EOF = object()
@@ -190,6 +254,7 @@ def run_batched_request_loop(
             pending.append(nxt)
 
         requests = [[f.strip() for f in line.split("\t")] for line in pending]
+        t0 = time.perf_counter()
         try:
             results = handle_batch(requests)
             if len(results) != len(requests):
@@ -204,14 +269,20 @@ def run_batched_request_loop(
         except Exception as exc:  # noqa: BLE001 - daemon must not die per-batch
             logger.warning("%s: batch of %d failed (%s)", name, len(requests), exc)
             results = [exc] * len(requests)
+        group_ok = group_err = 0
         for fields, result in zip(requests, results):
             if isinstance(result, Exception):
                 logger.warning("%s: failed on %s (%s)", name, fields[0], result)
                 print(f"ERR {fields[0]}: {_reason(result)}",
                       file=stdout, flush=False)
+                group_err += 1
             else:
                 n_served += 1
                 print(f"OK {result}", file=stdout, flush=False)
+                group_ok += 1
         stdout.flush()
+        stats.record(group_ok, group_err, time.perf_counter() - t0,
+                     group_size=len(requests))
     logger.info("%s: shutting down after %d request(s)", name, n_served)
+    stats.report("final")
     return n_served

@@ -472,6 +472,34 @@ def test_serve_loop_dynamic_batching(tmp_path, rng):
         )
 
 
+def test_daemon_stats_logged(tmp_path, rng, caplog):
+    """The daemon loops log per-request latency percentiles (and batch
+    fill, in batched mode) at shutdown — daemon health from stderr alone."""
+    import io
+    import logging
+
+    from PIL import Image
+
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    img = tmp_path / "in.png"
+    Image.fromarray(
+        rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    ).save(img)
+
+    with caplog.at_level(logging.INFO, logger="StyleTransfer"):
+        fast.serve_loop(
+            style_name="tst", out_dir=str(tmp_path / "results"),
+            params=params, size=32, batch_size=2,
+            stdin=io.StringIO(f"{img}\n{img}\nmissing.png\n\n"),
+            stdout=io.StringIO(),
+        )
+    msgs = [r.getMessage() for r in caplog.records]
+    final = [m for m in msgs if "per-request ms" in m]
+    assert final, msgs
+    assert any("batch fill" in m for m in final)
+    assert any("2 ok / 1 err" in m for m in final)
+
+
 def test_fast_serve_reload_swaps_checkpoint(tmp_path, rng):
     """RELOAD swaps the latest checkpoint into a running daemon without
     recompiling; in batched mode it splits its group (before = old params,
