@@ -416,12 +416,11 @@ def process_image(
     serve = aot.cached_compile(serve_fn, (params, batch_dev), "fast_serve")
     out_u8 = np.asarray(serve(params, batch_dev))[0]
 
-    from PIL import Image
 
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
     out_file = os.path.join(out_dir, f"converted_fast_st_{style_name}.png")
-    Image.fromarray(out_u8).save(out_file)
+    img_utils.save_uint8(out_u8, out_file)
     get_logger().info("Saved stylized image to %s", out_file)
     return out_file
 
@@ -454,7 +453,6 @@ def process_dir(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from PIL import Image
 
     logger = get_logger()
     in_dir = os.path.join(constants.PROJECT_ROOT_PATH, input_dir)
@@ -546,7 +544,7 @@ def process_dir(
                 path = os.path.join(
                     out_dir, f"converted_fast_st_{style_name}_{stem}.png"
                 )
-                Image.fromarray(img).save(path)
+                img_utils.save_uint8(img, path)
                 out_paths.append(path)
             n_done += len(good)
     dt = time.time() - t0
@@ -604,7 +602,6 @@ def serve_loop(
     The reference has no serving story beyond one image per process
     (network.py:798-832); this is the daemon form of that CLI contract.
     """
-    from PIL import Image
 
     from styletransfer_tpu.engines import daemon
 
@@ -660,7 +657,7 @@ def serve_loop(
         out_file = daemon.resolve_out_path(
             explicit_out, out_dir, f"converted_fast_st_{style_name}_{stem}.png"
         )
-        Image.fromarray(img).save(out_file)
+        img_utils.save_uint8(img, out_file)
         return out_file
 
     if batch_size == 1:

@@ -390,7 +390,6 @@ def serve_loop(
     import sys as _sys
 
     import numpy as np
-    from PIL import Image
 
     from styletransfer_tpu import ckpt, constants
     from styletransfer_tpu.engines import daemon
@@ -490,7 +489,7 @@ def serve_loop(
             explicit_out, out_dir,
             f"converted_fast_multi_st_{name}_{stem}_{tag}.png",
         )
-        Image.fromarray(img).save(out_file)
+        img_utils.save_uint8(img, out_file)
         return out_file
 
     if batch_size == 1:

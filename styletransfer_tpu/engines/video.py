@@ -914,7 +914,6 @@ def serve_stream_loop(
     import sys as _sys
     from collections import OrderedDict
 
-    from PIL import Image
 
     logger = get_logger()
     stdout = stdout if stdout is not None else _sys.stdout
@@ -1026,7 +1025,7 @@ def serve_stream_loop(
         out_file = daemon.resolve_out_path(
             explicit_out, out_dir, default_name(in_path, sid)
         )
-        Image.fromarray(out_arr).save(out_file)
+        img_utils.save_uint8(out_arr, out_file)
         # Advance the carry only once the request has fully succeeded — a
         # save failure answers ERR and must leave the stream state intact
         # (the documented "failed requests do NOT advance the carry").
@@ -1168,7 +1167,7 @@ def serve_stream_loop(
                     out_file = daemon.resolve_out_path(
                         explicit_out, out_dir, default_name(in_path, sid)
                     )
-                    Image.fromarray(out_u8[k]).save(out_file)
+                    img_utils.save_uint8(out_u8[k], out_file)
                     carries[sid] = out_model[k:k + 1]
                     touch(sid)
                     results[i] = out_file

@@ -158,7 +158,32 @@ def save_image(
     out_dir = os.path.dirname(path)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
-    Image.fromarray(arr).save(path)
+    save_uint8(arr, path)
+
+
+def save_uint8(arr: np.ndarray, path: str) -> None:
+    """Atomically save a uint8 [H,W,3] array as an image.
+
+    Write-then-rename in the target directory, so a reader polling for
+    outputs (or a daemon killed mid-request by its supervisor) never
+    observes a partially-written file at the final path. Every serving
+    save path uses this.
+    """
+    if arr.ndim == 4:
+        arr = arr[0]
+    base, ext = os.path.splitext(path)
+    tmp = f"{base}.tmp-{os.getpid()}{ext or '.png'}"
+    try:
+        Image.fromarray(arr).save(tmp)
+        os.replace(tmp, path)
+    except BaseException:
+        # Never leave the temp file behind (failed save OR an interrupt
+        # between write and rename).
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_image_uint8(image_path: str, size: int = constants.IMSIZE) -> np.ndarray:

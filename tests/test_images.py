@@ -43,6 +43,28 @@ def test_save_and_reload_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(reloaded, img01[0], atol=2 / 255.0)
 
 
+def test_save_uint8_atomic(tmp_path, rng):
+    """save_uint8 writes via temp-then-rename: a successful save leaves no
+    temp file, and a failed save leaves neither a temp NOR a partial file
+    at the target path (the daemons save on the request path; a supervisor
+    kill or polling reader must never see a half-written image)."""
+    arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    out = tmp_path / "a.png"
+    images.save_uint8(arr, str(out))
+    assert out.is_file()
+    assert list(tmp_path.glob("*.tmp-*")) == []
+
+    import pytest
+
+    with pytest.raises(Exception):
+        # Wrong dtype/shape for an image -> PIL raises before the rename.
+        images.save_uint8(
+            np.zeros((2, 2, 7), np.uint8), str(tmp_path / "bad.png")
+        )
+    assert not (tmp_path / "bad.png").exists()
+    assert list(tmp_path.glob("*.tmp-*")) == []
+
+
 def test_save_with_ground_truth_concat(tmp_path, rng):
     a = images.normalize(rng.random((1, 8, 8, 3)).astype(np.float32))
     b = images.normalize(rng.random((1, 8, 8, 3)).astype(np.float32))
