@@ -118,3 +118,29 @@ def test_dp_step_overhead_is_bounded():
     t1 = min(timed(1) for _ in range(3))
     t8 = min(timed(8) for _ in range(3))
     assert t8 < 2.5 * t1, f"8-dev step {t8:.3f}s vs 1-dev {t1:.3f}s"
+
+
+def test_serving_placement_serial_vs_sharded(caplog):
+    """serving_placement: batch 1 is plain placement with NO auto_mesh
+    idle-devices warning (a deliberately serial daemon on a multi-chip
+    host is not a misconfiguration); batch 4 on the 8-device mesh shards
+    the leading axis and replicates params."""
+    import logging
+
+    import numpy as np
+
+    from styletransfer_tpu.parallel import mesh as mesh_lib
+
+    tree = {"w": np.ones((3, 2), np.float32)}
+    with caplog.at_level(logging.WARNING, logger="StyleTransfer"):
+        p1, place1, _, pp1 = mesh_lib.serving_placement(1, tree)
+    assert not any("auto_mesh" in r.getMessage() for r in caplog.records)
+    x = place1(np.zeros((1, 4, 4, 3), np.float32))
+    assert x.shape == (1, 4, 4, 3)
+
+    p4, place4, _, pp4 = mesh_lib.serving_placement(4, tree)
+    b = place4(np.zeros((4, 4, 4, 3), np.float32))
+    # Sharded over 4 of the 8 virtual devices; params replicated.
+    assert len(b.sharding.device_set) == 4
+    assert len(pp4(tree)["w"].sharding.device_set) == 4
+    assert p4["w"].sharding.is_fully_replicated
