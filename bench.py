@@ -34,7 +34,38 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _probe_backend(timeout_s: int = 150) -> None:
+    """Fail FAST if the accelerator backend is unreachable.
+
+    A tunneled backend outage otherwise blocks ~30 minutes inside backend
+    init before raising UNAVAILABLE (observed 2026-08-18); a short
+    subprocess probe turns that into a clear, quick failure. Skip with
+    BENCH_SKIP_PROBE=1.
+    """
+    if os.environ.get("BENCH_SKIP_PROBE") == "1":
+        return
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            # Import the package first so STX_PLATFORM et al. apply — the
+            # probe must exercise the same backend selection as the bench.
+            [sys.executable, "-c", "import styletransfer_tpu, jax; jax.devices()"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"backend probe timed out after {timeout_s}s — accelerator "
+            "backend unreachable (tunnel outage?); aborting bench fast "
+            "instead of blocking in backend init")
+        sys.exit(3)
+    if r.returncode != 0:
+        log("backend probe failed:\n" + (r.stderr or r.stdout)[-2000:])
+        sys.exit(3)
+
+
 def main() -> None:
+    _probe_backend()
+
     from styletransfer_tpu.engines import gatys, video
     from styletransfer_tpu.models import transformer, vgg
 
