@@ -50,8 +50,13 @@ def _probe_backend(timeout_s: int = 150) -> None:
         r = subprocess.run(
             # Import the package first so STX_PLATFORM et al. apply — the
             # probe must exercise the same backend selection as the bench.
+            # cwd = this script's dir: the child must find the package the
+            # same way the parent does (script-dir sys.path entry), so a
+            # not-pip-installed run from elsewhere doesn't masquerade as a
+            # backend outage.
             [sys.executable, "-c", "import styletransfer_tpu, jax; jax.devices()"],
             capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
     except subprocess.TimeoutExpired:
         log(f"backend probe timed out after {timeout_s}s — accelerator "

@@ -24,6 +24,24 @@ from typing import Callable, Dict, Optional
 from styletransfer_tpu.utils.logging import get_logger
 
 
+def split_fields(line: str) -> list:
+    """TAB-split a request line, dropping TRAILING empty fields.
+
+    The serial loop matches bare command words on ``line.strip()`` (which
+    eats trailing tabs), so the batched loops must see ``"RESET\\t\\t"``
+    as the same bare ``["RESET"]`` — otherwise identical client bytes
+    would reset all streams in one mode and only stream 0 in the other.
+    Interior empty fields survive (``"img\\t\\tA"`` keeps its empty OUTPUT
+    slot), and dropping trailing empties never changes meaning: every
+    protocol gives trailing-optional fields the same default as absent
+    ones.
+    """
+    fields = [f.strip() for f in line.split("\t")]
+    while len(fields) > 1 and fields[-1] == "":
+        fields.pop()
+    return fields
+
+
 def resolve_out_path(explicit_out: str, out_dir: str, default_name: str) -> str:
     """Output path for one request: the explicit TAB field (resolved
     against the project root, parent dirs created) or ``out_dir`` +
@@ -49,12 +67,20 @@ class _ServeStats:
     RESERVOIR = 4096
 
     def __init__(self, name: str, logger, report_every: int = 100):
+        import random
+
         self.name, self.logger = name, logger
         self.report_every = report_every
         self.times_ms: list = []
         self.n_ok = 0
         self.n_err = 0
-        self.group_sizes: list = []
+        # Uniform reservoir sampling (Algorithm R) so the percentiles keep
+        # tracking the WHOLE history — a first-N buffer would freeze the
+        # reported latency at day-one values and hide later regressions.
+        self._rng = random.Random(0)
+        self._n_seen = 0
+        self._group_sum = 0
+        self._group_n = 0
 
     def record(self, n_ok: int, n_err: int, elapsed_s: float,
                group_size: Optional[int] = None) -> None:
@@ -64,10 +90,17 @@ class _ServeStats:
         self.n_ok += n_ok
         self.n_err += n_err
         per_req_ms = elapsed_s * 1e3 / n
-        room = self.RESERVOIR - len(self.times_ms)
-        self.times_ms.extend([per_req_ms] * min(n, room))
+        for _ in range(n):
+            self._n_seen += 1
+            if len(self.times_ms) < self.RESERVOIR:
+                self.times_ms.append(per_req_ms)
+            else:
+                j = self._rng.randrange(self._n_seen)
+                if j < self.RESERVOIR:
+                    self.times_ms[j] = per_req_ms
         if group_size is not None:
-            self.group_sizes.append(group_size)
+            self._group_sum += group_size
+            self._group_n += 1
         before = (self.n_ok + self.n_err - n) // self.report_every
         if (self.n_ok + self.n_err) // self.report_every != before:
             self.report("stats")
@@ -78,9 +111,9 @@ class _ServeStats:
         ts = sorted(self.times_ms)
         p = lambda q: ts[min(len(ts) - 1, int(q * len(ts)))]  # noqa: E731
         fill = ""
-        if self.group_sizes:
-            fill = (f", mean batch fill {sum(self.group_sizes) / len(self.group_sizes):.1f}"
-                    f" over {len(self.group_sizes)} group(s)")
+        if self._group_n:
+            fill = (f", mean batch fill {self._group_sum / self._group_n:.1f}"
+                    f" over {self._group_n} group(s)")
         self.logger.info(
             "%s %s: %d ok / %d err, per-request ms p50=%.1f p95=%.1f mean=%.1f%s",
             self.name, label, self.n_ok, self.n_err,
@@ -128,7 +161,7 @@ def run_request_loop(
                 logger.warning("%s: command %s failed (%s)", name, word, exc)
                 print(f"ERR {word}: {_reason(exc)}", file=stdout, flush=True)
             continue
-        fields = [f.strip() for f in line.split("\t")]
+        fields = split_fields(line)
         t0 = time.perf_counter()
         try:
             result = handle(*fields)
@@ -253,7 +286,7 @@ def run_batched_request_loop(
                 break
             pending.append(nxt)
 
-        requests = [[f.strip() for f in line.split("\t")] for line in pending]
+        requests = [split_fields(line) for line in pending]
         t0 = time.perf_counter()
         try:
             results = handle_batch(requests)

@@ -490,9 +490,7 @@ def process_dir(
 
     # Multi-chip serving: the batch is pure data parallelism
     # (parallel/mesh.py:serving_placement; one device = plain placement).
-    params, place, _, place_params = mesh_lib.serving_placement(
-        batch_size, params
-    )
+    params, place, _, _ = mesh_lib.serving_placement(batch_size, params)
     out_paths = []
     t0 = time.time()
     n_done = 0

@@ -272,9 +272,9 @@ def _run_serve_batched(
     """
     from styletransfer_tpu.ops.lbfgs import lbfgs_torch
 
-    if optimizer not in ("adam", "lbfgs", "lbfgs-zoom"):
+    if optimizer not in _OPTIMIZERS:
         raise ValueError(
-            f"unknown optimizer {optimizer!r}; use 'lbfgs', 'lbfgs-zoom' or 'adam'"
+            f"unknown optimizer {optimizer!r}; use one of {', '.join(_OPTIMIZERS)}"
         )
     shape = contents.shape
     sub_shape = (1,) + shape[1:]
@@ -340,6 +340,49 @@ def _run_serve_batched(
     return x.reshape(shape).astype(contents.dtype), losses
 
 
+_OPTIMIZERS = ("adam", "lbfgs", "lbfgs-zoom")
+
+
+def _run_optimizer(
+    optimizer: str,
+    vgg_params,
+    content_image,
+    style_grams,
+    steps: int,
+    style_weight: float,
+    content_weight: float,
+    learning_rate: float = 0.05,
+    compute_dtype=None,
+    history_size: int = 100,
+    history_math: str = "compact",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The one optimizer-name -> jitted-program dispatch, shared by
+    ``train_gatys`` and the serving daemon (three hand-synced copies of
+    this mapping is how argument drift happens)."""
+    if optimizer == "adam":
+        return _run_adam(
+            vgg_params, content_image, style_grams, steps,
+            float(style_weight), float(content_weight), float(learning_rate),
+            compute_dtype=compute_dtype,
+        )
+    if optimizer == "lbfgs":
+        return _run_lbfgs_torch(
+            vgg_params, content_image, style_grams, steps,
+            float(style_weight), float(content_weight),
+            compute_dtype=compute_dtype, history_size=history_size,
+            history_math=history_math,
+        )
+    if optimizer == "lbfgs-zoom":
+        return _run_lbfgs(
+            vgg_params, content_image, style_grams, steps,
+            float(style_weight), float(content_weight),
+            compute_dtype=compute_dtype,
+        )
+    raise ValueError(
+        f"unknown optimizer {optimizer!r}; use one of {', '.join(_OPTIMIZERS)}"
+    )
+
+
 def train_gatys(
     vgg_params,
     style_image: jnp.ndarray,
@@ -386,29 +429,12 @@ def train_gatys(
     # at these weights and the tower is the entire per-step cost.
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
 
-    if optimizer == "adam":
-        pixels, losses = _run_adam(
-            vgg_params, content_image, style_grams, steps,
-            float(style_weight), float(content_weight), float(learning_rate),
-            compute_dtype=compute_dtype,
-        )
-    elif optimizer == "lbfgs":
-        pixels, losses = _run_lbfgs_torch(
-            vgg_params, content_image, style_grams, steps,
-            float(style_weight), float(content_weight),
-            compute_dtype=compute_dtype, history_size=history_size,
-            history_math=history_math,
-        )
-    elif optimizer == "lbfgs-zoom":
-        pixels, losses = _run_lbfgs(
-            vgg_params, content_image, style_grams, steps,
-            float(style_weight), float(content_weight),
-            compute_dtype=compute_dtype,
-        )
-    else:
-        raise ValueError(
-            f"unknown optimizer {optimizer!r}; use 'lbfgs', 'lbfgs-zoom' or 'adam'"
-        )
+    pixels, losses = _run_optimizer(
+        optimizer, vgg_params, content_image, style_grams, steps,
+        style_weight, content_weight, learning_rate,
+        compute_dtype=compute_dtype, history_size=history_size,
+        history_math=history_math,
+    )
 
     losses = jax.device_get(losses)
     if log_every:
@@ -507,26 +533,10 @@ def serve_loop(
         return grams
 
     def optimize(content, grams):
-        if optimizer == "adam":
-            return _run_adam(
-                vgg_params, content, grams, steps,
-                float(style_weight), float(content_weight),
-                float(learning_rate), compute_dtype=compute_dtype,
-            )
-        if optimizer == "lbfgs":
-            return _run_lbfgs_torch(
-                vgg_params, content, grams, steps,
-                float(style_weight), float(content_weight),
-                compute_dtype=compute_dtype, history_math=history_math,
-            )
-        if optimizer == "lbfgs-zoom":
-            return _run_lbfgs(
-                vgg_params, content, grams, steps,
-                float(style_weight), float(content_weight),
-                compute_dtype=compute_dtype,
-            )
-        raise ValueError(
-            f"unknown optimizer {optimizer!r}; use 'lbfgs', 'lbfgs-zoom' or 'adam'"
+        return _run_optimizer(
+            optimizer, vgg_params, content, grams, steps,
+            style_weight, content_weight, learning_rate,
+            compute_dtype=compute_dtype, history_math=history_math,
         )
 
     # Multi-chip serving: the group's lanes are fully independent, so the

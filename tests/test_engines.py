@@ -472,6 +472,21 @@ def test_serve_loop_dynamic_batching(tmp_path, rng):
         )
 
 
+def test_daemon_split_fields_trailing_tabs():
+    """Trailing empty fields are dropped, so 'RESET\\t\\t' is bare RESET in
+    batched mode exactly as the serial loop's line.strip() command match
+    sees it — identical client bytes must not diverge between modes."""
+    from styletransfer_tpu.engines import daemon
+
+    assert daemon.split_fields("RESET\t\t") == ["RESET"]
+    assert daemon.split_fields("RESET\t") == ["RESET"]
+    assert daemon.split_fields("RELOAD\t") == ["RELOAD"]
+    assert daemon.split_fields("img\t\tA") == ["img", "", "A"]
+    assert daemon.split_fields("img\tout\t") == ["img", "out"]
+    assert daemon.split_fields("img\t") == ["img"]
+    assert daemon.split_fields("a\tb") == ["a", "b"]
+
+
 def test_daemon_stats_logged(tmp_path, rng, caplog):
     """The daemon loops log per-request latency percentiles (and batch
     fill, in batched mode) at shutdown — daemon health from stderr alone."""
