@@ -487,6 +487,38 @@ def test_daemon_split_fields_trailing_tabs():
     assert daemon.split_fields("a\tb") == ["a", "b"]
 
 
+def test_segmented_handle_batch_unit():
+    """segmented_handle_batch: bare command lines split the group into
+    ordered segments; a failing command answers ERR for its line only and
+    later segments still run."""
+    from styletransfer_tpu.engines import daemon
+
+    calls = []
+
+    def run_segment(segment, results):
+        if segment:
+            calls.append([i for i, _ in segment])
+        for i, fields in segment:
+            results[i] = f"done-{fields[0]}"
+
+    state = {"n": 0}
+
+    def cmd():
+        state["n"] += 1
+        if state["n"] == 2:
+            raise RuntimeError("boom")
+        return f"CMD {state['n']}"
+
+    hb = daemon.segmented_handle_batch(run_segment, {"CMD": cmd})
+    results = hb([["a"], ["CMD"], ["b"], ["CMD"], ["c"]])
+    assert results[0] == "done-a"
+    assert results[1] == "CMD 1"
+    assert results[2] == "done-b"
+    assert isinstance(results[3], RuntimeError)
+    assert results[4] == "done-c"
+    assert calls == [[0], [2], [4]]  # segments in order, split at commands
+
+
 def test_daemon_stats_logged(tmp_path, rng, caplog):
     """The daemon loops log per-request latency percentiles (and batch
     fill, in batched mode) at shutdown — daemon health from stderr alone."""
