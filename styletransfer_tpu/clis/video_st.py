@@ -156,12 +156,12 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, fps, precision,
 @click.option("--pad-mode", default="reflect", type=click.Choice(["reflect", "zeros"]),
               help="Conv padding. Use 'zeros' for checkpoints trained by the "
                    "ORIGINAL reference code")
-@click.option("-b", "--batch-size", default=1,
+@click.option("-b", "--batch-size", default=1, type=click.IntRange(min=1),
               help="Cross-STREAM dynamic batching: pending requests for "
                    "different streams run as one device call (same-stream "
                    "requests serialize — the carry is a dependency). 1 = "
                    "strictly serial.")
-@click.option("--max-streams", default=64,
+@click.option("--max-streams", default=64, type=click.IntRange(min=1),
               help="LRU cap on concurrently-held stream carries")
 def serve(style_name, out_dir, size, precision, pad_mode, batch_size,
           max_streams):

@@ -111,12 +111,17 @@ class _ServeStats:
         ts = sorted(self.times_ms)
         p = lambda q: ts[min(len(ts) - 1, int(q * len(ts)))]  # noqa: E731
         fill = ""
+        # Batched mode records group-mean latencies (elapsed/n per wave),
+        # so say so — the percentiles understate individual-request tails
+        # in mixed lone/batched workloads.
+        metric = "per-request ms"
         if self._group_n:
+            metric = "group-amortized per-request ms"
             fill = (f", mean batch fill {self._group_sum / self._group_n:.1f}"
                     f" over {self._group_n} group(s)")
         self.logger.info(
-            "%s %s: %d ok / %d err, per-request ms p50=%.1f p95=%.1f mean=%.1f%s",
-            self.name, label, self.n_ok, self.n_err,
+            "%s %s: %d ok / %d err, %s p50=%.1f p95=%.1f mean=%.1f%s",
+            self.name, label, self.n_ok, self.n_err, metric,
             p(0.50), p(0.95), sum(ts) / len(ts), fill,
         )
 

@@ -251,6 +251,24 @@ def static_train(
             MODEL_NAME, style_name, models_path,
             extra_keys=("batch_in_epoch",),
         )
+        # Collective resume check: if the step-state files disagree across
+        # processes (missing/stale on some hosts), per-process resume would
+        # put them at different loop positions and desync the mesh — fall
+        # back to epoch-level resume EVERYWHERE together.
+        if not distributed.positions_agree(
+            0 if state is None else 1,
+            0 if state is None else int(state["epoch"]),
+            0 if state is None else int(state["iteration"]),
+            0 if state is None else int(state["extra"].get("batch_in_epoch", 0)),
+        ):
+            logger.warning(
+                "Step-state resume positions differ across processes "
+                "(this process: %s); ALL processes fall back to "
+                "epoch-level resume.",
+                "none" if state is None else
+                f"epoch={state['epoch']} iter={state['iteration']}",
+            )
+            state = None
         if state is not None:
             params = mesh_lib.replicate(state["params"], mesh)
             opt_state = mesh_lib.replicate(state["opt_state"], mesh)
@@ -660,7 +678,15 @@ def serve_loop(
 
     if batch_size == 1:
 
-        def handle(in_path, explicit_out=""):
+        def handle(*fields):
+            # Same field-count contract (and ERR text) as the batched
+            # run_segment below — serial mode must not leak a TypeError.
+            if len(fields) > 2:
+                raise ValueError(
+                    f"expected INPUT[\\tOUTPUT], got {len(fields)} fields"
+                )
+            in_path = fields[0]
+            explicit_out = fields[1] if len(fields) > 1 else ""
             input_u8 = img_utils.load_image_uint8(
                 os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
             )

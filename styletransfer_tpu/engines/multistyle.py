@@ -227,11 +227,29 @@ def train(
     start_epoch = 0
     resume_batches = 0
     if step_checkpoint_every:
+        from styletransfer_tpu.parallel import distributed
+
         state = ckpt.load_step_state(
             jax.device_get(params), jax.device_get(opt_state),
             MODEL_NAME, style_name, models_path,
             extra_keys=("batch_in_epoch",),
         )
+        # Collective resume check (see fast.static_train): mismatched
+        # step states across hosts must degrade everyone together.
+        if not distributed.positions_agree(
+            0 if state is None else 1,
+            0 if state is None else int(state["epoch"]),
+            0 if state is None else int(state["iteration"]),
+            0 if state is None else int(state["extra"].get("batch_in_epoch", 0)),
+        ):
+            logger.warning(
+                "Step-state resume positions differ across processes "
+                "(this process: %s); ALL processes fall back to "
+                "epoch-level resume.",
+                "none" if state is None else
+                f"epoch={state['epoch']} iter={state['iteration']}",
+            )
+            state = None
         if state is not None:
             params = mesh_lib.replicate(state["params"], mesh)
             opt_state = mesh_lib.replicate(state["opt_state"], mesh)
@@ -494,8 +512,17 @@ def serve_loop(
 
     if batch_size == 1:
 
-        def handle(in_path, explicit_out="", style_spec="0"):
-            w, tag = parse_style(style_spec)
+        def handle(*fields):
+            # Same field-count contract (and ERR text) as the batched
+            # run_segment below — serial mode must not leak a TypeError.
+            if len(fields) > 3:
+                raise ValueError(
+                    "expected INPUT[\\tOUTPUT[\\tSTYLE]], got "
+                    f"{len(fields)} fields"
+                )
+            in_path = fields[0]
+            explicit_out = fields[1] if len(fields) > 1 else ""
+            w, tag = parse_style(fields[2] if len(fields) > 2 else "0")
             input_u8 = img_utils.load_image_uint8(
                 os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
             )

@@ -36,6 +36,7 @@ from styletransfer_tpu.data import video as video_data
 from styletransfer_tpu.engines.fast import ADAM_LR, make_optimizer
 from styletransfer_tpu.models import transformer, vgg
 from styletransfer_tpu.ops import losses
+from styletransfer_tpu.parallel import distributed as distributed_lib
 from styletransfer_tpu.parallel import mesh as mesh_lib
 from styletransfer_tpu.utils import images as img_utils
 from styletransfer_tpu.utils import tb
@@ -318,6 +319,27 @@ def video_train(
             extra_keys=("has_external_weights", "batch_in_epoch", "chunk_in_batch"),
             array_keys=("old_content", "old_stylized"),
         )
+        # The resume POSITION must be agreed before anything uses it: a
+        # host whose main step-state file is missing/stale would otherwise
+        # enter the train loop at a different (epoch, iteration, batch,
+        # chunk) than its peers and desync the mesh before the carry
+        # sidecar check below ever runs. Mismatch -> everyone falls back
+        # to epoch-level resume together.
+        if not distributed_lib.positions_agree(
+            0 if state is None else 1,
+            0 if state is None else int(state["epoch"]),
+            0 if state is None else int(state["iteration"]),
+            0 if state is None else int(state["extra"].get("batch_in_epoch", 0)),
+            0 if state is None else int(state["extra"].get("chunk_in_batch", 0)),
+        ):
+            logger.warning(
+                "Step-state resume positions differ across processes "
+                "(this process: %s); ALL processes fall back to "
+                "epoch-level resume.",
+                "none" if state is None else
+                f"epoch={state['epoch']} iter={state['iteration']}",
+            )
+            state = None
         if state is not None:
             params = mesh_lib.replicate(state["params"], mesh)
             opt_state = mesh_lib.replicate(state["opt_state"], mesh)

@@ -136,3 +136,24 @@ def local_batch_size(global_batch_size: int) -> int:
             f"the process count {count}"
         )
     return global_batch_size // count
+
+
+def positions_agree(*values: int) -> bool:
+    """True iff every process computed the same integer tuple.
+
+    Resume decisions that set a process's position in the train loop
+    (epoch, iteration, batch/chunk offsets) MUST be identical everywhere:
+    a host whose step-state file is missing or stale would otherwise start
+    at a different loop position than its peers — mismatched collective
+    participation and a distributed hang. One tiny all-gather at startup
+    buys the check; trivially True single-process.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return True
+    from jax.experimental import multihost_utils
+
+    local = np.asarray(values, dtype=np.int64)
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    return bool((gathered == gathered[0]).all())

@@ -21,6 +21,16 @@ override with ``STX_AOT_CACHE_DIR``). Entries are device-kind +
 jax-version scoped, so a directory shared across heterogeneous hosts never
 loads a mismatched binary.
 
+**Trust assumption:** entries are pickles, and unpickling executes code —
+the cache directory must be writable only by principals you'd let run
+arbitrary code as you (it is created ``0o700``; don't point
+``STX_AOT_CACHE_DIR`` at a world- or group-writable path, and don't share
+it across trust domains). Each entry carries a SHA-256 digest that is
+verified before unpickling; that rejects corruption and casual tampering,
+but it is NOT a MAC — there is no secret, so anyone who can write the
+directory can forge a valid entry. Filesystem permissions are the
+security boundary.
+
 **Default OFF (opt in with ``STX_AOT_CACHE=1``) — measured rejection on
 the tunneled ``axon`` backend (2026-08-17):** serialize/deserialize round-
 trips work, but the *first execution* of a deserialized executable blocks
@@ -47,6 +57,24 @@ _DEFAULT_DIR = os.path.join(
 )
 
 _LOC_RE = re.compile(r"loc\(.*?\)|#loc\d*(?: = .*)?$", re.MULTILINE)
+
+# Entry framing: magic + sha256(body) + pickle body. The digest is checked
+# BEFORE pickle.load so a truncated/corrupted/foreign file never reaches the
+# unpickler (see the module docstring's trust assumption).
+_MAGIC = b"STXAOT1\n"
+
+
+def _frame(body: bytes) -> bytes:
+    return _MAGIC + hashlib.sha256(body).digest() + body
+
+
+def _unframe(blob: bytes) -> bytes:
+    if not blob.startswith(_MAGIC):
+        raise ValueError("not an STXAOT1 cache entry")
+    digest, body = blob[len(_MAGIC):len(_MAGIC) + 32], blob[len(_MAGIC) + 32:]
+    if hashlib.sha256(body).digest() != digest:
+        raise ValueError("cache entry digest mismatch (corrupt or tampered)")
+    return body
 
 
 def _cache_dir() -> str:
@@ -105,7 +133,8 @@ def cached_compile(
             )
 
             with open(path, "rb") as f:
-                payload, in_tree, out_tree, n_devices = pickle.load(f)
+                body = _unframe(f.read())
+            payload, in_tree, out_tree, n_devices = pickle.loads(body)
             # Bind to the same number of devices the executable was compiled
             # for (deserialize_and_load defaults to ALL local devices, which
             # mis-loads single-device programs on multi-device hosts).
@@ -133,10 +162,10 @@ def cached_compile(
             n_devices = len(compiled._executable.xla_executable.local_devices())
         except Exception:  # noqa: BLE001 - conservative fallback
             n_devices = 1
-        os.makedirs(_cache_dir(), exist_ok=True)
+        os.makedirs(_cache_dir(), mode=0o700, exist_ok=True)
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
-            pickle.dump((payload, in_tree, out_tree, n_devices), f)
+            f.write(_frame(pickle.dumps((payload, in_tree, out_tree, n_devices))))
         os.replace(tmp, path)
         logger.info("AOT cache: saved %s executable to %s", name, path)
     except Exception as exc:  # noqa: BLE001 - serialization unsupported

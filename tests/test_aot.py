@@ -75,3 +75,40 @@ def test_key_is_stable_across_source_locations(aot_env):
     k1 = aot._key("n", jax.jit(f1).lower(a).as_text())
     k2 = aot._key("n", jax.jit(f2).lower(a).as_text())
     assert k1 == k2
+
+
+def test_tampered_entry_is_rejected_before_unpickling(aot_env, monkeypatch):
+    """A byte-flipped entry fails the digest check — the unpickler (which
+    executes code) must never see an entry whose digest doesn't match."""
+    import pickle
+
+    a = jnp.ones((4, 8), jnp.float32)
+    b = jnp.ones((8, 4), jnp.float32)
+    aot.cached_compile(_fn, (a, b), "t")
+    (entry,) = [f for f in os.listdir(aot_env) if f.endswith(".aotx")]
+    path = os.path.join(aot_env, entry)
+    blob = bytearray(open(path, "rb").read())
+    blob[-1] ^= 0xFF  # flip a byte INSIDE the pickle body
+    open(path, "wb").write(bytes(blob))
+
+    loads_called = []
+    real_loads = pickle.loads
+    monkeypatch.setattr(
+        pickle, "loads", lambda *a_, **k_: loads_called.append(1) or real_loads(*a_, **k_)
+    )
+    fn = aot.cached_compile(_fn, (a, b), "t")  # falls back to fresh compile
+    assert not loads_called, "tampered payload reached pickle.loads"
+    np.testing.assert_allclose(
+        np.asarray(fn(a, b)), np.asarray(jax.jit(_fn)(a, b)), rtol=1e-6
+    )
+
+
+def test_unframe_round_trip_and_rejection():
+    body = b"payload-bytes"
+    assert aot._unframe(aot._frame(body)) == body
+    with pytest.raises(ValueError):
+        aot._unframe(b"WRONGMAGIC" + body)
+    framed = bytearray(aot._frame(body))
+    framed[-1] ^= 0x01
+    with pytest.raises(ValueError):
+        aot._unframe(bytes(framed))

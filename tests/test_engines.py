@@ -777,7 +777,10 @@ def test_serve_loop_malformed_request_answers_err(tmp_path, rng):
     assert n == 1
     lines = stdout.getvalue().splitlines()
     assert lines[0] == "READY"
+    # Serial mode must answer the SAME clean protocol error as batched
+    # mode — not a leaked Python TypeError from handle(*fields).
     assert lines[1].startswith("ERR ")
+    assert "expected INPUT[\\tOUTPUT], got 4 fields" in lines[1]
     assert lines[2].startswith("OK ")
 
 

@@ -194,6 +194,7 @@ def test_multistyle_serve_loop_protocol(tmp_path, rng):
         f"{img}\t{tmp_path}/blend.png\t1,1,2\n"  # blend, explicit output
         f"{img}\t\t7\n"                    # out-of-range index -> ERR
         f"{img}\t\t0.5,0.5\n"              # wrong weight count -> ERR
+        f"{img}\ta\tb\tc\n"                # too many fields -> clean ERR
         "\n"
     )
     stdout = io.StringIO()
@@ -204,9 +205,14 @@ def test_multistyle_serve_loop_protocol(tmp_path, rng):
     assert n == 3
     lines = stdout.getvalue().splitlines()
     assert lines[0] == "READY"
-    assert [l.split()[0] for l in lines[1:]] == ["OK", "OK", "OK", "ERR", "ERR"]
+    assert [l.split()[0] for l in lines[1:]] == [
+        "OK", "OK", "OK", "ERR", "ERR", "ERR"
+    ]
     assert "out of range" in lines[4]
     assert "blend weights" in lines[5]
+    # Serial mode answers the SAME clean field-count error as batched mode,
+    # not a leaked TypeError from handle(*fields).
+    assert "expected INPUT[\\tOUTPUT[\\tSTYLE]], got 4 fields" in lines[6]
 
     # Daemon's hard-index output == direct apply through the same uint8 path
     # (the daemon evaluates every request as a blend; a one-hot blend equals

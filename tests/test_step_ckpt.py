@@ -338,3 +338,45 @@ def test_step_state_extra_key_drift_restores_with_defaults(tmp_path):
     )
     assert int(state["epoch"]) == 4
     assert int(state["extra"]["has_external_weights"]) == 0
+
+
+def test_resume_position_disagreement_degrades_collectively(tmp_path, caplog):
+    """If the all-gathered resume positions differ across processes (e.g. a
+    host whose step-state file is missing or stale), ALL processes must fall
+    back to epoch-level resume together — a per-process decision would put
+    hosts at different loop positions and desync the mesh. Simulated here by
+    forcing positions_agree() -> False on a single process."""
+    import logging
+
+    from styletransfer_tpu.parallel import distributed
+
+    vgg_params = vgg.init_params(jax.random.PRNGKey(0))
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 0.5
+    mp = str(tmp_path / "models")
+    mk = lambda: dict(  # noqa: E731
+        train_loader=coco_data.DataLoader(coco_data.SyntheticDataset(16, SIZE), 8),
+        test_loader=coco_data.DataLoader(coco_data.SyntheticDataset(8, SIZE), 8),
+    )
+    fast.static_train(
+        style, style_name="dis", epochs=1, batch_size=8,
+        vgg_params=vgg_params, models_path=mp,
+        runs_dir=str(tmp_path / "runs"), max_steps_per_epoch=2,
+        step_checkpoint_every=1, **mk(),
+    )
+    orig = distributed.positions_agree
+    distributed.positions_agree = lambda *values: False
+    try:
+        with caplog.at_level(logging.WARNING, logger="StyleTransfer"):
+            # Resumes WITHOUT using the (disagreed) step state: trains epoch 0
+            # afresh from the epoch checkpoint path instead of skipping ahead.
+            fast.static_train(
+                style, style_name="dis", epochs=1, batch_size=8,
+                vgg_params=vgg_params, models_path=mp,
+                runs_dir=str(tmp_path / "runs2"), max_steps_per_epoch=2,
+                step_checkpoint_every=1, **mk(),
+            )
+    finally:
+        distributed.positions_agree = orig
+    assert any(
+        "fall back to epoch-level resume" in r.getMessage() for r in caplog.records
+    )
