@@ -153,3 +153,83 @@ def test_process_video_dir_skips_unreadable(tmp_path, monkeypatch):
     )
     assert [os.path.basename(p) for p in outs] == ["video_st_sty_good.gif"]
     assert len(list(imageio.get_reader(outs[0]))) == 4
+
+
+class _FakeMp4Writer:
+    """Records the mp4 writer lifecycle a real imageio-ffmpeg writer has."""
+
+    def __init__(self, path, **kwargs):
+        self.path, self.kwargs = path, kwargs
+        self.frames = []
+        self.closed = False
+
+    def append_data(self, frame):
+        assert not self.closed
+        self.frames.append(np.asarray(frame))
+
+    def close(self):
+        self.closed = True
+
+
+def test_process_video_mp4_branch(tmp_path, clip, monkeypatch):
+    """Pin the mp4 mux branch (reference contract network.py:1139-1158)
+    without a codec: a fake mp4-capable ``imageio.get_writer`` must receive
+    the ``video_st_{style}.mp4`` path, the fps pass-through, exactly the
+    real frame count (no tail padding), and a close().
+
+    In this zero-egress image the real branch never runs (no ffmpeg/pyav);
+    installing ``imageio-ffmpeg`` is the one-liner that lights it up.
+    """
+    from styletransfer_tpu import constants
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    params = transformer.init_video_params(jax.random.PRNGKey(0))
+    models = str(tmp_path / "models")
+    ckpt.save_epoch(params, "video_st", "sty", 0, models)
+
+    made = []
+
+    def fake_get_writer(path, **kwargs):
+        if not path.endswith(".mp4"):
+            raise AssertionError(f"mp4 branch must be tried first, got {path}")
+        w = _FakeMp4Writer(path, **kwargs)
+        made.append(w)
+        return w
+
+    monkeypatch.setattr(imageio, "get_writer", fake_get_writer)
+    out = video.process_video(
+        clip, style_name="sty", out_dir=str(tmp_path / "results"),
+        models_path=models, chunk_size=4, fps=30.0,
+    )
+    (w,) = made
+    assert out == w.path and out.endswith("video_st_sty.mp4")
+    assert w.kwargs == {"fps": 30.0}
+    assert len(w.frames) == 7  # tail padding of the 2nd chunk not written
+    assert all(f.shape == w.frames[0].shape for f in w.frames)
+    assert w.closed
+
+
+def test_open_video_writer_mp4_first_gif_fallback(tmp_path, monkeypatch):
+    """_open_video_writer (the convert-dir path) shares the same contract:
+    mp4 first with fps=, GIF fallback with duration=1000/fps + loop."""
+    from styletransfer_tpu.utils.logging import get_logger
+
+    calls = []
+
+    def mp4_ok(path, **kwargs):
+        calls.append((path, kwargs))
+        return _FakeMp4Writer(path, **kwargs)
+
+    monkeypatch.setattr(imageio, "get_writer", mp4_ok)
+    w, path = video._open_video_writer(str(tmp_path / "v"), 24.0, get_logger())
+    assert path.endswith("v.mp4") and calls[0][1] == {"fps": 24.0}
+
+    def mp4_unavailable(path, **kwargs):
+        if path.endswith(".mp4"):
+            raise ValueError("no ffmpeg")
+        return _FakeMp4Writer(path, **kwargs)
+
+    monkeypatch.setattr(imageio, "get_writer", mp4_unavailable)
+    w, path = video._open_video_writer(str(tmp_path / "v"), 24.0, get_logger())
+    assert path.endswith("v.gif")
+    assert w.kwargs == {"duration": 1000.0 / 24.0, "loop": 0}
