@@ -27,7 +27,12 @@ IMSIZE = 256
 
 # Repository root (directory containing this package).
 # Reference: constants.py:32.
-PROJECT_ROOT_PATH = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# STX_PROJECT_ROOT relocates every derived path (data/, results/, runs/) —
+# for deployments that install the package site-wide, and for end-to-end
+# tests that sandbox a real `python -m styletransfer_tpu` subprocess.
+PROJECT_ROOT_PATH = os.environ.get("STX_PROJECT_ROOT") or os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))
+)
 
 # Default location for model checkpoints (reference uses data/models/ —
 # network.py:677, 957).

@@ -1,0 +1,147 @@
+"""Subprocess-level daemon end-to-end tests.
+
+The in-process tests (test_engines.py, test_multistyle.py) exercise the
+serve loops by calling them with fake streams; these tests close the last
+gap to the SHIPPED binary: each spawns the real CLI
+(``python -m styletransfer_tpu <group> serve``) as a subprocess on the CPU
+backend and speaks the protocol over actual pipes — READY handshake,
+OK/ERR framing (including one malformed request and one RELOAD),
+stdout purity (log lines go to stderr only), and a clean exit on EOF.
+
+Sandboxing: ``STX_PROJECT_ROOT`` points every derived path (data/models,
+results/, runs/) at a pytest tmp dir, so the subprocess finds exactly the
+checkpoint the test wrote and leaves no droppings in the repo.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+from PIL import Image
+
+from styletransfer_tpu import ckpt
+from styletransfer_tpu.models import transformer
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SIZE = 32  # tiny working resolution keeps CPU compiles in seconds
+
+
+def _spawn(args, tmp_root, stdin_text, timeout=600):
+    env = dict(
+        os.environ,
+        STX_PLATFORM="cpu",
+        STX_PROJECT_ROOT=str(tmp_root),
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "styletransfer_tpu", *args],
+        input=stdin_text, capture_output=True, text=True,
+        timeout=timeout, cwd=REPO_ROOT, env=env,
+    )
+    return proc
+
+
+def _assert_protocol_stdout(proc, n_lines):
+    """stdout must be EXACTLY the protocol: READY then one OK/ERR per
+    request — any stray log line would corrupt a pipe-counting client."""
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = proc.stdout.splitlines()
+    assert lines, f"empty stdout; stderr: {proc.stderr[-2000:]}"
+    assert lines[0] == "READY"
+    assert len(lines) == 1 + n_lines, lines
+    for line in lines[1:]:
+        assert line.startswith(("OK ", "ERR ")), line
+    return lines
+
+
+def _make_content(tmp_root):
+    img = tmp_root / "content.png"
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 256, size=(SIZE, SIZE, 3), dtype=np.uint8)
+    ).save(img)
+    return "content.png"  # project-root-relative, like a real client
+
+
+def test_fast_serve_daemon_subprocess(tmp_path):
+    models = str(tmp_path / "data" / "models")
+    ckpt.save_epoch(
+        transformer.init_params(jax.random.PRNGKey(0)),
+        "fast_st", "sty", 0, models,
+    )
+    content = _make_content(tmp_path)
+
+    requests = (
+        f"{content}\n"                      # default naming -> OK
+        f"{content}\tout/explicit.png\n"    # explicit output -> OK
+        f"{content}\ta\tb\tc\n"             # too many fields -> ERR
+        "missing.png\n"                     # unreadable input -> ERR
+        "RELOAD\n"                          # hot-swap -> OK (epoch 0 exists)
+    )
+    proc = _spawn(
+        ["fast_st", "serve", "sty", "--size", str(SIZE)], tmp_path, requests
+    )
+    lines = _assert_protocol_stdout(proc, 5)
+    assert lines[1].startswith("OK ") and lines[2].startswith("OK ")
+    assert "expected INPUT[\\tOUTPUT], got 4 fields" in lines[3]
+    assert lines[4].startswith("ERR missing.png")
+    assert lines[5] == "OK RELOAD epoch=0"
+    # The daemon really wrote where it said it did, inside the sandbox.
+    assert os.path.isfile(lines[1].split(" ", 1)[1])
+    assert os.path.isfile(str(tmp_path / "out" / "explicit.png"))
+    # Logs went to stderr (compile line, shutdown line), not stdout.
+    assert "shutting down" in proc.stderr
+
+
+def test_video_serve_daemon_subprocess(tmp_path):
+    models = str(tmp_path / "data" / "models")
+    ckpt.save_epoch(
+        transformer.init_video_params(jax.random.PRNGKey(0)),
+        "video_st", "sty", 0, models,
+    )
+    content = _make_content(tmp_path)
+
+    requests = (
+        f"{content}\n"          # frame 1 (fresh carry) -> OK
+        f"{content}\n"          # frame 2 (carry persists) -> OK
+        "RESET\n"               # -> OK RESET
+        f"{content}\ta\tb\tc\n" # too many fields -> ERR
+        "RELOAD\n"              # -> OK (same checkpoint)
+    )
+    proc = _spawn(
+        ["video_st", "serve", "sty", "--size", str(SIZE)], tmp_path, requests
+    )
+    lines = _assert_protocol_stdout(proc, 5)
+    assert lines[1].startswith("OK ") and lines[2].startswith("OK ")
+    assert lines[3] == "OK RESET"
+    assert "expected FRAME[\\tOUTPUT[\\tSTREAM]], got 4 fields" in lines[4]
+    assert lines[5].startswith("OK RELOAD")
+    assert os.path.isfile(lines[1].split(" ", 1)[1])
+
+
+def test_gatys_serve_daemon_subprocess(tmp_path):
+    """The gatys daemon is checkpoint-free (each request is an
+    optimization); RELOAD must answer an explanatory ERR, not crash."""
+    content = _make_content(tmp_path)
+    style = tmp_path / "style.png"
+    rng = np.random.default_rng(1)
+    Image.fromarray(
+        rng.integers(0, 256, size=(SIZE, SIZE, 3), dtype=np.uint8)
+    ).save(style)
+
+    requests = (
+        f"{content}\tstyle.png\n"   # one optimization -> OK ... loss=
+        f"{content}\n"              # missing STYLE field -> ERR
+        "RELOAD\n"                  # stateless daemon -> explanatory ERR
+    )
+    proc = _spawn(
+        ["gatys_st", "--serve", "-s", "2", "--size", str(SIZE),
+         "--optimizer", "adam"],
+        tmp_path, requests,
+    )
+    lines = _assert_protocol_stdout(proc, 3)
+    assert lines[1].startswith("OK ") and "loss=" in lines[1]
+    assert "expected CONTENT\\tSTYLE[\\tOUTPUT]" in lines[2]
+    assert lines[3].startswith("ERR RELOAD") and "stateless" in lines[3]
+    assert os.path.isfile(lines[1].split(" ", 2)[1])
