@@ -39,6 +39,12 @@ LOGGER = get_logger()
                    "many images from it in ONE batched on-device "
                    "optimization (0 = all).")
 @click.option("--learning-rate", default=0.05, help="Adam learning rate")
+@click.option("--history-size", default=100, type=click.IntRange(min=1),
+              help="L-BFGS history length H (lbfgs optimizer only). The "
+                   "reference contract is torch's default H=100; smaller "
+                   "histories trade a little convergence for less HBM "
+                   "traffic per iteration — a serving-throughput knob "
+                   "(see docs/performance.md for the measured curve).")
 @click.option("--history-math", default="compact",
               type=click.Choice(["compact", "two_loop"]),
               help="L-BFGS direction computation (lbfgs optimizer only): "
@@ -59,7 +65,7 @@ LOGGER = get_logger()
                    "device call of N independent lanes (styles may mix).")
 def gatys_st(content_image_path, style_image_path, out_name, steps,
              content_weight, style_weight, optimizer, batch, learning_rate,
-             history_math, precision, size, serve):
+             history_size, history_math, precision, size, serve):
     """
     Run the original Gatys style transfer. Both `style-image` and
     `content-image` should be the paths to the image we want to take the
@@ -74,7 +80,8 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
         gatys.serve_loop(
             steps=steps, style_weight=style_weight,
             content_weight=content_weight, optimizer=optimizer,
-            learning_rate=learning_rate, history_math=history_math,
+            learning_rate=learning_rate, history_size=history_size,
+            history_math=history_math,
             precision=precision, size=size, batch=max(batch, 1),
         )
         return
@@ -128,6 +135,7 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
         content_weight=content_weight,
         optimizer=optimizer,
         learning_rate=learning_rate,
+        history_size=history_size,
         history_math=history_math,
         precision=precision,
     )

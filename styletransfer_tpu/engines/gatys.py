@@ -240,7 +240,7 @@ def _run_lbfgs(
     jax.jit,
     static_argnames=(
         "steps", "style_weight", "content_weight", "learning_rate",
-        "optimizer", "compute_dtype", "history_math",
+        "optimizer", "compute_dtype", "history_size", "history_math",
     ),
 )
 def _run_serve_batched(
@@ -253,6 +253,7 @@ def _run_serve_batched(
     learning_rate: float,
     optimizer: str,
     compute_dtype=None,
+    history_size: int = 100,
     history_math: str = "compact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mixed-style batched Gatys for the serving daemon: lane ``i``
@@ -312,7 +313,7 @@ def _run_serve_batched(
             math = "compact_shift" if history_math == "compact" else history_math
             return lbfgs_torch(
                 flat_loss_and_grad, content_flat,
-                steps=steps, max_iter=20, history_size=100,
+                steps=steps, max_iter=20, history_size=history_size,
                 history_math=math, branchless=True,
             )
 
@@ -450,6 +451,7 @@ def serve_loop(
     content_weight: float = 1.0,
     optimizer: str = "lbfgs",
     learning_rate: float = 0.05,
+    history_size: int = 100,
     history_math: str = "compact",
     precision: str = "f32",
     size: Optional[int] = None,
@@ -536,7 +538,8 @@ def serve_loop(
         return _run_optimizer(
             optimizer, vgg_params, content, grams, steps,
             style_weight, content_weight, learning_rate,
-            compute_dtype=compute_dtype, history_math=history_math,
+            compute_dtype=compute_dtype, history_size=history_size,
+            history_math=history_math,
         )
 
     # Multi-chip serving: the group's lanes are fully independent, so the
@@ -556,7 +559,8 @@ def serve_loop(
         return _run_serve_batched(
             vgg_params, contents, grams_stacked, steps,
             float(style_weight), float(content_weight), float(learning_rate),
-            optimizer, compute_dtype=compute_dtype, history_math=history_math,
+            optimizer, compute_dtype=compute_dtype,
+            history_size=history_size, history_math=history_math,
         )
 
     # Warm-up: compile the gram pass AND the optimization(s) at the fixed

@@ -55,6 +55,41 @@ def test_gatys_lbfgs_reduces_loss(vgg_params, content_style):
     assert losses[-1] < losses[0]
 
 
+def test_gatys_history_size_flows_through_and_still_converges(
+    vgg_params, content_style
+):
+    """--history-size (the serving-throughput knob): a short history must
+    actually reach the optimizer (trajectories diverge from H=100 once the
+    ring buffer rolls) while still optimizing. Covers the single-lane
+    dispatch and the mixed-style batched serving lane."""
+    content, style = content_style
+    grams = vgg.style_gram_targets(vgg_params, style)
+
+    _, losses_h2 = gatys.train_gatys(
+        vgg_params, style, content, steps=3, optimizer="lbfgs",
+        history_size=2, log_every=None,
+    )
+    _, losses_h100 = gatys.train_gatys(
+        vgg_params, style, content, steps=3, optimizer="lbfgs",
+        history_size=100, log_every=None,
+    )
+    assert np.isfinite(losses_h2).all()
+    assert losses_h2[-1] < losses_h2[0]
+    # 3 contract steps = up to 60 inner iterations >> H=2: the truncated
+    # history must produce a different trajectory than the full contract.
+    assert not np.allclose(np.asarray(losses_h2), np.asarray(losses_h100))
+
+    # Batched serving lane honors it too.
+    contents = jnp.concatenate([content, content * 0.5])
+    grams_b = jax.tree.map(lambda g: jnp.stack([g, g]), grams)
+    _, lb = gatys._run_serve_batched(
+        vgg_params, contents, grams_b, 2, 1e5, 1.0, 0.05, "lbfgs",
+        history_size=4,
+    )
+    assert np.isfinite(np.asarray(lb)).all()
+    assert np.asarray(lb).shape == (2, 2)
+
+
 @pytest.mark.parametrize("optimizer", ["lbfgs", "lbfgs-zoom"])
 def test_gatys_batched_lbfgs_images_are_independent(vgg_params, optimizer):
     """Batch elements must follow fully independent trajectories: the
