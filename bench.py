@@ -35,37 +35,56 @@ def log(msg: str) -> None:
 
 
 def _probe_backend(timeout_s: int = 150) -> None:
-    """Fail FAST if the accelerator backend is unreachable.
+    """Probe the accelerator backend; retry through transient outages,
+    then fail FAST rather than blocking ~30 minutes in backend init.
 
-    A tunneled backend outage otherwise blocks ~30 minutes inside backend
-    init before raising UNAVAILABLE (observed 2026-08-18); a short
-    subprocess probe turns that into a clear, quick failure. Skip with
-    BENCH_SKIP_PROBE=1.
+    The tunneled backend has had multi-hour outages (2026-08-17/18) but
+    also brief blips; a single-shot probe turned a blip into a missed
+    round artifact (BENCH_r03 rc=3). So: probe in a short-lived
+    subprocess, and on failure retry with doubling backoff
+    (BENCH_PROBE_RETRIES attempts, default 4 ≈ 13 min of patience
+    total), exiting 3 only when the backend stays unreachable. Skip
+    everything with BENCH_SKIP_PROBE=1.
     """
     if os.environ.get("BENCH_SKIP_PROBE") == "1":
         return
     import subprocess
 
-    try:
-        r = subprocess.run(
-            # Import the package first so STX_PLATFORM et al. apply — the
-            # probe must exercise the same backend selection as the bench.
-            # cwd = this script's dir: the child must find the package the
-            # same way the parent does (script-dir sys.path entry), so a
-            # not-pip-installed run from elsewhere doesn't masquerade as a
-            # backend outage.
-            [sys.executable, "-c", "import styletransfer_tpu, jax; jax.devices()"],
-            capture_output=True, text=True, timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-    except subprocess.TimeoutExpired:
-        log(f"backend probe timed out after {timeout_s}s — accelerator "
-            "backend unreachable (tunnel outage?); aborting bench fast "
-            "instead of blocking in backend init")
-        sys.exit(3)
-    if r.returncode != 0:
-        log("backend probe failed:\n" + (r.stderr or r.stdout)[-2000:])
-        sys.exit(3)
+    attempts = int(os.environ.get("BENCH_PROBE_RETRIES", "4"))
+    backoff_s = 60.0
+    last = ""
+    for attempt in range(1, attempts + 1):
+        try:
+            r = subprocess.run(
+                # Import the package first so STX_PLATFORM et al. apply —
+                # the probe must exercise the same backend selection as the
+                # bench. cwd = this script's dir: the child must find the
+                # package the same way the parent does (script-dir sys.path
+                # entry), so a not-pip-installed run from elsewhere doesn't
+                # masquerade as a backend outage.
+                [sys.executable, "-c",
+                 "import styletransfer_tpu, jax; jax.devices()"],
+                capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"backend probe recovered on attempt {attempt}")
+                return
+            last = "probe failed:\n" + (r.stderr or r.stdout)[-2000:]
+        except subprocess.TimeoutExpired:
+            last = (f"probe timed out after {timeout_s}s — backend "
+                    "unreachable (tunnel outage?)")
+        if attempt < attempts:
+            log(f"backend {last}")
+            log(f"retrying in {backoff_s:.0f}s "
+                f"(attempt {attempt}/{attempts})")
+            time.sleep(backoff_s)
+            backoff_s *= 2
+    log(f"backend {last}")
+    log(f"backend unreachable after {attempts} probe attempts; aborting "
+        "bench fast instead of blocking in backend init")
+    sys.exit(3)
 
 
 def main() -> None:
