@@ -52,5 +52,9 @@ say "step 4: gatys history sweep"
 timeout 14400 python benchmarks/gatys_history_bench.py > "$OUT/gatys_history.json" 2>> "$LOG"
 say "step 4 rc=$?"
 
+say "step 5: gatys coarse-to-fine curve"
+timeout 14400 python benchmarks/gatys_coarse_bench.py > "$OUT/gatys_coarse.json" 2>> "$LOG"
+say "step 5 rc=$?"
+
 say "pipeline done"
 touch /tmp/tpu_pipeline.done

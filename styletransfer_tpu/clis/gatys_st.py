@@ -51,6 +51,13 @@ LOGGER = get_logger()
                    "compact is the Byrd-Nocedal form (~2x faster on TPU, "
                    "same operator); two_loop is torch's literal recursion "
                    "for bit-level fidelity.")
+@click.option("--coarse-steps", default=0, type=click.IntRange(min=0),
+              help="Coarse-to-fine: run this many steps at --coarse-scale "
+                   "resolution first and warm-start the full run from the "
+                   "upsampled result (0 = off, the reference trajectory).")
+@click.option("--coarse-scale", default=0.5,
+              type=click.FloatRange(min=0.1, max=0.9),
+              help="Resolution factor of the coarse stage")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="VGG tower activation precision (bf16 is faster; pixels stay f32)")
 @click.option("--size", default=None, type=int,
@@ -65,7 +72,8 @@ LOGGER = get_logger()
                    "device call of N independent lanes (styles may mix).")
 def gatys_st(content_image_path, style_image_path, out_name, steps,
              content_weight, style_weight, optimizer, batch, learning_rate,
-             history_size, history_math, precision, size, serve):
+             history_size, history_math, coarse_steps, coarse_scale,
+             precision, size, serve):
     """
     Run the original Gatys style transfer. Both `style-image` and
     `content-image` should be the paths to the image we want to take the
@@ -75,6 +83,13 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
     stylized in a single batched on-device optimization (see --batch).
     """
     if serve:
+        if coarse_steps:
+            raise click.UsageError(
+                "--coarse-steps is not supported in --serve mode (the "
+                "daemon compiles one optimization program; wire it after "
+                "the on-TPU quality-vs-time curve justifies a second "
+                "compiled stage — see docs/performance.md)."
+            )
         from styletransfer_tpu.engines import gatys
 
         gatys.serve_loop(
@@ -137,6 +152,8 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
         learning_rate=learning_rate,
         history_size=history_size,
         history_math=history_math,
+        coarse_steps=coarse_steps,
+        coarse_scale=coarse_scale,
         precision=precision,
     )
 

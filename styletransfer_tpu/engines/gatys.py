@@ -85,14 +85,17 @@ def _run_adam(
     content_weight: float,
     learning_rate: float,
     compute_dtype=None,
+    init_pixels=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     loss_fn = make_loss_fn(
         vgg_params, content_image, style_grams, style_weight, content_weight,
         compute_dtype=compute_dtype,
     )
     opt = optax.adam(learning_rate)
-    # Start from the content image (network.py:429).
-    pixels0 = content_image
+    # Start from the content image (network.py:429) unless a warm start is
+    # given (coarse-to-fine: the upsampled low-res result; the loss target
+    # stays the content image either way).
+    pixels0 = content_image if init_pixels is None else init_pixels
     opt_state0 = opt.init(pixels0)
 
     def step(carry, _):
@@ -124,6 +127,7 @@ def _run_lbfgs_torch(
     max_iter: int = 20,
     history_size: int = 100,
     history_math: str = "compact",
+    init_pixels=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The reference's exact optimizer contract: ``steps`` torch-LBFGS
     ``.step(closure)`` calls, each up to ``max_iter`` fixed-step inner
@@ -134,13 +138,19 @@ def _run_lbfgs_torch(
     breaks, exactly as N separate torch runs (curvature dot-products must
     not mix images). Total history memory is identical to one coupled
     problem (N x [H, n_img] = [H, N*n_img]); the returned loss history is
-    the per-step mean over images."""
+    the per-step mean over images.
+
+    ``init_pixels`` warm-starts the optimization (coarse-to-fine); the
+    content target stays ``content_image``. Default (None) starts from the
+    content image like the reference (network.py:429)."""
     from styletransfer_tpu.ops.lbfgs import lbfgs_torch
 
     shape = content_image.shape
+    init = content_image if init_pixels is None else init_pixels
 
-    def run_one(img_flat: jnp.ndarray, sub_shape, math, branchless=False):
-        content_i = img_flat.reshape(sub_shape).astype(content_image.dtype)
+    def run_one(img_flat: jnp.ndarray, content_flat: jnp.ndarray,
+                sub_shape, math, branchless=False):
+        content_i = content_flat.reshape(sub_shape).astype(content_image.dtype)
         loss_fn = make_loss_fn(
             vgg_params, content_i, style_grams, style_weight, content_weight,
             compute_dtype=compute_dtype,
@@ -169,18 +179,19 @@ def _run_lbfgs_torch(
         # eval runs branchless (a batched-predicate lax.cond degrades the
         # scan body 2.2x even though both forms evaluate once).
         math = "compact_shift" if history_math == "compact" else history_math
-        flat0 = content_image.reshape(shape[0], -1).astype(jnp.float32)
+        flat0 = init.reshape(shape[0], -1).astype(jnp.float32)
+        cflat = content_image.reshape(shape[0], -1)
         x, losses = jax.vmap(
             functools.partial(
                 run_one, sub_shape=(1,) + shape[1:], math=math,
                 branchless=True,
             )
-        )(flat0)
+        )(flat0, cflat)
         return x.reshape(shape), jnp.mean(losses, axis=0)
 
     x, losses = run_one(
-        content_image.reshape(-1).astype(jnp.float32), sub_shape=shape,
-        math=history_math,
+        init.reshape(-1).astype(jnp.float32), content_image.reshape(-1),
+        sub_shape=shape, math=history_math,
     )
     return x.reshape(shape), losses
 
@@ -197,13 +208,16 @@ def _run_lbfgs(
     style_weight: float,
     content_weight: float,
     compute_dtype=None,
+    init_pixels=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     shape = content_image.shape
+    init = content_image if init_pixels is None else init_pixels
 
-    def run_one(pixels0: jnp.ndarray, sub_shape):
+    def run_one(pixels0: jnp.ndarray, content0: jnp.ndarray, sub_shape):
         pixels0 = pixels0.reshape(sub_shape)
         loss_fn = make_loss_fn(
-            vgg_params, pixels0, style_grams, style_weight, content_weight,
+            vgg_params, content0.reshape(sub_shape), style_grams,
+            style_weight, content_weight,
             compute_dtype=compute_dtype,
         )
         opt = optax.lbfgs()
@@ -230,10 +244,11 @@ def _run_lbfgs(
     if shape[0] > 1:
         pixels, losses = jax.vmap(
             functools.partial(run_one, sub_shape=(1,) + shape[1:])
-        )(content_image.reshape(shape[0], -1))
+        )(init.reshape(shape[0], -1), content_image.reshape(shape[0], -1))
         return pixels.reshape(shape), jnp.mean(losses, axis=0)
 
-    return run_one(content_image.reshape(-1), sub_shape=shape)
+    return run_one(init.reshape(-1), content_image.reshape(-1),
+                   sub_shape=shape)
 
 
 @functools.partial(
@@ -356,6 +371,7 @@ def _run_optimizer(
     compute_dtype=None,
     history_size: int = 100,
     history_math: str = "compact",
+    init_pixels=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The one optimizer-name -> jitted-program dispatch, shared by
     ``train_gatys`` and the serving daemon (three hand-synced copies of
@@ -364,20 +380,20 @@ def _run_optimizer(
         return _run_adam(
             vgg_params, content_image, style_grams, steps,
             float(style_weight), float(content_weight), float(learning_rate),
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, init_pixels=init_pixels,
         )
     if optimizer == "lbfgs":
         return _run_lbfgs_torch(
             vgg_params, content_image, style_grams, steps,
             float(style_weight), float(content_weight),
             compute_dtype=compute_dtype, history_size=history_size,
-            history_math=history_math,
+            history_math=history_math, init_pixels=init_pixels,
         )
     if optimizer == "lbfgs-zoom":
         return _run_lbfgs(
             vgg_params, content_image, style_grams, steps,
             float(style_weight), float(content_weight),
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, init_pixels=init_pixels,
         )
     raise ValueError(
         f"unknown optimizer {optimizer!r}; use one of {', '.join(_OPTIMIZERS)}"
@@ -397,6 +413,8 @@ def train_gatys(
     precision: str = "f32",
     history_size: int = 100,
     history_math: str = "compact",
+    coarse_steps: int = 0,
+    coarse_scale: float = 0.5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stylize ``content_image`` with the style of ``style_image``.
 
@@ -422,6 +440,18 @@ def train_gatys(
     controls post-hoc logging of the returned loss history (the reference
     logs every closure, network.py:453 — a device->host sync per step we
     deliberately avoid).
+
+    ``coarse_steps > 0`` enables **coarse-to-fine** (beyond the reference,
+    default off): first optimize ``coarse_steps`` steps at
+    ``coarse_scale`` × resolution, bilinearly upsample the result, and use
+    it to warm-start the full-resolution run. The style Gram targets are
+    resolution-independent ([C, C] per tap, already H·W-normalized —
+    ops/losses.py), so both stages share them; the content target is
+    re-derived at each stage's own resolution. Full-res optimizer
+    iterations dominate cost (a half-res step is ~4× cheaper), so spending
+    early exploration at low resolution buys the same final quality in
+    fewer full-res steps — the trajectory is NOT the reference's
+    (different init), which is why the default stays 0.
     """
     logger = get_logger()
     style_grams = vgg.style_gram_targets(vgg_params, style_image)
@@ -430,11 +460,36 @@ def train_gatys(
     # at these weights and the tower is the entire per-step cost.
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
 
+    init_pixels = None
+    if coarse_steps > 0:
+        n, h, w, c = content_image.shape
+        # Multiples of 8 keep the coarse tower's tiles lane-aligned; the
+        # 5 VGG pools floor odd sizes anyway, so any size is legal.
+        ch = max(32, int(h * coarse_scale) // 8 * 8)
+        cw = max(32, int(w * coarse_scale) // 8 * 8)
+        small = jax.image.resize(
+            content_image, (n, ch, cw, c), method="linear")
+        coarse_px, coarse_losses = _run_optimizer(
+            optimizer, vgg_params, small, style_grams, coarse_steps,
+            style_weight, content_weight, learning_rate,
+            compute_dtype=compute_dtype, history_size=history_size,
+            history_math=history_math,
+        )
+        init_pixels = jax.image.resize(
+            coarse_px, content_image.shape, method="linear"
+        ).astype(content_image.dtype)
+        if log_every:
+            logger.info(
+                "Gatys coarse stage (%dx%d, %d steps) final loss: %.6f",
+                ch, cw, coarse_steps,
+                float(jax.device_get(coarse_losses)[-1]),
+            )
+
     pixels, losses = _run_optimizer(
         optimizer, vgg_params, content_image, style_grams, steps,
         style_weight, content_weight, learning_rate,
         compute_dtype=compute_dtype, history_size=history_size,
-        history_math=history_math,
+        history_math=history_math, init_pixels=init_pixels,
     )
 
     losses = jax.device_get(losses)

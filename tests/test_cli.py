@@ -107,6 +107,33 @@ def test_gatys_end_to_end_tiny(tmp_path, monkeypatch):
     assert (tmp_path / "results" / "out.png").is_file()
 
 
+def test_gatys_coarse_to_fine_cli(tmp_path, monkeypatch):
+    """--coarse-steps end to end (writes the output), and --serve
+    rejects it with a usage error (one compiled program per daemon)."""
+    from styletransfer_tpu import constants
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    rng = np.random.default_rng(0)
+    for name in ("content.png", "style.png"):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / name)
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli, ["gatys_st", "content.png", "style.png", "-s", "2",
+              "-n", "out.png", "--optimizer", "adam",
+              "--coarse-steps", "2", "--coarse-scale", "0.5"]
+    )
+    assert result.exit_code == 0, result.output + repr(result.exception)
+    assert (tmp_path / "results" / "out.png").is_file()
+
+    result = runner.invoke(
+        cli, ["gatys_st", "--serve", "--coarse-steps", "2"]
+    )
+    assert result.exit_code != 0
+    assert "--coarse-steps is not supported in --serve" in result.output
+
+
 def test_gatys_batched_directory_cli(tmp_path, monkeypatch):
     """CONTENT-IMAGE-PATH as a directory: one batched optimization, one
     output per input image with the stem appended."""

@@ -90,6 +90,55 @@ def test_gatys_history_size_flows_through_and_still_converges(
     assert np.asarray(lb).shape == (2, 2)
 
 
+def test_gatys_coarse_to_fine(vgg_params):
+    """--coarse-steps warm start: the coarse stage runs at the reduced
+    resolution, its upsampled result really becomes the full-res init
+    (the first full-res loss differs from a cold start), and
+    coarse_steps=0 stays bit-identical to the default path."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    content = jax.random.normal(k1, (1, 64, 64, 3)) * 0.5
+    style = jax.random.normal(k2, (1, SIZE, SIZE, 3)) * 0.5
+
+    cold, cold_losses = gatys.train_gatys(
+        vgg_params, style, content, steps=2, optimizer="adam",
+        log_every=None,
+    )
+    warm, warm_losses = gatys.train_gatys(
+        vgg_params, style, content, steps=2, optimizer="adam",
+        coarse_steps=3, coarse_scale=0.5, log_every=None,
+    )
+    assert warm.shape == content.shape
+    assert np.isfinite(np.asarray(warm_losses)).all()
+    assert not np.allclose(warm_losses[0], cold_losses[0])
+
+    again, _ = gatys.train_gatys(
+        vgg_params, style, content, steps=2, optimizer="adam",
+        coarse_steps=0, log_every=None,
+    )
+    np.testing.assert_array_equal(np.asarray(cold), np.asarray(again))
+
+
+@pytest.mark.parametrize("optimizer", ["lbfgs", "lbfgs-zoom"])
+def test_gatys_coarse_to_fine_lbfgs_variants(vgg_params, optimizer):
+    """The warm start plumbs through both L-BFGS forms, single and
+    batched (the batched form vmaps (init, content) pairs)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    contents = jax.random.normal(k1, (2, 64, 64, 3)) * 0.5
+    style = jax.random.normal(k2, (1, SIZE, SIZE, 3)) * 0.5
+
+    cold, cold_losses = gatys.train_gatys(
+        vgg_params, style, contents, steps=2, optimizer=optimizer,
+        log_every=None,
+    )
+    warm, warm_losses = gatys.train_gatys(
+        vgg_params, style, contents, steps=2, optimizer=optimizer,
+        coarse_steps=1, coarse_scale=0.5, log_every=None,
+    )
+    assert warm.shape == contents.shape
+    assert np.isfinite(np.asarray(warm_losses)).all()
+    assert not np.allclose(np.asarray(warm_losses), np.asarray(cold_losses))
+
+
 @pytest.mark.parametrize("optimizer", ["lbfgs", "lbfgs-zoom"])
 def test_gatys_batched_lbfgs_images_are_independent(vgg_params, optimizer):
     """Batch elements must follow fully independent trajectories: the
