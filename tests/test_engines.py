@@ -118,6 +118,23 @@ def test_gatys_coarse_to_fine(vgg_params):
     np.testing.assert_array_equal(np.asarray(cold), np.asarray(again))
 
 
+def test_gatys_explicit_content_init_is_bit_identical(
+    vgg_params, content_style
+):
+    """init_pixels=content must match the cold path EXACTLY — the
+    coarse-bench methodology times one compiled program for both the
+    baseline and the warm run (benchmarks/gatys_coarse_bench.py), which
+    is only honest if the explicit-init program is the same math."""
+    content, style = content_style
+    grams = vgg.style_gram_targets(vgg_params, style)
+    cold, cold_l = gatys._run_lbfgs_torch(
+        vgg_params, content, grams, 2, 1e5, 1.0)
+    warm, warm_l = gatys._run_lbfgs_torch(
+        vgg_params, content, grams, 2, 1e5, 1.0, init_pixels=content)
+    np.testing.assert_array_equal(np.asarray(cold), np.asarray(warm))
+    np.testing.assert_array_equal(np.asarray(cold_l), np.asarray(warm_l))
+
+
 @pytest.mark.parametrize("optimizer", ["lbfgs", "lbfgs-zoom"])
 def test_gatys_coarse_to_fine_lbfgs_variants(vgg_params, optimizer):
     """The warm start plumbs through both L-BFGS forms, single and
