@@ -69,7 +69,9 @@ LOGGER = get_logger()
                    "line. The positional image paths are omitted. "
                    "Optimizer/steps/weights are compiled into the daemon. "
                    "With -b N, pending requests group into one vmapped "
-                   "device call of N independent lanes (styles may mix).")
+                   "device call of N independent lanes (styles may mix). "
+                   "STYLE may be a blend spec a.png,b.png[:0.3,0.7] — "
+                   "weighted-average Gram targets, no recompile.")
 def gatys_st(content_image_path, style_image_path, out_name, steps,
              content_weight, style_weight, optimizer, batch, learning_rate,
              history_size, history_math, coarse_steps, coarse_scale,

@@ -528,7 +528,11 @@ def serve_loop(
 
     Protocol (line-oriented; see ``engines.daemon``): each request line is
     ``CONTENT\\tSTYLE[\\tOUTPUT]``; empty OUTPUT means
-    ``{out_dir}/gatys_{content_stem}_{style_stem}.png``. Responses:
+    ``{out_dir}/gatys_{content_stem}_{style_stem}.png``. STYLE may also be
+    a BLEND spec ``a.png,b.png[:0.3,0.7]`` — the target Grams are the
+    weighted average of the styles' (normalized server-side, equal when
+    omitted); blends are pure data, so they recompile nothing and reuse
+    the per-style Gram cache. Responses:
     ``READY`` after the warm-up compile, then per request
     ``OK <out_path> loss=<final_loss>`` or ``ERR <input>: <reason>``.
     The optimizer/steps/weights are fixed per daemon (they are compiled
@@ -588,6 +592,55 @@ def serve_loop(
         while len(_gram_cache) > 16:
             _gram_cache.popitem(last=False)
         return grams
+
+    def parse_style_spec(spec: str):
+        """STYLE field -> (per-path list, normalized weights) or a plain
+        single path. ``a.png,b.png[:0.3,0.7]`` requests a BLEND: the
+        target Gram matrices are the weighted average of the styles'
+        (style interpolation — the loss optimizes toward the blended
+        feature statistics; omitted weights mean equal). Targets are
+        data to the compiled program, so blends cost one cached VGG pass
+        per distinct style and zero recompiles — the Gatys analogue of
+        serve-multi's blend-as-data requests."""
+        paths_part, sep, w_part = spec.partition(":")
+        paths = [p for p in paths_part.split(",") if p]
+        if not paths:
+            raise ValueError(f"empty STYLE spec {spec!r}")
+        if not sep and len(paths) == 1:
+            return paths, [1.0]
+        if w_part:
+            try:
+                ws = [float(x) for x in w_part.split(",")]
+            except ValueError:
+                raise ValueError(
+                    f"bad blend weights {w_part!r} (want e.g. 0.3,0.7)")
+            if len(ws) != len(paths):
+                raise ValueError(
+                    f"{len(paths)} style paths but {len(ws)} weights")
+            total = sum(ws)
+            if total <= 0 or any(w < 0 for w in ws):
+                raise ValueError(
+                    f"blend weights must be >= 0 with a positive sum, "
+                    f"got {w_part!r}")
+            ws = [w / total for w in ws]
+        else:
+            ws = [1.0 / len(paths)] * len(paths)
+        return paths, ws
+
+    def style_grams_for_spec(spec: str):
+        paths, ws = parse_style_spec(spec)
+        if len(paths) == 1 and ws[0] == 1.0:
+            return style_grams_cached(paths[0])
+        gram_list = [style_grams_cached(p) for p in paths]
+        return jax.tree.map(
+            lambda *gs: sum(w * g for w, g in zip(ws, gs)), *gram_list
+        )
+
+    def style_stem(spec: str) -> str:
+        paths, _ = parse_style_spec(spec)
+        return "+".join(
+            os.path.splitext(os.path.basename(p))[0] for p in paths
+        )
 
     def optimize(content, grams):
         return _run_optimizer(
@@ -660,11 +713,11 @@ def serve_loop(
             os.path.join(constants.PROJECT_ROOT_PATH, content_path), size=sz
         ))
         return (content_path, style_path, explicit_out, content,
-                style_grams_cached(style_path))
+                style_grams_for_spec(style_path))
 
     def save_one(content_path, style_path, explicit_out, pixels, final):
         cstem = os.path.splitext(os.path.basename(content_path))[0]
-        sstem = os.path.splitext(os.path.basename(style_path))[0]
+        sstem = style_stem(style_path)
         out_file = daemon.resolve_out_path(
             explicit_out, out_dir, f"gatys_{cstem}_{sstem}.png"
         )

@@ -744,6 +744,51 @@ def test_gatys_serve_loop_protocol(tmp_path, rng, vgg_params):
     assert os.path.isfile(out_path)
 
 
+def test_gatys_serve_loop_style_blend(tmp_path, rng, vgg_params):
+    """STYLE blend spec 'a,b[:w1,w2]': the daemon optimizes toward the
+    weighted-average Gram targets. Full weight on one style must equal the
+    plain single-style request bitwise (1*g1 + 0*g2 == g1 in f32, same
+    compiled program); equal blends get a joined default stem; malformed
+    specs answer ERR without killing the daemon."""
+    import io
+
+    from PIL import Image
+
+    c = tmp_path / "content.png"
+    s1, s2 = tmp_path / "s1.png", tmp_path / "s2.png"
+    for p in (c, s1, s2):
+        Image.fromarray(
+            rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        ).save(p)
+
+    stdin = io.StringIO(
+        f"{c}\t{s1}\tplain.png\n"
+        f"{c}\t{s1},{s2}:1,0\tblend10.png\n"   # == plain s1, bitwise
+        f"{c}\t{s1},{s2}\n"                    # equal blend, default stem
+        f"{c}\t{s1},{s2}:0.3\n"                # weight count mismatch -> ERR
+        f"{c}\t{s1},{s2}:-1,2\n"               # negative weight -> ERR
+        "\n"
+    )
+    stdout = io.StringIO()
+    n = gatys.serve_loop(
+        steps=3, optimizer="adam", size=32, out_dir=str(tmp_path / "results"),
+        vgg_params=vgg_params, stdin=stdin, stdout=stdout,
+    )
+    assert n == 3
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    assert lines[1].startswith("OK ") and lines[2].startswith("OK ")
+    plain = np.asarray(Image.open(lines[1].split(" ")[1]))
+    blend10 = np.asarray(Image.open(lines[2].split(" ")[1]))
+    np.testing.assert_array_equal(plain, blend10)
+    assert lines[3].startswith("OK ")
+    assert lines[3].split(" ")[1].endswith("gatys_content_s1+s2.png")
+    blend_eq = np.asarray(Image.open(lines[3].split(" ")[1]))
+    assert (blend_eq != plain).any()  # an actual blend differs from s1
+    assert "2 style paths but 1 weights" in lines[4]
+    assert lines[5].startswith("ERR ")
+
+
 def test_gatys_serve_loop_batched_mixed_styles(tmp_path, rng, vgg_params):
     """gatys serve with -b N: a group mixing two styles runs as one vmapped
     device call of independent lanes, and each lane's output matches the
