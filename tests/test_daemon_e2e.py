@@ -132,6 +132,7 @@ def test_gatys_serve_daemon_subprocess(tmp_path):
 
     requests = (
         f"{content}\tstyle.png\n"   # one optimization -> OK ... loss=
+        f"{content}\tstyle.png,{content}:0.8,0.2\n"  # blend spec -> OK
         f"{content}\n"              # missing STYLE field -> ERR
         "RELOAD\n"                  # stateless daemon -> explanatory ERR
     )
@@ -140,8 +141,9 @@ def test_gatys_serve_daemon_subprocess(tmp_path):
          "--optimizer", "adam"],
         tmp_path, requests,
     )
-    lines = _assert_protocol_stdout(proc, 3)
+    lines = _assert_protocol_stdout(proc, 4)
     assert lines[1].startswith("OK ") and "loss=" in lines[1]
-    assert "expected CONTENT\\tSTYLE[\\tOUTPUT]" in lines[2]
-    assert lines[3].startswith("ERR RELOAD") and "stateless" in lines[3]
+    assert lines[2].startswith("OK ") and "style+content.png" in lines[2]
+    assert "expected CONTENT\\tSTYLE[\\tOUTPUT]" in lines[3]
+    assert lines[4].startswith("ERR RELOAD") and "stateless" in lines[4]
     assert os.path.isfile(lines[1].split(" ", 2)[1])
