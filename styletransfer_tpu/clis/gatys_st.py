@@ -83,6 +83,10 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
 
     CONTENT-IMAGE-PATH may also be a directory: every image in it is
     stylized in a single batched on-device optimization (see --batch).
+
+    STYLE-IMAGE-PATH may be a blend spec `a.png,b.png[:0.3,0.7]`: the
+    style targets become the weighted average of the listed styles'
+    Gram matrices (weights normalized; omitted = equal).
     """
     if serve:
         if coarse_steps:
@@ -116,11 +120,20 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
     from styletransfer_tpu.models import vgg
     from styletransfer_tpu.utils import images
 
-    style_image_path = os.path.join(constants.PROJECT_ROOT_PATH, style_image_path)
     content_image_path = os.path.join(constants.PROJECT_ROOT_PATH, content_image_path)
 
     imsize = size or constants.IMSIZE
-    style_image = jnp.asarray(images.load_image(style_image_path, size=imsize))
+    # STYLE-IMAGE-PATH may be a blend spec `a.png,b.png[:0.3,0.7]`
+    # (weighted-average Gram targets — same syntax as the daemon's STYLE
+    # field, docs/serving.md). A plain path parses to a 1-element blend.
+    try:
+        style_paths, style_ws = gatys.parse_style_spec(style_image_path)
+    except ValueError as exc:
+        raise click.UsageError(str(exc))
+    style_paths = [
+        os.path.join(constants.PROJECT_ROOT_PATH, p) for p in style_paths
+    ]
+    style_image = jnp.asarray(images.load_image(style_paths[0], size=imsize))
 
     if os.path.isdir(content_image_path):
         names = sorted(
@@ -143,9 +156,19 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
 
     vgg_params = vgg.load_params()
 
+    style_grams = None
+    if len(style_paths) > 1:
+        style_grams = gatys.blend_grams(
+            [vgg.style_gram_targets(
+                vgg_params, jnp.asarray(images.load_image(p, size=imsize)))
+             for p in style_paths],
+            style_ws,
+        )
+
     converted, _losses = gatys.train_gatys(
         vgg_params,
         style_image=style_image,
+        style_grams=style_grams,
         content_image=content_image,
         steps=steps,
         style_weight=style_weight,

@@ -415,8 +415,13 @@ def train_gatys(
     history_math: str = "compact",
     coarse_steps: int = 0,
     coarse_scale: float = 0.5,
+    style_grams=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stylize ``content_image`` with the style of ``style_image``.
+
+    ``style_grams`` overrides the Gram targets (``style_image`` is then
+    ignored and may be None) — used for style blends (``blend_grams``)
+    or precomputed targets.
 
     Drop-in equivalent of ``train_gatys``, with the reference's *method*
     defaults: steps=550 and L-BFGS over the pixels (network.py:413, 435).
@@ -454,7 +459,8 @@ def train_gatys(
     (different init), which is why the default stays 0.
     """
     logger = get_logger()
-    style_grams = vgg.style_gram_targets(vgg_params, style_image)
+    if style_grams is None:
+        style_grams = vgg.style_gram_targets(vgg_params, style_image)
     # bf16 runs the VGG tower with bfloat16 activations (pixels, grams, and
     # the Adam state stay float32); the loss landscape is indistinguishable
     # at these weights and the tower is the entire per-step cost.
@@ -498,6 +504,51 @@ def train_gatys(
             logger.info("Gatys step %d  loss: %.6f", i, float(losses[i]))
         logger.info("Gatys final loss: %.6f", float(losses[-1]))
     return pixels, losses
+
+
+def parse_style_spec(spec: str):
+    """STYLE spec -> (paths, normalized weights).
+
+    ``a.png`` is the plain single style; ``a.png,b.png[:0.3,0.7]``
+    requests a BLEND — the target Gram matrices become the weighted
+    average of the styles' (equal weights when omitted; normalized here).
+    Shared by the serving daemon's STYLE field and the one-shot CLI's
+    STYLE-IMAGE-PATH argument. Raises ValueError on malformed specs.
+    """
+    paths_part, sep, w_part = spec.partition(":")
+    paths = [p for p in paths_part.split(",") if p]
+    if not paths:
+        raise ValueError(f"empty STYLE spec {spec!r}")
+    if not sep and len(paths) == 1:
+        return paths, [1.0]
+    if w_part:
+        try:
+            ws = [float(x) for x in w_part.split(",")]
+        except ValueError:
+            raise ValueError(
+                f"bad blend weights {w_part!r} (want e.g. 0.3,0.7)")
+        if len(ws) != len(paths):
+            raise ValueError(
+                f"{len(paths)} style paths but {len(ws)} weights")
+        total = sum(ws)
+        if total <= 0 or any(w < 0 for w in ws):
+            raise ValueError(
+                f"blend weights must be >= 0 with a positive sum, "
+                f"got {w_part!r}")
+        ws = [w / total for w in ws]
+    else:
+        ws = [1.0 / len(paths)] * len(paths)
+    return paths, ws
+
+
+def blend_grams(gram_list, weights):
+    """Weighted average of per-style Gram-target pytrees (style
+    interpolation: targets are data, so blends never recompile)."""
+    if len(gram_list) == 1 and weights[0] == 1.0:
+        return gram_list[0]
+    return jax.tree.map(
+        lambda *gs: sum(w * g for w, g in zip(weights, gs)), *gram_list
+    )
 
 
 def serve_loop(
@@ -593,48 +644,12 @@ def serve_loop(
             _gram_cache.popitem(last=False)
         return grams
 
-    def parse_style_spec(spec: str):
-        """STYLE field -> (per-path list, normalized weights) or a plain
-        single path. ``a.png,b.png[:0.3,0.7]`` requests a BLEND: the
-        target Gram matrices are the weighted average of the styles'
-        (style interpolation — the loss optimizes toward the blended
-        feature statistics; omitted weights mean equal). Targets are
-        data to the compiled program, so blends cost one cached VGG pass
-        per distinct style and zero recompiles — the Gatys analogue of
-        serve-multi's blend-as-data requests."""
-        paths_part, sep, w_part = spec.partition(":")
-        paths = [p for p in paths_part.split(",") if p]
-        if not paths:
-            raise ValueError(f"empty STYLE spec {spec!r}")
-        if not sep and len(paths) == 1:
-            return paths, [1.0]
-        if w_part:
-            try:
-                ws = [float(x) for x in w_part.split(",")]
-            except ValueError:
-                raise ValueError(
-                    f"bad blend weights {w_part!r} (want e.g. 0.3,0.7)")
-            if len(ws) != len(paths):
-                raise ValueError(
-                    f"{len(paths)} style paths but {len(ws)} weights")
-            total = sum(ws)
-            if total <= 0 or any(w < 0 for w in ws):
-                raise ValueError(
-                    f"blend weights must be >= 0 with a positive sum, "
-                    f"got {w_part!r}")
-            ws = [w / total for w in ws]
-        else:
-            ws = [1.0 / len(paths)] * len(paths)
-        return paths, ws
-
     def style_grams_for_spec(spec: str):
+        # Blends (parse_style_spec) cost one cached VGG pass per distinct
+        # style and zero recompiles — the Gatys analogue of serve-multi's
+        # blend-as-data requests.
         paths, ws = parse_style_spec(spec)
-        if len(paths) == 1 and ws[0] == 1.0:
-            return style_grams_cached(paths[0])
-        gram_list = [style_grams_cached(p) for p in paths]
-        return jax.tree.map(
-            lambda *gs: sum(w * g for w, g in zip(ws, gs)), *gram_list
-        )
+        return blend_grams([style_grams_cached(p) for p in paths], ws)
 
     def style_stem(spec: str) -> str:
         paths, _ = parse_style_spec(spec)

@@ -134,6 +134,34 @@ def test_gatys_coarse_to_fine_cli(tmp_path, monkeypatch):
     assert "--coarse-steps is not supported in --serve" in result.output
 
 
+def test_gatys_style_blend_cli(tmp_path, monkeypatch):
+    """One-shot STYLE-IMAGE-PATH blend spec: full weight on one style is
+    bit-identical to the plain run; bad specs are usage errors."""
+    from styletransfer_tpu import constants
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    rng = np.random.default_rng(0)
+    for name in ("content.png", "s1.png", "s2.png"):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / name)
+
+    runner = CliRunner()
+    base = ["gatys_st", "content.png", "-s", "2", "--optimizer", "adam"]
+    r1 = runner.invoke(cli, base[:2] + ["s1.png"] + base[2:] + ["-n", "p.png"])
+    r2 = runner.invoke(
+        cli, base[:2] + ["s1.png,s2.png:1,0"] + base[2:] + ["-n", "b.png"])
+    assert r1.exit_code == 0, r1.output + repr(r1.exception)
+    assert r2.exit_code == 0, r2.output + repr(r2.exception)
+    plain = np.asarray(Image.open(tmp_path / "results" / "p.png"))
+    blend = np.asarray(Image.open(tmp_path / "results" / "b.png"))
+    np.testing.assert_array_equal(plain, blend)
+
+    r3 = runner.invoke(
+        cli, base[:2] + ["s1.png,s2.png:0.3"] + base[2:])
+    assert r3.exit_code != 0
+    assert "2 style paths but 1 weights" in r3.output
+
+
 def test_gatys_batched_directory_cli(tmp_path, monkeypatch):
     """CONTENT-IMAGE-PATH as a directory: one batched optimization, one
     output per input image with the stem appended."""
