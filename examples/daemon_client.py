@@ -15,10 +15,12 @@ Examples:
     ls photos/*.jpg | python examples/daemon_client.py fast demo_style.png -
     python examples/daemon_client.py gatys data/styles/demo_style.png \
         --steps 40 photo1.jpg photo2.jpg
+    # against a daemon started with --tcp (shared by many clients):
+    python examples/daemon_client.py fast demo_style.png \
+        --tcp 127.0.0.1:7000 img1.jpg img2.jpg
 
-The protocol is plain line-oriented text, so this file is intentionally
-dependency-free — adapt it to a socket/queue transport by replacing the
-pipe plumbing.
+The protocol is plain line-oriented text over pipes or TCP (`--tcp`,
+docs/serving.md), so this file is intentionally dependency-free.
 """
 
 from __future__ import annotations
@@ -54,6 +56,13 @@ def main() -> int:
                     choices=["adam", "lbfgs", "lbfgs-zoom"],
                     help="(gatys) daemon optimizer — adam/lbfgs-zoom give "
                          "near-linear batched throughput")
+    ap.add_argument("--tcp", default=None, metavar="HOST:PORT",
+                    help="connect to an ALREADY-RUNNING daemon's TCP "
+                         "listener (started with --tcp) instead of spawning "
+                         "one; daemon-side options (--steps, --batch, "
+                         "--precision) are then fixed by that daemon. With "
+                         "--batch > 1 requests are still pipelined "
+                         "client-side so the daemon can group them.")
     args = ap.parse_args()
 
     cmd = [sys.executable, "-m", "styletransfer_tpu"]
@@ -82,14 +91,25 @@ def main() -> int:
         cmd += ["-b" if args.mode == "gatys" else "--batch-size",
                 str(args.batch)]
 
-    proc = subprocess.Popen(
-        cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-        text=True, bufsize=1,
-    )
+    if args.tcp is not None:
+        import socket
+
+        host, _, port = args.tcp.rpartition(":")
+        sock = socket.create_connection((host or "127.0.0.1", int(port)),
+                                        timeout=600)
+        proc = None
+        req_w = sock.makefile("w", encoding="utf-8", buffering=1)
+        resp_r = sock.makefile("r", encoding="utf-8")
+    else:
+        proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, bufsize=1,
+        )
+        req_w, resp_r = proc.stdin, proc.stdout
     t0 = time.time()
     line = ""
     while line.strip() != "READY":
-        line = proc.stdout.readline()
+        line = resp_r.readline()
         if not line:
             print("daemon exited before READY", file=sys.stderr)
             return 2
@@ -114,19 +134,19 @@ def main() -> int:
             # multi-request groups; responses come back one line per
             # request, in order.
             for path in inputs:
-                proc.stdin.write(request_line(path) + "\n")
-            proc.stdin.flush()
+                req_w.write(request_line(path) + "\n")
+            req_w.flush()
             for _ in inputs:
-                resp = proc.stdout.readline().strip()
+                resp = resp_r.readline().strip()
                 if not resp:  # daemon died mid-burst
                     raise BrokenPipeError("daemon closed its stdout")
                 print(resp)
                 failures += not resp.startswith("OK")
         else:
             for path in inputs:
-                proc.stdin.write(request_line(path) + "\n")
-                proc.stdin.flush()
-                resp = proc.stdout.readline().strip()
+                req_w.write(request_line(path) + "\n")
+                req_w.flush()
+                resp = resp_r.readline().strip()
                 if not resp:
                     raise BrokenPipeError("daemon closed its stdout")
                 print(resp)
@@ -142,11 +162,14 @@ def main() -> int:
     )
 
     try:
-        proc.stdin.write("\n")  # blank line = clean shutdown
-        proc.stdin.flush()
+        # Blank line: clean shutdown of a spawned daemon; over TCP it only
+        # closes this connection — the shared daemon keeps serving others.
+        req_w.write("\n")
+        req_w.flush()
     except (BrokenPipeError, OSError):
         pass  # daemon already gone; nothing to shut down
-    proc.wait(timeout=60)
+    if proc is not None:
+        proc.wait(timeout=60)
     return 1 if failures else 0
 
 

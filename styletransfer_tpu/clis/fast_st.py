@@ -11,6 +11,7 @@ import os
 import click
 
 from styletransfer_tpu import constants
+from styletransfer_tpu.engines import netserve
 from styletransfer_tpu.utils.logging import get_logger
 
 LOGGER = get_logger()
@@ -298,7 +299,9 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, size, precision,
               help="Dynamic batching: serve up to N already-queued requests "
                    "per device call (lone requests keep single-request "
                    "latency; piped bursts get batched throughput)")
-def serve(style_name, out_dir, size, precision, pad_mode, batch_size):
+@click.option("--tcp", default=None, metavar="[HOST:]PORT",
+              help=netserve.TCP_HELP)
+def serve(style_name, out_dir, size, precision, pad_mode, batch_size, tcp):
     """
     Warm-process stylization daemon: compiles the serving program once,
     prints `READY`, then stylizes one image per stdin line until EOF or a
@@ -313,10 +316,17 @@ def serve(style_name, out_dir, size, precision, pad_mode, batch_size):
     """
     from styletransfer_tpu.engines import fast
 
-    fast.serve_loop(
-        style_name=style_name, out_dir=out_dir, size=size,
-        precision=precision, pad_mode=pad_mode, batch_size=batch_size,
-    )
+    def run(stdin, stdout):
+        return fast.serve_loop(
+            style_name=style_name, out_dir=out_dir, size=size,
+            precision=precision, pad_mode=pad_mode, batch_size=batch_size,
+            stdin=stdin, stdout=stdout,
+        )
+
+    try:
+        netserve.maybe_serve_tcp(run, tcp, "fast-tcp")
+    except ValueError as exc:
+        raise click.UsageError(str(exc))
 
 
 @fast_st.command("serve-multi")
@@ -336,7 +346,9 @@ def serve(style_name, out_dir, size, precision, pad_mode, batch_size):
               help="Dynamic batching: serve up to N already-queued requests "
                    "per device call (mixed styles/blends batch together — "
                    "the style is per-sample data)")
-def serve_multi(name, num_styles, out_dir, size, precision, batch_size):
+@click.option("--tcp", default=None, metavar="[HOST:]PORT",
+              help=netserve.TCP_HELP)
+def serve_multi(name, num_styles, out_dir, size, precision, batch_size, tcp):
     """
     Warm-process MULTI-STYLE daemon for a network trained by `train-multi`:
     compiles one program, prints `READY`, then stylizes one image per stdin
@@ -351,7 +363,14 @@ def serve_multi(name, num_styles, out_dir, size, precision, batch_size):
     """
     from styletransfer_tpu.engines import multistyle as ms
 
-    ms.serve_loop(
-        name=name, num_styles=num_styles, out_dir=out_dir, size=size,
-        precision=precision, batch_size=batch_size,
-    )
+    def run(stdin, stdout):
+        return ms.serve_loop(
+            name=name, num_styles=num_styles, out_dir=out_dir, size=size,
+            precision=precision, batch_size=batch_size,
+            stdin=stdin, stdout=stdout,
+        )
+
+    try:
+        netserve.maybe_serve_tcp(run, tcp, "multi-tcp")
+    except ValueError as exc:
+        raise click.UsageError(str(exc))

@@ -11,6 +11,7 @@ import os
 import click
 
 from styletransfer_tpu import constants
+from styletransfer_tpu.engines import netserve
 from styletransfer_tpu.utils.logging import get_logger
 
 LOGGER = get_logger()
@@ -72,10 +73,12 @@ LOGGER = get_logger()
                    "device call of N independent lanes (styles may mix). "
                    "STYLE may be a blend spec a.png,b.png[:0.3,0.7] — "
                    "weighted-average Gram targets, no recompile.")
+@click.option("--tcp", default=None, metavar="[HOST:]PORT",
+              help="(--serve only) " + netserve.TCP_HELP)
 def gatys_st(content_image_path, style_image_path, out_name, steps,
              content_weight, style_weight, optimizer, batch, learning_rate,
              history_size, history_math, coarse_steps, coarse_scale,
-             precision, size, serve):
+             precision, size, serve, tcp):
     """
     Run the original Gatys style transfer. Both `style-image` and
     `content-image` should be the paths to the image we want to take the
@@ -98,14 +101,23 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
             )
         from styletransfer_tpu.engines import gatys
 
-        gatys.serve_loop(
-            steps=steps, style_weight=style_weight,
-            content_weight=content_weight, optimizer=optimizer,
-            learning_rate=learning_rate, history_size=history_size,
-            history_math=history_math,
-            precision=precision, size=size, batch=max(batch, 1),
-        )
+        def run(stdin, stdout):
+            return gatys.serve_loop(
+                steps=steps, style_weight=style_weight,
+                content_weight=content_weight, optimizer=optimizer,
+                learning_rate=learning_rate, history_size=history_size,
+                history_math=history_math,
+                precision=precision, size=size, batch=max(batch, 1),
+                stdin=stdin, stdout=stdout,
+            )
+
+        try:
+            netserve.maybe_serve_tcp(run, tcp, "gatys-tcp")
+        except ValueError as exc:
+            raise click.UsageError(str(exc))
         return
+    if tcp is not None:
+        raise click.UsageError("--tcp requires --serve (daemon mode).")
     if not content_image_path or not style_image_path:
         raise click.UsageError(
             "CONTENT-IMAGE-PATH and STYLE-IMAGE-PATH are required "

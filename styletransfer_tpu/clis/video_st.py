@@ -10,6 +10,7 @@ import os
 import click
 
 from styletransfer_tpu import constants
+from styletransfer_tpu.engines import netserve
 from styletransfer_tpu.utils.logging import get_logger
 
 LOGGER = get_logger()
@@ -163,8 +164,11 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, fps, precision,
                    "strictly serial.")
 @click.option("--max-streams", default=64, type=click.IntRange(min=1),
               help="LRU cap on concurrently-held stream carries")
+@click.option("--tcp", default=None, metavar="[HOST:]PORT",
+              help=netserve.TCP_HELP + " Each connection can carry its "
+                   "own STREAM ids; clients share one id namespace.")
 def serve(style_name, out_dir, size, precision, pad_mode, batch_size,
-          max_streams):
+          max_streams, tcp):
     """
     Warm-process STREAMING stylization daemon: compiles the recurrent step
     once, prints `READY`, then stylizes one frame per stdin line until EOF
@@ -182,8 +186,14 @@ def serve(style_name, out_dir, size, precision, pad_mode, batch_size,
     """
     from styletransfer_tpu.engines import video
 
-    video.serve_stream_loop(
-        style_name=style_name, out_dir=out_dir, size=size,
-        precision=precision, pad_mode=pad_mode, batch_size=batch_size,
-        max_streams=max_streams,
-    )
+    def run(stdin, stdout):
+        return video.serve_stream_loop(
+            style_name=style_name, out_dir=out_dir, size=size,
+            precision=precision, pad_mode=pad_mode, batch_size=batch_size,
+            max_streams=max_streams, stdin=stdin, stdout=stdout,
+        )
+
+    try:
+        netserve.maybe_serve_tcp(run, tcp, "video-tcp")
+    except ValueError as exc:
+        raise click.UsageError(str(exc))

@@ -120,6 +120,68 @@ def test_video_serve_daemon_subprocess(tmp_path):
     assert os.path.isfile(lines[1].split(" ", 1)[1])
 
 
+def test_fast_serve_tcp_subprocess(tmp_path):
+    """The shipped binary behind the TCP transport: spawn
+    ``fast_st serve --tcp 127.0.0.1:0``, read the bound port off stdout,
+    and speak the protocol over real sockets from two concurrent clients
+    — READY handshake per connection, OK/ERR framing, SHUTDOWN from one
+    client stopping the daemon, and a protocol-pure stdout."""
+    import socket
+
+    models = str(tmp_path / "data" / "models")
+    ckpt.save_epoch(
+        transformer.init_params(jax.random.PRNGKey(0)),
+        "fast_st", "sty", 0, models,
+    )
+    content = _make_content(tmp_path)
+    env = dict(
+        os.environ, STX_PLATFORM="cpu", STX_PROJECT_ROOT=str(tmp_path)
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "styletransfer_tpu", "fast_st", "serve",
+         "sty", "--size", str(SIZE), "--tcp", "127.0.0.1:0"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO_ROOT, env=env,
+    )
+    try:
+        banner = proc.stdout.readline().strip()
+        assert banner.startswith("TCP 127.0.0.1 "), banner
+        port = int(banner.split()[2])
+
+        c1 = socket.create_connection(("127.0.0.1", port), timeout=600)
+        c1.settimeout(600)
+        r1 = c1.makefile("r", encoding="utf-8")
+        assert r1.readline().strip() == "READY"  # waits out the compile
+
+        c1.sendall(f"{content}\n".encode())
+        resp = r1.readline().strip()
+        assert resp.startswith("OK "), resp
+        assert os.path.isfile(resp.split(" ", 1)[1])
+
+        c2 = socket.create_connection(("127.0.0.1", port), timeout=60)
+        c2.settimeout(60)
+        r2 = c2.makefile("r", encoding="utf-8")
+        assert r2.readline().strip() == "READY"  # greeted post-compile
+        c2.sendall(b"missing.png\n")
+        assert r2.readline().strip().startswith("ERR missing.png")
+        c2.sendall(b"\n")  # goodbye closes only this connection
+        assert r2.readline() == ""
+
+        c1.sendall(f"{content}\tout/tcp.png\n".encode())
+        assert r1.readline().strip() == "OK " + str(tmp_path / "out" / "tcp.png")
+        c1.sendall(b"SHUTDOWN\n")
+        assert r1.readline().strip() == "OK SHUTDOWN"
+        out, err = proc.communicate(timeout=120)
+        assert proc.returncode == 0, err[-2000:]
+        # stdout purity: only the one handshake line was left unread.
+        assert out.splitlines() == ["READY"], out
+        assert "shutting down" in err
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate(timeout=30)
+
+
 def test_gatys_serve_daemon_subprocess(tmp_path):
     """The gatys daemon is checkpoint-free (each request is an
     optimization); RELOAD must answer an explanatory ERR, not crash."""
