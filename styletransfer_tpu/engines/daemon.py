@@ -105,6 +105,27 @@ class _ServeStats:
         if (self.n_ok + self.n_err) // self.report_every != before:
             self.report("stats")
 
+    def snapshot(self) -> str:
+        """One-line machine-readable summary — the ``STATS`` protocol
+        command's payload, so ops can poll a daemon's health in-band
+        instead of scraping stderr. Percentiles come from the same
+        reservoir as :meth:`report` (group-amortized in batched mode,
+        and said so)."""
+        parts = [f"ok={self.n_ok}", f"err={self.n_err}"]
+        if self.times_ms:
+            ts = sorted(self.times_ms)
+            p = lambda q: ts[min(len(ts) - 1, int(q * len(ts)))]  # noqa: E731
+            parts += [
+                f"p50_ms={p(0.50):.1f}", f"p95_ms={p(0.95):.1f}",
+                f"mean_ms={sum(ts) / len(ts):.1f}",
+            ]
+            if self._group_n:
+                parts += [
+                    "latency=group-amortized",
+                    f"mean_batch_fill={self._group_sum / self._group_n:.1f}",
+                ]
+        return " ".join(parts)
+
     def report(self, label: str) -> None:
         if not self.times_ms:
             return
@@ -140,7 +161,10 @@ def run_request_loop(
     raising answers ``ERR`` with the exception text. ``commands`` maps
     bare keyword lines (e.g. ``"RESET"``) to zero-arg handlers whose
     return value is echoed after ``OK`` without counting as a served
-    request.
+    request. Every daemon answers a bare ``STATS`` line with the loop's
+    own latency/error summary (``OK STATS ok=.. err=.. p50_ms=..``) —
+    in-band health polling, handled here so no engine can forget it
+    (an engine-provided ``commands["STATS"]`` wins, for tests).
 
     Logs per-request latency percentiles every 100 requests and at
     shutdown (`_ServeStats`) — a warm daemon's health is visible from
@@ -152,6 +176,9 @@ def run_request_loop(
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
     stats = _ServeStats(name, logger)
+
+    commands = dict(commands or {})
+    commands.setdefault("STATS", lambda: f"STATS {stats.snapshot()}")
 
     n_served = 0
     for line in stdin:
@@ -242,7 +269,9 @@ def run_batched_request_loop(
     per request IN ORDER: a string payload (answered ``OK <payload>``) or
     an Exception instance (answered ``ERR <input>: <reason>``). Responses
     are written in request order, one line each, so clients pairing
-    responses to requests by count work unchanged.
+    responses to requests by count work unchanged. Bare ``STATS`` lines
+    are answered by the loop itself (in order, like every response) and
+    never reach ``handle_batch``.
 
     Returns the number of successful requests.
     """
@@ -292,35 +321,47 @@ def run_batched_request_loop(
             pending.append(nxt)
 
         requests = [split_fields(line) for line in pending]
+        # STATS is loop-owned (the stats live here, engines after all):
+        # answer it in place — without routing it through handle_batch,
+        # and without counting it as a served request (like the serial
+        # loop's commands). The snapshot reflects the state BEFORE this
+        # wave, the only causally-coherent answer mid-group.
+        stats_ix = {i for i, f in enumerate(requests)
+                    if len(f) == 1 and f[0] == "STATS"}
+        work = [f for i, f in enumerate(requests) if i not in stats_ix]
         t0 = time.perf_counter()
         try:
-            results = handle_batch(requests)
-            if len(results) != len(requests):
+            work_results = handle_batch(work) if work else []
+            if len(work_results) != len(work):
                 # Protocol invariant: exactly one response per request. A
                 # short/long result list must not silently drop responses
                 # (a counting client would block forever on the missing
                 # lines) — answer the whole group ERR instead.
                 raise RuntimeError(
-                    f"handle_batch returned {len(results)} results for "
-                    f"{len(requests)} requests"
+                    f"handle_batch returned {len(work_results)} results for "
+                    f"{len(work)} requests"
                 )
         except Exception as exc:  # noqa: BLE001 - daemon must not die per-batch
-            logger.warning("%s: batch of %d failed (%s)", name, len(requests), exc)
-            results = [exc] * len(requests)
+            logger.warning("%s: batch of %d failed (%s)", name, len(work), exc)
+            work_results = [exc] * len(work)
+        it = iter(work_results)
+        results = [f"STATS {stats.snapshot()}" if i in stats_ix else next(it)
+                   for i in range(len(requests))]
         group_ok = group_err = 0
-        for fields, result in zip(requests, results):
+        for i, (fields, result) in enumerate(zip(requests, results)):
             if isinstance(result, Exception):
                 logger.warning("%s: failed on %s (%s)", name, fields[0], result)
                 print(f"ERR {fields[0]}: {_reason(result)}",
                       file=stdout, flush=False)
                 group_err += 1
             else:
-                n_served += 1
                 print(f"OK {result}", file=stdout, flush=False)
-                group_ok += 1
+                if i not in stats_ix:
+                    n_served += 1
+                    group_ok += 1
         stdout.flush()
         stats.record(group_ok, group_err, time.perf_counter() - t0,
-                     group_size=len(requests))
+                     group_size=len(work))
     logger.info("%s: shutting down after %d request(s)", name, n_served)
     stats.report("final")
     return n_served

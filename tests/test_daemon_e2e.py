@@ -78,15 +78,17 @@ def test_fast_serve_daemon_subprocess(tmp_path):
         f"{content}\ta\tb\tc\n"             # too many fields -> ERR
         "missing.png\n"                     # unreadable input -> ERR
         "RELOAD\n"                          # hot-swap -> OK (epoch 0 exists)
+        "STATS\n"                           # in-band health -> OK STATS
     )
     proc = _spawn(
         ["fast_st", "serve", "sty", "--size", str(SIZE)], tmp_path, requests
     )
-    lines = _assert_protocol_stdout(proc, 5)
+    lines = _assert_protocol_stdout(proc, 6)
     assert lines[1].startswith("OK ") and lines[2].startswith("OK ")
     assert "expected INPUT[\\tOUTPUT], got 4 fields" in lines[3]
     assert lines[4].startswith("ERR missing.png")
     assert lines[5] == "OK RELOAD epoch=0"
+    assert lines[6].startswith("OK STATS ok=2 err=2") and "p50_ms=" in lines[6]
     # The daemon really wrote where it said it did, inside the sandbox.
     assert os.path.isfile(lines[1].split(" ", 1)[1])
     assert os.path.isfile(str(tmp_path / "out" / "explicit.png"))

@@ -620,6 +620,56 @@ def test_segmented_handle_batch_unit():
     assert calls == [[0], [2], [4]]  # segments in order, split at commands
 
 
+def test_daemon_stats_command_serial():
+    """A bare STATS line answers the loop's own health summary in-band —
+    counted like the other commands (not a served request) and reflecting
+    exactly the requests answered before it."""
+    import io
+
+    from styletransfer_tpu.engines import daemon
+
+    def handle(*fields):
+        if fields[0] == "boom":
+            raise ValueError("x")
+        return fields[0].upper()
+
+    stdin = io.StringIO("a\nSTATS\nboom\nSTATS\n\n")
+    stdout = io.StringIO()
+    n = daemon.run_request_loop(handle, stdin=stdin, stdout=stdout, name="t")
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "OK A"
+    assert lines[1].startswith("OK STATS ok=1 err=0")
+    assert "p50_ms=" in lines[1] and "mean_ms=" in lines[1]
+    assert lines[2].startswith("ERR boom")
+    assert lines[3].startswith("OK STATS ok=1 err=1")
+    assert n == 1
+
+
+def test_daemon_stats_command_batched():
+    """STATS lines inside a batched burst are answered by the loop, in
+    request order, and never reach handle_batch."""
+    import io
+
+    from styletransfer_tpu.engines import daemon
+
+    def handle_batch(requests):
+        assert ["STATS"] not in requests
+        return ["+".join(f).upper() for f in requests]
+
+    stdin = io.StringIO("a\nSTATS\nb\tc\nSTATS\n\n")
+    stdout = io.StringIO()
+    n = daemon.run_batched_request_loop(
+        handle_batch, max_batch=8, stdin=stdin, stdout=stdout, name="t"
+    )
+    lines = stdout.getvalue().splitlines()
+    # One response per line, in order, whatever the dynamic grouping was.
+    assert lines[0] == "OK A"
+    assert lines[1].startswith("OK STATS ok=")
+    assert lines[2] == "OK B+C"
+    assert lines[3].startswith("OK STATS ok=")
+    assert n == 2  # STATS lines are not served requests
+
+
 def test_daemon_stats_logged(tmp_path, rng, caplog):
     """The daemon loops log per-request latency percentiles (and batch
     fill, in batched mode) at shutdown — daemon health from stderr alone."""
