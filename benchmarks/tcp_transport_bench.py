@@ -1,0 +1,148 @@
+"""Pipe vs TCP transport overhead for the serving daemons.
+
+The TCP transport (engines/netserve.py) adds a listener, per-client
+reader threads, and a FIFO response router in front of the same engine
+loops the pipe daemons run — this bench measures what that costs per
+request, end to end, against the SHIPPED binary (``python -m
+styletransfer_tpu fast_st serve``):
+
+- serial phase: N request→response round-trips, one at a time (the
+  latency a lone client sees);
+- burst phase: N requests pipelined up front with ``-b BATCH`` dynamic
+  batching (the throughput a bursty client sees).
+
+Both phases run once over the process pipes and once over a localhost
+socket; the deltas are the transport overhead. Run it on the TPU host
+for the serving tables in docs/serving.md; on CPU (STX_PLATFORM=cpu) it
+still isolates the transport delta — the engine work is identical on
+both sides.
+
+Run: python benchmarks/tcp_transport_bench.py
+Env: TCPB_N (default 32), TCPB_SIZE (256), TCPB_BATCH (8)
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+N = int(os.environ.get("TCPB_N", "32"))
+SIZE = int(os.environ.get("TCPB_SIZE", "256"))
+BATCH = int(os.environ.get("TCPB_BATCH", "8"))
+STYLE = "demo_style.png"
+
+
+def ensure_assets():
+    """Demo content + a fast_st checkpoint for STYLE (seeded init if absent)."""
+    import jax
+
+    from styletransfer_tpu import ckpt
+    from styletransfer_tpu.models import transformer
+    from styletransfer_tpu.utils import demo
+
+    assets = demo.ensure_demo_assets()
+    if not ckpt.epoch_checkpoint_exists("fast_st", STYLE, 0):
+        ckpt.save_epoch(
+            transformer.init_params(jax.random.PRNGKey(0)), "fast_st", STYLE, 0
+        )
+    return os.path.relpath(assets["content"], REPO_ROOT)
+
+
+def _drive(req_w, resp_r, content):
+    # READY (the compile happens here on a cold cache).
+    t0 = time.time()
+    line = resp_r.readline()
+    while line and line.strip() != "READY":
+        line = resp_r.readline()
+    assert line, "daemon exited before READY"
+    ready_s = time.time() - t0
+
+    out = {"ready_s": round(ready_s, 1)}
+    # Serial: one in-flight request at a time.
+    t0 = time.time()
+    for _ in range(N):
+        req_w.write(content + "\n")
+        req_w.flush()
+        resp = resp_r.readline().strip()
+        assert resp.startswith("OK "), resp
+    out["serial_ms"] = round((time.time() - t0) / N * 1e3, 1)
+    # Burst: pipeline everything, let the daemon group up to BATCH.
+    t0 = time.time()
+    for _ in range(N):
+        req_w.write(content + "\n")
+    req_w.flush()
+    for _ in range(N):
+        resp = resp_r.readline().strip()
+        assert resp.startswith("OK "), resp
+    out["burst_ms"] = round((time.time() - t0) / N * 1e3, 1)
+    return out
+
+
+def run_pipe(content):
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "styletransfer_tpu", "fast_st", "serve",
+         STYLE, "--size", str(SIZE), "-b", str(BATCH)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1, cwd=REPO_ROOT,
+    )
+    try:
+        out = _drive(proc.stdin, proc.stdout, content)
+        proc.stdin.write("\n")
+        proc.stdin.flush()
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    return out
+
+
+def run_tcp(content):
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "styletransfer_tpu", "fast_st", "serve",
+         STYLE, "--size", str(SIZE), "-b", str(BATCH),
+         "--tcp", "127.0.0.1:0"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        bufsize=1, cwd=REPO_ROOT,
+    )
+    try:
+        banner = proc.stdout.readline().split()
+        port = int(banner[2])
+        sock = socket.create_connection(("127.0.0.1", port), timeout=1200)
+        sock.settimeout(1200)
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        req_w = sock.makefile("w", encoding="utf-8")
+        resp_r = sock.makefile("r", encoding="utf-8")
+        out = _drive(req_w, resp_r, content)
+        req_w.write("SHUTDOWN\n")
+        req_w.flush()
+        assert resp_r.readline().strip() == "OK SHUTDOWN"
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    return out
+
+
+def main():
+    content = ensure_assets()
+    rows = []
+    for transport, fn in (("pipe", run_pipe), ("tcp", run_tcp)):
+        r = {"transport": transport, **fn(content)}
+        rows.append(r)
+        print(f"{transport}: {r}", file=sys.stderr)
+    pipe, tcp = rows
+    print(json.dumps({
+        "n": N, "size": SIZE, "batch": BATCH, "rows": rows,
+        "serial_overhead_ms": round(tcp["serial_ms"] - pipe["serial_ms"], 1),
+        "burst_overhead_ms": round(tcp["burst_ms"] - pipe["burst_ms"], 1),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
