@@ -289,6 +289,12 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, size, precision,
 @click.option("--size", default=None, type=int,
               help="Working resolution (default 256); all requests are "
                    "resized to it so they share one compiled program")
+@click.option("--sizes", default=None, metavar="S1,S2,...",
+              help="Multi-resolution serving buckets (e.g. 256,512): one "
+                   "program per size is compiled before READY, and a "
+                   "request's optional third field picks its bucket "
+                   "(INPUT<TAB>OUTPUT<TAB>512; absent = the first listed). "
+                   "Overrides --size.")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="Activation precision")
 @click.option("--pad-mode", default="reflect", type=click.Choice(["reflect", "zeros"]),
@@ -298,10 +304,12 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, size, precision,
               type=click.IntRange(min=1),
               help="Dynamic batching: serve up to N already-queued requests "
                    "per device call (lone requests keep single-request "
-                   "latency; piped bursts get batched throughput)")
+                   "latency; piped bursts get batched throughput; with "
+                   "--sizes, a group runs one call per bucket present)")
 @click.option("--tcp", default=None, metavar="[HOST:]PORT",
               help=netserve.TCP_HELP)
-def serve(style_name, out_dir, size, precision, pad_mode, batch_size, tcp):
+def serve(style_name, out_dir, size, sizes, precision, pad_mode, batch_size,
+          tcp):
     """
     Warm-process stylization daemon: compiles the serving program once,
     prints `READY`, then stylizes one image per stdin line until EOF or a
@@ -316,11 +324,21 @@ def serve(style_name, out_dir, size, precision, pad_mode, batch_size, tcp):
     """
     from styletransfer_tpu.engines import fast
 
+    size_list = None
+    if sizes:
+        try:
+            size_list = [int(s) for s in sizes.split(",") if s.strip()]
+        except ValueError:
+            raise click.UsageError(f"--sizes must be a comma list of ints, "
+                                   f"got {sizes!r}")
+        if not size_list:
+            raise click.UsageError("--sizes is empty")
+
     def run(stdin, stdout):
         return fast.serve_loop(
             style_name=style_name, out_dir=out_dir, size=size,
             precision=precision, pad_mode=pad_mode, batch_size=batch_size,
-            stdin=stdin, stdout=stdout,
+            sizes=size_list, stdin=stdin, stdout=stdout,
         )
 
     try:

@@ -26,7 +26,7 @@ import functools
 import os
 import sys
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -580,6 +580,7 @@ def serve_loop(
     precision: str = "f32",
     pad_mode: str = "reflect",
     batch_size: int = 1,
+    sizes: Optional[Sequence[int]] = None,
     stdin=None,
     stdout=None,
 ) -> int:
@@ -615,6 +616,15 @@ def serve_loop(
     a piped burst gets batched throughput (engines/daemon.py). The ragged
     group is padded to the one compiled shape and sliced after.
 
+    ``sizes`` (CLI ``--sizes 256,512``) serves SEVERAL resolution buckets
+    from one daemon: each bucket's program is compiled before ``READY``
+    (the net is fully convolutional — same params, jit re-specializes per
+    shape), and a request's optional third field picks its bucket
+    (``in.jpg\\t\\t512``; absent = the first listed size). In batched mode
+    a drained group splits into one device call per bucket present, with
+    responses still in request order. Requesting a size that was not
+    compiled answers ``ERR`` — serving never compiles mid-request.
+
     The reference has no serving story beyond one image per process
     (network.py:798-832); this is the daemon form of that CLI contract.
     """
@@ -635,26 +645,56 @@ def serve_loop(
 
     serve_fn = make_serve_fn(precision, pad_mode)
 
-    sz = size or constants.IMSIZE
+    # Resolution buckets: one compiled program per size, first = default.
+    if sizes:
+        buckets = []
+        for s in sizes:
+            s = int(s)
+            if s < 1:
+                raise ValueError(f"serving size must be >= 1, got {s}")
+            if s not in buckets:
+                buckets.append(s)
+    else:
+        buckets = [size or constants.IMSIZE]
+    default_sz = buckets[0]
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     # Multi-chip serving: a request group is pure data parallelism
     # (parallel/mesh.py:serving_placement; one device = plain placement).
+    # The placement is shape-agnostic, so all buckets share it.
     params, place, _, place_params = mesh_lib.serving_placement(
         batch_size, params
     )
 
-    # Compile eagerly at the fixed serving shape so READY means ready:
+    # Compile eagerly at every serving shape so READY means ready:
     # every subsequent request is pure execute (+ the persistent XLA cache
     # makes even this warm-up cheap after the first-ever process).
     serve = jax.jit(serve_fn)
-    warm = place(np.zeros((batch_size, sz, sz, 3), np.uint8))
-    t0 = time.time()
-    np.asarray(serve(params, warm))
-    logger.info("serve: compiled %dpx %s b%d program in %.1fs; ready",
-                sz, precision, batch_size, time.time() - t0)
+    for s in buckets:
+        warm = place(np.zeros((batch_size, s, s, 3), np.uint8))
+        t0 = time.time()
+        np.asarray(serve(params, warm))
+        logger.info("serve: compiled %dpx %s b%d program in %.1fs",
+                    s, precision, batch_size, time.time() - t0)
+    logger.info("serve: ready (buckets: %s)", buckets)
     print("READY", file=stdout, flush=True)
+
+    def resolve_bucket(fields) -> int:
+        """Field-count contract + the optional SIZE field's bucket."""
+        if len(fields) > 3:
+            raise ValueError(
+                f"expected INPUT[\\tOUTPUT[\\tSIZE]], got {len(fields)} fields"
+            )
+        if len(fields) == 3 and fields[2]:
+            try:
+                s = int(fields[2])
+            except ValueError:
+                raise ValueError(f"SIZE must be an integer, got {fields[2]!r}")
+            if s not in buckets:
+                raise ValueError(f"size {s} not in serving buckets {buckets}")
+            return s
+        return default_sz
 
     # The served params live in a cell so RELOAD can swap them: identical
     # pytree structure/shapes means the jitted program is reused as-is.
@@ -681,14 +721,11 @@ def serve_loop(
         def handle(*fields):
             # Same field-count contract (and ERR text) as the batched
             # run_segment below — serial mode must not leak a TypeError.
-            if len(fields) > 2:
-                raise ValueError(
-                    f"expected INPUT[\\tOUTPUT], got {len(fields)} fields"
-                )
+            bucket = resolve_bucket(fields)
             in_path = fields[0]
             explicit_out = fields[1] if len(fields) > 1 else ""
             input_u8 = img_utils.load_image_uint8(
-                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=bucket
             )
             out_u8 = np.asarray(serve(state["params"], jnp.asarray(input_u8)))[0]
             return save_one(in_path, explicit_out, out_u8)
@@ -699,39 +736,40 @@ def serve_loop(
         )
 
     def run_segment(segment, results):
-        """Serve one RELOAD-free run of requests as one device call."""
-        arrs, metas = [], []
+        """Serve one RELOAD-free run of requests: one device call per
+        resolution bucket present, responses by request index."""
+        by_bucket: Dict[int, list] = {}
         for i, fields in segment:
             try:
-                if len(fields) > 2:
-                    raise ValueError(
-                        f"expected INPUT[\\tOUTPUT], got {len(fields)} fields"
-                    )
+                bucket = resolve_bucket(fields)
                 in_path = fields[0]
-                arrs.append(img_utils.load_image_uint8(
+                arr = img_utils.load_image_uint8(
                     os.path.join(constants.PROJECT_ROOT_PATH, in_path),
-                    size=sz,
-                )[0])
-                metas.append((i, in_path, fields[1] if len(fields) > 1 else ""))
+                    size=bucket,
+                )[0]
+                by_bucket.setdefault(bucket, []).append(
+                    (i, in_path, fields[1] if len(fields) > 1 else "", arr)
+                )
             except Exception as exc:  # noqa: BLE001 - answered per-request
                 results[i] = exc
-        if not metas:
-            return
-        arr = np.stack(arrs)
-        pad = batch_size - len(arrs)
-        if pad:
-            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-        try:
-            out = np.asarray(serve(state["params"], place(arr)))[: len(metas)]
-        except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
-            for i, _, _ in metas:
-                results[i] = exc
-            return
-        for (i, in_path, explicit_out), img in zip(metas, out):
+        for bucket, metas in by_bucket.items():
+            arr = np.stack([m[3] for m in metas])
+            pad = batch_size - len(metas)
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
             try:
-                results[i] = save_one(in_path, explicit_out, img)
-            except Exception as exc:  # noqa: BLE001
-                results[i] = exc
+                out = np.asarray(
+                    serve(state["params"], place(arr))
+                )[: len(metas)]
+            except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
+                for i, _, _, _ in metas:
+                    results[i] = exc
+                continue
+            for (i, in_path, explicit_out, _), img in zip(metas, out):
+                try:
+                    results[i] = save_one(in_path, explicit_out, img)
+                except Exception as exc:  # noqa: BLE001
+                    results[i] = exc
 
     return daemon.run_batched_request_loop(
         daemon.segmented_handle_batch(run_segment, {"RELOAD": reload}),

@@ -85,7 +85,7 @@ def test_fast_serve_daemon_subprocess(tmp_path):
     )
     lines = _assert_protocol_stdout(proc, 6)
     assert lines[1].startswith("OK ") and lines[2].startswith("OK ")
-    assert "expected INPUT[\\tOUTPUT], got 4 fields" in lines[3]
+    assert "expected INPUT[\\tOUTPUT[\\tSIZE]], got 4 fields" in lines[3]
     assert lines[4].startswith("ERR missing.png")
     assert lines[5] == "OK RELOAD epoch=0"
     assert lines[6].startswith("OK STATS ok=2 err=2") and "p50_ms=" in lines[6]

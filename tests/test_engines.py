@@ -541,7 +541,7 @@ def test_serve_loop_dynamic_batching(tmp_path, rng):
     # delivers them instantly, so the loop forms multi-request groups).
     reqs = [str(p) for p in imgs]
     reqs.insert(2, str(tmp_path / "missing.png"))
-    reqs.insert(4, f"{imgs[0]}\tx\ty")  # 3 fields: malformed
+    reqs.insert(4, f"{imgs[0]}\ta\tb\tc")  # 4 fields: malformed
     stdin = io.StringIO("\n".join(reqs) + "\n\n")
     stdout = io.StringIO()
     n = fast.serve_loop(
@@ -976,8 +976,50 @@ def test_serve_loop_malformed_request_answers_err(tmp_path, rng):
     # Serial mode must answer the SAME clean protocol error as batched
     # mode — not a leaked Python TypeError from handle(*fields).
     assert lines[1].startswith("ERR ")
-    assert "expected INPUT[\\tOUTPUT], got 4 fields" in lines[1]
+    assert "expected INPUT[\\tOUTPUT[\\tSIZE]], got 4 fields" in lines[1]
     assert lines[2].startswith("OK ")
+
+
+def test_serve_loop_size_buckets(tmp_path, rng):
+    """Multi-resolution serving (--sizes): one daemon serves several
+    compiled buckets; the optional third field routes each request (first
+    listed = default), an un-compiled size answers ERR, and a batched
+    group with mixed buckets keeps responses in request order — serial
+    and batched daemons must behave identically."""
+    import io
+
+    from PIL import Image
+
+    img = tmp_path / "p.png"
+    Image.fromarray(
+        rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    ).save(img)
+    params = transformer.init_params(jax.random.PRNGKey(0))
+
+    requests = (
+        f"{img}\t{tmp_path}/d.png\n"        # default bucket (first = 32)
+        f"{img}\t{tmp_path}/big.png\t48\n"  # explicit 48 bucket
+        f"{img}\t{tmp_path}/x.png\t40\n"    # not a bucket -> ERR
+        f"{img}\t{tmp_path}/nan.png\tbig\n" # non-integer SIZE -> ERR
+        "\n"
+    )
+    for batch_size in (1, 3):
+        stdin = io.StringIO(requests)
+        stdout = io.StringIO()
+        n = fast.serve_loop(
+            style_name="tst", out_dir=str(tmp_path / "results"),
+            params=params, sizes=[32, 48], batch_size=batch_size,
+            stdin=stdin, stdout=stdout,
+        )
+        assert n == 2
+        lines = stdout.getvalue().splitlines()
+        assert lines[0] == "READY"
+        assert lines[1] == f"OK {tmp_path}/d.png"
+        assert lines[2] == f"OK {tmp_path}/big.png"
+        assert "size 40 not in serving buckets [32, 48]" in lines[3]
+        assert "SIZE must be an integer" in lines[4]
+        assert Image.open(tmp_path / "d.png").size == (32, 32)
+        assert Image.open(tmp_path / "big.png").size == (48, 48)
 
 
 def test_video_serve_multi_stream_batched_matches_scan(tmp_path, rng):
