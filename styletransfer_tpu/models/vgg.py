@@ -242,6 +242,31 @@ def import_torch_state_dict(
     return params
 
 
+def find_weights(weights_path: Optional[str] = None) -> Optional[str]:
+    """First existing pretrained-VGG19 weights file, or None.
+
+    Search order (same as :func:`load_params`, which delegates here):
+    explicit path -> ``$STX_VGG19_WEIGHTS`` -> ``data/models/vgg19.npz`` /
+    ``.pth`` under the project root.
+    """
+    from styletransfer_tpu import constants
+
+    candidates = []
+    if weights_path:
+        candidates.append(weights_path)
+    env = os.environ.get("STX_VGG19_WEIGHTS")
+    if env:
+        candidates.append(env)
+    for name in ("vgg19.npz", "vgg19.pth", "vgg19-dcbb9e9d.pth"):
+        candidates.append(
+            os.path.join(constants.PROJECT_ROOT_PATH, "data", "models", name)
+        )
+    for path in candidates:
+        if path and os.path.isfile(path):
+            return path
+    return None
+
+
 def load_params(
     weights_path: Optional[str] = None,
     taps: Sequence[str] = DEFAULT_TAPS,
@@ -253,27 +278,17 @@ def load_params(
     ``data/models/vgg19.npz`` / ``data/models/vgg19.pth`` under the repo root
     -> deterministic He init (logged).
     """
-    from styletransfer_tpu import constants
     from styletransfer_tpu.utils.logging import get_logger
 
-    candidates = []
-    if weights_path:
-        candidates.append(weights_path)
-    env = os.environ.get("STX_VGG19_WEIGHTS")
-    if env:
-        candidates.append(env)
-    for name in ("vgg19.npz", "vgg19.pth", "vgg19-dcbb9e9d.pth"):
-        candidates.append(os.path.join(constants.PROJECT_ROOT_PATH, "data", "models", name))
+    path = find_weights(weights_path)
+    if path:
+        if path.endswith(".npz"):
+            data = dict(np.load(path))
+            return import_torch_state_dict(data, taps)
+        import torch
 
-    for path in candidates:
-        if path and os.path.isfile(path):
-            if path.endswith(".npz"):
-                data = dict(np.load(path))
-                return import_torch_state_dict(data, taps)
-            import torch
-
-            sd = torch.load(path, map_location="cpu", weights_only=True)
-            return import_torch_state_dict(sd, taps)
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return import_torch_state_dict(sd, taps)
 
     get_logger().warning(
         "No pretrained VGG19 weights found (searched %s); using deterministic "

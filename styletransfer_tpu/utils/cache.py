@@ -31,6 +31,11 @@ _DEFAULT_DIR = os.path.join(
 _enabled = False
 
 
+def cache_dir() -> str:
+    """The persistent compile cache location (env override honored)."""
+    return os.environ.get("STX_COMPILE_CACHE_DIR", _DEFAULT_DIR)
+
+
 def apply_platform() -> None:
     """Apply ``STX_PLATFORM`` (e.g. ``cpu``) to JAX's platform selection.
 

@@ -9,7 +9,9 @@ from styletransfer_tpu.clis import cli
 
 
 def test_cli_groups_registered():
-    assert set(cli.commands) == {"gatys_st", "fast_st", "video_st"}
+    # The reference's three groups exactly (its whole CLI surface), plus
+    # the framework-added doctor diagnostics command.
+    assert set(cli.commands) == {"gatys_st", "fast_st", "video_st", "doctor"}
 
 
 def test_gatys_options_match_reference():
