@@ -15,6 +15,16 @@ Quirk handled deliberately (SURVEY.md §"quirks"): the reference picks
 "latest" by lexicographic filename sort, so ``epoch10`` sorts before
 ``epoch2`` (network.py:65-67). We parse the epoch number and sort
 numerically, while still reading reference-named files.
+
+Alternative backend: ``STX_CKPT_BACKEND=orbax`` writes epoch checkpoints
+as Orbax OCDBT directories (``..._epoch{e}.orbax/``) instead of msgpack
+files — same naming/discovery/resume contract, and both formats remain
+readable regardless of the active backend (discovery prefers the native
+formats over reference ``.pth`` at equal epochs). msgpack is the default
+because at these model sizes (~6 MB) it is instant; orbax buys sharded,
+scalable IO when params outgrow single-file writes (ROADMAP.md). Note
+orbax save/restore initializes the JAX backend — under an accelerator
+outage combine with ``STX_PLATFORM=cpu``.
 """
 
 from __future__ import annotations
@@ -33,6 +43,29 @@ from styletransfer_tpu.utils.logging import get_logger
 _EPOCH_RE = re.compile(r"epoch(\d+)")
 
 CKPT_SUFFIX = ".msgpack"
+ORBAX_SUFFIX = ".orbax"
+
+_orbax_checkpointer = None
+
+
+def _ckpt_backend() -> str:
+    backend = os.environ.get("STX_CKPT_BACKEND", "msgpack")
+    if backend not in ("msgpack", "orbax"):
+        raise ValueError(
+            f"STX_CKPT_BACKEND must be 'msgpack' or 'orbax', got {backend!r}"
+        )
+    return backend
+
+
+def _orbax():
+    """Singleton orbax StandardCheckpointer (imported lazily — orbax pulls
+    in the full jax device stack at save/restore time)."""
+    global _orbax_checkpointer
+    if _orbax_checkpointer is None:
+        import orbax.checkpoint as ocp
+
+        _orbax_checkpointer = ocp.StandardCheckpointer()
+    return _orbax_checkpointer
 
 
 def _models_dir(models_path: Optional[str] = None) -> str:
@@ -45,22 +78,39 @@ def _models_dir(models_path: Optional[str] = None) -> str:
 def checkpoint_path(
     model_name: str, style_name: str, epoch: int, models_path: Optional[str] = None
 ) -> str:
-    """``data/models/{model}_{style}_epoch{e}.msgpack`` (reference network.py:677)."""
+    """``data/models/{model}_{style}_epoch{e}.msgpack`` (reference
+    network.py:677); ``.orbax`` under ``STX_CKPT_BACKEND=orbax``."""
+    suffix = ORBAX_SUFFIX if _ckpt_backend() == "orbax" else CKPT_SUFFIX
     return os.path.join(
-        _models_dir(models_path), f"{model_name}_{style_name}_epoch{epoch}{CKPT_SUFFIX}"
+        _models_dir(models_path), f"{model_name}_{style_name}_epoch{epoch}{suffix}"
     )
 
 
 def save(params: Any, path: str) -> None:
-    """Serialize a param pytree to msgpack bytes at ``path``."""
+    """Serialize a param pytree at ``path`` — msgpack bytes, or an Orbax
+    OCDBT directory when the path carries the ``.orbax`` suffix."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.endswith(ORBAX_SUFFIX):
+        ckr = _orbax()
+        ckr.save(os.path.abspath(path), jax.device_get(params), force=True)
+        # StandardCheckpointer commits asynchronously; this save() contract
+        # is durable-on-return (resume logic stats the path right after).
+        ckr.wait_until_finished()
+        return
     data = serialization.to_bytes(jax.device_get(params))
     with open(path, "wb") as f:
         f.write(data)
 
 
 def load(path: str, template: Any) -> Any:
-    """Load a msgpack pytree saved by :func:`save`, shaped like ``template``."""
+    """Load a pytree saved by :func:`save` (either format), shaped like
+    ``template``."""
+    if path.endswith(ORBAX_SUFFIX):
+        restored = _orbax().restore(os.path.abspath(path),
+                                    jax.device_get(template))
+        # Match the msgpack branch's contract: leaves shaped/typed like
+        # the template, as host arrays the caller then places.
+        return jax.tree.map(np.asarray, restored)
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
 
@@ -80,8 +130,13 @@ def save_epoch(
 def epoch_checkpoint_exists(
     model_name: str, style_name: str, epoch: int, models_path: Optional[str] = None
 ) -> bool:
-    """Resume-skip check (reference network.py:681-685)."""
-    return os.path.isfile(checkpoint_path(model_name, style_name, epoch, models_path))
+    """Resume-skip check (reference network.py:681-685). An epoch saved
+    under EITHER backend counts — switching ``STX_CKPT_BACKEND`` must not
+    retrain finished epochs."""
+    base = os.path.join(
+        _models_dir(models_path), f"{model_name}_{style_name}_epoch{epoch}"
+    )
+    return os.path.isfile(base + CKPT_SUFFIX) or os.path.isdir(base + ORBAX_SUFFIX)
 
 
 def _epoch_of(filename: str) -> int:
@@ -112,7 +167,9 @@ def find_latest(
             for x in os.listdir(directory)
             if x.startswith(model_name)
             and style_name in os.path.splitext(x)[0][len(model_name):]
-            and (x.endswith(CKPT_SUFFIX) or x.endswith(".pth"))
+            and (x.endswith(CKPT_SUFFIX) or x.endswith(".pth")
+                 or (x.endswith(ORBAX_SUFFIX)
+                     and os.path.isdir(os.path.join(directory, x))))
             and "_step_state" not in x  # mid-epoch states aren't "latest" weights
         ]
     except FileNotFoundError:
@@ -126,8 +183,10 @@ def find_latest(
         raise FileNotFoundError(
             f"No weights for model {model_name!r} and style {style_name!r} in {directory}"
         )
-    # Prefer higher epoch; among equal epochs prefer native msgpack.
-    names.sort(key=lambda n: (_epoch_of(n), n.endswith(CKPT_SUFFIX)))
+    # Prefer higher epoch; among equal epochs prefer the native formats
+    # (msgpack, then orbax) over reference .pth.
+    names.sort(key=lambda n: (_epoch_of(n), n.endswith(CKPT_SUFFIX),
+                              n.endswith(ORBAX_SUFFIX)))
     chosen = names[-1]
     return os.path.join(directory, chosen), _epoch_of(chosen)
 

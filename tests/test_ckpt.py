@@ -74,3 +74,43 @@ def test_msgpack_preferred_over_pth_same_epoch(tmp_path, params):
     ckpt.save_epoch(params, "fast_st", "s", 1, str(tmp_path))
     path, _ = ckpt.find_latest("fast_st", "s", str(tmp_path))
     assert path.endswith(".msgpack")
+
+
+def test_orbax_backend_roundtrip_and_discovery(tmp_path, params, monkeypatch):
+    """STX_CKPT_BACKEND=orbax: epoch checkpoints become Orbax OCDBT
+    directories with the SAME naming/discovery/resume contract, and both
+    formats stay readable whichever backend is active."""
+    import os
+
+    mp = str(tmp_path)
+    monkeypatch.setenv("STX_CKPT_BACKEND", "orbax")
+    path = ckpt.save_epoch(params, "fast_st", "sty", 3, mp)
+    assert path.endswith("_epoch3.orbax") and os.path.isdir(path)
+    assert ckpt.epoch_checkpoint_exists("fast_st", "sty", 3, mp)
+
+    found, epoch = ckpt.find_latest("fast_st", "sty", mp)
+    assert (found, epoch) == (path, 3)
+    loaded, epoch = ckpt.load_latest_transformer("fast_st", "sty", params, mp)
+    assert epoch == 3
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # Higher-epoch msgpack written by the default backend wins discovery;
+    # the orbax epoch still counts as existing (no retraining on switch).
+    monkeypatch.delenv("STX_CKPT_BACKEND")
+    ckpt.save_epoch(params, "fast_st", "sty", 4, mp)
+    found, epoch = ckpt.find_latest("fast_st", "sty", mp)
+    assert epoch == 4 and found.endswith(".msgpack")
+    assert ckpt.epoch_checkpoint_exists("fast_st", "sty", 3, mp)
+
+    # Overwriting an existing orbax epoch must not fail (force semantics,
+    # like a plain file rewrite).
+    monkeypatch.setenv("STX_CKPT_BACKEND", "orbax")
+    ckpt.save_epoch(params, "fast_st", "sty", 3, mp)
+
+
+def test_orbax_backend_bad_value(monkeypatch):
+    monkeypatch.setenv("STX_CKPT_BACKEND", "zip")
+    with pytest.raises(ValueError):
+        ckpt.checkpoint_path("fast_st", "sty", 0)
