@@ -357,16 +357,24 @@ def serve(style_name, out_dir, size, sizes, precision, pad_mode, batch_size,
 @click.option("--size", default=None, type=int,
               help="Working resolution (default 256); all requests are "
                    "resized to it so they share one compiled program")
+@click.option("--sizes", default=None, metavar="S1,S2,...",
+              help="Multi-resolution serving buckets (e.g. 256,512): one "
+                   "program per size is compiled before READY, and a "
+                   "request's optional fourth field picks its bucket "
+                   "(INPUT<TAB>OUTPUT<TAB>STYLE<TAB>512; absent = the "
+                   "first listed). Overrides --size.")
 @click.option("--precision", default="f32", type=click.Choice(["f32", "bf16"]),
               help="Activation precision")
 @click.option("-b", "--batch-size", default=1,
               type=click.IntRange(min=1),
               help="Dynamic batching: serve up to N already-queued requests "
                    "per device call (mixed styles/blends batch together — "
-                   "the style is per-sample data)")
+                   "the style is per-sample data; with --sizes, a group "
+                   "runs one call per bucket present)")
 @click.option("--tcp", default=None, metavar="[HOST:]PORT",
               help=netserve.TCP_HELP)
-def serve_multi(name, num_styles, out_dir, size, precision, batch_size, tcp):
+def serve_multi(name, num_styles, out_dir, size, sizes, precision,
+                batch_size, tcp):
     """
     Warm-process MULTI-STYLE daemon for a network trained by `train-multi`:
     compiles one program, prints `READY`, then stylizes one image per stdin
@@ -381,10 +389,20 @@ def serve_multi(name, num_styles, out_dir, size, precision, batch_size, tcp):
     """
     from styletransfer_tpu.engines import multistyle as ms
 
+    size_list = None
+    if sizes:
+        try:
+            size_list = [int(s) for s in sizes.split(",") if s.strip()]
+        except ValueError:
+            raise click.UsageError(f"--sizes must be a comma list of ints, "
+                                   f"got {sizes!r}")
+        if not size_list:
+            raise click.UsageError("--sizes is empty")
+
     def run(stdin, stdout):
         return ms.serve_loop(
             name=name, num_styles=num_styles, out_dir=out_dir, size=size,
-            precision=precision, batch_size=batch_size,
+            precision=precision, batch_size=batch_size, sizes=size_list,
             stdin=stdin, stdout=stdout,
         )
 

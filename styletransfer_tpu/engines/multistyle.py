@@ -384,6 +384,7 @@ def serve_loop(
     size: Optional[int] = None,
     precision: str = "f32",
     batch_size: int = 1,
+    sizes=None,
     stdin=None,
     stdout=None,
 ) -> int:
@@ -397,13 +398,18 @@ def serve_loop(
     blended conditional-IN affines; tested identical).
 
     Protocol (line-oriented, responses flushed): each request line is
-    ``INPUT[\\tOUTPUT[\\tSTYLE]]`` where STYLE is an index (``2``) or
-    comma-separated blend weights (``0.3,0.7``, normalized server-side);
-    empty OUTPUT means the default
+    ``INPUT[\\tOUTPUT[\\tSTYLE[\\tSIZE]]]`` where STYLE is an index
+    (``2``) or comma-separated blend weights (``0.3,0.7``, normalized
+    server-side); empty OUTPUT means the default
     ``{out_dir}/converted_fast_multi_st_{name}_{stem}_{style}.png``.
-    Missing STYLE means style 0. ``READY`` after compile; per request
-    ``OK <out_path>`` or ``ERR <input>: <reason>``; blank line / EOF shuts
-    down. Returns the number served.
+    Missing STYLE means style 0. SIZE picks a resolution bucket when the
+    daemon was started with ``sizes`` (CLI ``--sizes 256,512``; see
+    ``fast.serve_loop`` — absent = first listed; an un-compiled size
+    answers ``ERR``; batched groups run one device call per
+    (bucket) present, styles still mixing freely as data). ``READY``
+    after compile; per request ``OK <out_path>`` or
+    ``ERR <input>: <reason>``; blank line / EOF shuts down. Returns the
+    number served.
     """
     import sys as _sys
 
@@ -437,7 +443,19 @@ def serve_loop(
         y = multistyle.apply_blend(params, x, weights, compute_dtype=cd)
         return img_utils.to_uint8_on_device(y)
 
-    sz = size or constants.IMSIZE
+    # Resolution buckets: one compiled program per size, first = default
+    # (same contract as fast.serve_loop).
+    if sizes:
+        buckets = []
+        for s in sizes:
+            s = int(s)
+            if s < 1:
+                raise ValueError(f"serving size must be >= 1, got {s}")
+            if s not in buckets:
+                buckets.append(s)
+    else:
+        buckets = [size or constants.IMSIZE]
+    default_sz = buckets[0]
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -451,18 +469,37 @@ def serve_loop(
     warm_w = np.tile(
         np.eye(1, num_styles, dtype=np.float32), (batch_size, 1)
     )
-    t0 = time.time()
-    np.asarray(
-        serve_fn(
-            params, place(np.zeros((batch_size, sz, sz, 3), np.uint8)),
-            place(warm_w),
+    for s in buckets:
+        t0 = time.time()
+        np.asarray(
+            serve_fn(
+                params, place(np.zeros((batch_size, s, s, 3), np.uint8)),
+                place(warm_w),
+            )
         )
-    )
-    logger.info(
-        "multi serve: compiled %dpx %s b%d program (%d styles) in %.1fs; ready",
-        sz, precision, batch_size, num_styles, time.time() - t0,
-    )
+        logger.info(
+            "multi serve: compiled %dpx %s b%d program (%d styles) in %.1fs",
+            s, precision, batch_size, num_styles, time.time() - t0,
+        )
+    logger.info("multi serve: ready (buckets: %s)", buckets)
     print("READY", file=stdout, flush=True)
+
+    def resolve_bucket(fields) -> int:
+        """Field-count contract + the optional SIZE field's bucket."""
+        if len(fields) > 4:
+            raise ValueError(
+                "expected INPUT[\\tOUTPUT[\\tSTYLE[\\tSIZE]]], got "
+                f"{len(fields)} fields"
+            )
+        if len(fields) == 4 and fields[3]:
+            try:
+                s = int(fields[3])
+            except ValueError:
+                raise ValueError(f"SIZE must be an integer, got {fields[3]!r}")
+            if s not in buckets:
+                raise ValueError(f"size {s} not in serving buckets {buckets}")
+            return s
+        return default_sz
 
     # Served params live in a cell so RELOAD can swap in a newer checkpoint
     # without recompiling (same pytree structure -> same jitted program).
@@ -515,16 +552,12 @@ def serve_loop(
         def handle(*fields):
             # Same field-count contract (and ERR text) as the batched
             # run_segment below — serial mode must not leak a TypeError.
-            if len(fields) > 3:
-                raise ValueError(
-                    "expected INPUT[\\tOUTPUT[\\tSTYLE]], got "
-                    f"{len(fields)} fields"
-                )
+            bucket = resolve_bucket(fields)
             in_path = fields[0]
             explicit_out = fields[1] if len(fields) > 1 else ""
             w, tag = parse_style(fields[2] if len(fields) > 2 else "0")
             input_u8 = img_utils.load_image_uint8(
-                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+                os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=bucket
             )
             out_u8 = np.asarray(
                 serve_fn(
@@ -541,48 +574,44 @@ def serve_loop(
 
     def run_segment(segment, results):
         # Per-request styles are DATA ([B, S] blend weights), so a mixed
-        # group of hard selections and blends runs as ONE device call.
-        arrs, ws, metas = [], [], []
+        # group of hard selections and blends runs as ONE device call;
+        # resolution buckets are SHAPES, so the group splits per bucket.
+        by_bucket = {}
         for i, fields in segment:
             try:
-                if len(fields) > 3:
-                    raise ValueError(
-                        "expected INPUT[\\tOUTPUT[\\tSTYLE]], got "
-                        f"{len(fields)} fields"
-                    )
+                bucket = resolve_bucket(fields)
                 in_path = fields[0]
                 w, tag = parse_style(fields[2] if len(fields) > 2 else "0")
-                arrs.append(img_utils.load_image_uint8(
+                arr = img_utils.load_image_uint8(
                     os.path.join(constants.PROJECT_ROOT_PATH, in_path),
-                    size=sz,
-                )[0])
-                ws.append(w)
-                metas.append(
-                    (i, in_path, fields[1] if len(fields) > 1 else "", tag)
+                    size=bucket,
+                )[0]
+                by_bucket.setdefault(bucket, []).append(
+                    (i, in_path, fields[1] if len(fields) > 1 else "",
+                     tag, w, arr)
                 )
             except Exception as exc:  # noqa: BLE001 - answered per-request
                 results[i] = exc
-        if not metas:
-            return
-        arr = np.stack(arrs)
-        wb = np.stack(ws)
-        pad = batch_size - len(arrs)
-        if pad:
-            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-            wb = np.concatenate([wb, np.repeat(wb[-1:], pad, axis=0)])
-        try:
-            out = np.asarray(
-                serve_fn(state["params"], place(arr), place(wb))
-            )[: len(metas)]
-        except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
-            for meta in metas:
-                results[meta[0]] = exc
-            return
-        for (i, in_path, explicit_out, tag), img in zip(metas, out):
+        for bucket, metas in by_bucket.items():
+            arr = np.stack([m[5] for m in metas])
+            wb = np.stack([m[4] for m in metas])
+            pad = batch_size - len(metas)
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+                wb = np.concatenate([wb, np.repeat(wb[-1:], pad, axis=0)])
             try:
-                results[i] = save_one(in_path, explicit_out, tag, img)
-            except Exception as exc:  # noqa: BLE001
-                results[i] = exc
+                out = np.asarray(
+                    serve_fn(state["params"], place(arr), place(wb))
+                )[: len(metas)]
+            except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
+                for meta in metas:
+                    results[meta[0]] = exc
+                continue
+            for (i, in_path, explicit_out, tag, _, _), img in zip(metas, out):
+                try:
+                    results[i] = save_one(in_path, explicit_out, tag, img)
+                except Exception as exc:  # noqa: BLE001
+                    results[i] = exc
 
     return daemon.run_batched_request_loop(
         daemon.segmented_handle_batch(run_segment, {"RELOAD": reload}),

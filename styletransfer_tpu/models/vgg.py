@@ -291,8 +291,9 @@ def load_params(
         return import_torch_state_dict(sd, taps)
 
     get_logger().warning(
-        "No pretrained VGG19 weights found (searched %s); using deterministic "
-        "seeded initialization. Set STX_VGG19_WEIGHTS for pretrained features.",
-        [c for c in candidates if c],
+        "No pretrained VGG19 weights found (searched explicit path, "
+        "$STX_VGG19_WEIGHTS, data/models/vgg19.{npz,pth}); using "
+        "deterministic seeded initialization. Set STX_VGG19_WEIGHTS for "
+        "pretrained features.",
     )
     return init_params(jax.random.PRNGKey(seed), taps)

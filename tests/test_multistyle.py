@@ -194,7 +194,7 @@ def test_multistyle_serve_loop_protocol(tmp_path, rng):
         f"{img}\t{tmp_path}/blend.png\t1,1,2\n"  # blend, explicit output
         f"{img}\t\t7\n"                    # out-of-range index -> ERR
         f"{img}\t\t0.5,0.5\n"              # wrong weight count -> ERR
-        f"{img}\ta\tb\tc\n"                # too many fields -> clean ERR
+        f"{img}\ta\tb\tc\td\n"             # too many fields -> clean ERR
         "\n"
     )
     stdout = io.StringIO()
@@ -212,7 +212,8 @@ def test_multistyle_serve_loop_protocol(tmp_path, rng):
     assert "blend weights" in lines[5]
     # Serial mode answers the SAME clean field-count error as batched mode,
     # not a leaked TypeError from handle(*fields).
-    assert "expected INPUT[\\tOUTPUT[\\tSTYLE]], got 4 fields" in lines[6]
+    assert ("expected INPUT[\\tOUTPUT[\\tSTYLE[\\tSIZE]]], got 5 fields"
+            in lines[6])
 
     # Daemon's hard-index output == direct apply through the same uint8 path
     # (the daemon evaluates every request as a blend; a one-hot blend equals
@@ -282,3 +283,41 @@ def test_multistyle_serve_loop_batched_mixed_styles(tmp_path, rng):
         got = np.asarray(Image.open(tmp_path / f"{b}.png")).astype(int)
         want = np.asarray(Image.open(tmp_path / f"{s}.png")).astype(int)
         assert np.abs(got - want).max() <= 1
+
+
+def test_multistyle_serve_loop_size_buckets(tmp_path, rng):
+    """serve-multi with --sizes: the optional fourth field routes each
+    request to a compiled resolution bucket while styles keep mixing as
+    data; un-compiled sizes answer ERR; serial == batched behavior."""
+    import io
+
+    from PIL import Image
+
+    params = multistyle.init_params(jax.random.PRNGKey(0), num_styles=S)
+    img = tmp_path / "photo.png"
+    Image.fromarray(
+        rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    ).save(img)
+
+    requests = (
+        f"{img}\t{tmp_path}/d.png\t1\n"          # default bucket (32)
+        f"{img}\t{tmp_path}/big.png\t1,1,2\t48\n"  # blend in the 48 bucket
+        f"{img}\t{tmp_path}/x.png\t0\t40\n"      # not a bucket -> ERR
+        "\n"
+    )
+    for batch_size in (1, 3):
+        stdin = io.StringIO(requests)
+        stdout = io.StringIO()
+        n = ms_engine.serve_loop(
+            name="tst", num_styles=S, out_dir=str(tmp_path / "results"),
+            params=params, sizes=[32, 48], batch_size=batch_size,
+            stdin=stdin, stdout=stdout,
+        )
+        assert n == 2
+        lines = stdout.getvalue().splitlines()
+        assert lines[0] == "READY"
+        assert lines[1] == f"OK {tmp_path}/d.png"
+        assert lines[2] == f"OK {tmp_path}/big.png"
+        assert "size 40 not in serving buckets [32, 48]" in lines[3]
+        assert Image.open(tmp_path / "d.png").size == (32, 32)
+        assert Image.open(tmp_path / "big.png").size == (48, 48)
