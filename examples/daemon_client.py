@@ -44,6 +44,10 @@ def main() -> int:
     ap.add_argument("--style", default=None,
                     help="(multi) style index or comma-separated blend "
                          "weights applied to every request")
+    ap.add_argument("--req-size", type=int, default=None,
+                    help="(fast/multi) per-request resolution bucket — the "
+                         "SIZE protocol field; the daemon must have been "
+                         "started with --sizes listing it")
     ap.add_argument("--precision", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=1,
                     help="(fast/multi/gatys) dynamic-batching group size on "
@@ -80,6 +84,10 @@ def main() -> int:
     else:
         cmd += ["video_st", "serve", args.style_name]
     cmd += ["--precision", args.precision]
+    if args.req_size is not None and args.mode in ("fast", "multi"):
+        # Spawned daemons must compile the requested bucket; against an
+        # already-running daemon (--tcp) its --sizes list is in charge.
+        cmd += ["--sizes", str(args.req_size)]
     if args.batch > 1:
         if args.mode == "video":
             # The daemon CAN batch across different streams (video_st serve
@@ -120,10 +128,14 @@ def main() -> int:
         inputs = [l.strip() for l in sys.stdin if l.strip()]
 
     def request_line(path: str) -> str:
-        if args.mode == "multi" and args.style is not None:
-            return f"{path}\t\t{args.style}"
+        if args.mode == "multi" and (args.style is not None
+                                     or args.req_size is not None):
+            line = f"{path}\t\t{args.style if args.style is not None else '0'}"
+            return f"{line}\t{args.req_size}" if args.req_size else line
         if args.mode == "gatys":
             return f"{path}\t{args.style_name}"
+        if args.mode == "fast" and args.req_size is not None:
+            return f"{path}\t\t{args.req_size}"
         return path
 
     failures = 0

@@ -284,7 +284,11 @@ def run_batched_request_loop(
     stdout = stdout if stdout is not None else sys.stdout
     stats = _ServeStats(name, logger)
 
-    q: "queue.Queue" = queue.Queue()
+    # Bounded: when the device falls behind a flooding client, the reader
+    # blocks instead of buffering the whole backlog in host memory — the
+    # pressure propagates down the pipe/socket to the sender (TCP window /
+    # pipe buffer), which is the correct production failure mode.
+    q: "queue.Queue" = queue.Queue(maxsize=max(64, 8 * max_batch))
     _EOF = object()
 
     def reader():

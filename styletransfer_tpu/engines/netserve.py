@@ -133,7 +133,10 @@ class _Mux:
     def __init__(self, name: str):
         self.name = name
         self.logger = get_logger()
-        self.q: "queue.Queue" = queue.Queue()
+        # Bounded for backpressure: a flooding client blocks its own
+        # reader thread (and thus its TCP window) instead of growing an
+        # unbounded host-side backlog; other clients keep their own lanes.
+        self.q: "queue.Queue" = queue.Queue(maxsize=1024)
         self.pending: "collections.deque[_Client]" = collections.deque()
         self.plock = threading.Lock()
         self.clients: set = set()

@@ -670,6 +670,29 @@ def test_daemon_stats_command_batched():
     assert n == 2  # STATS lines are not served requests
 
 
+def test_daemon_batched_loop_bounded_queue_flood():
+    """The batched loop's internal queue is bounded (backpressure: a
+    flooding client blocks at the pipe/socket instead of growing an
+    unbounded host backlog). A burst far beyond the bound must still be
+    served completely, in order."""
+    import io
+
+    from styletransfer_tpu.engines import daemon
+
+    def handle_batch(requests):
+        return [fields[0] for fields in requests]
+
+    n_flood = 500  # >> the 64-line minimum bound at max_batch=2
+    stdin = io.StringIO("".join(f"r{i}\n" for i in range(n_flood)) + "\n")
+    stdout = io.StringIO()
+    n = daemon.run_batched_request_loop(
+        handle_batch, max_batch=2, stdin=stdin, stdout=stdout, name="t"
+    )
+    assert n == n_flood
+    lines = stdout.getvalue().splitlines()
+    assert lines == [f"OK r{i}" for i in range(n_flood)]
+
+
 def test_daemon_stats_logged(tmp_path, rng, caplog):
     """The daemon loops log per-request latency percentiles (and batch
     fill, in batched mode) at shutdown — daemon health from stderr alone."""
