@@ -164,11 +164,18 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, fps, precision,
                    "strictly serial.")
 @click.option("--max-streams", default=64, type=click.IntRange(min=1),
               help="LRU cap on concurrently-held stream carries")
+@click.option("--sizes", default=None, metavar="S1,S2,...",
+              help="Multi-resolution serving buckets (e.g. 256,512): one "
+                   "program set per size compiles before READY. A stream's "
+                   "bucket is fixed by its FIRST frame's optional fourth "
+                   "field (FRAME<TAB>OUTPUT<TAB>STREAM<TAB>512; absent = "
+                   "the first listed) and remembered — RESET the stream to "
+                   "change it. Overrides --size.")
 @click.option("--tcp", default=None, metavar="[HOST:]PORT",
               help=netserve.TCP_HELP + " Each connection can carry its "
                    "own STREAM ids; clients share one id namespace.")
 def serve(style_name, out_dir, size, precision, pad_mode, batch_size,
-          max_streams, tcp):
+          max_streams, sizes, tcp):
     """
     Warm-process STREAMING stylization daemon: compiles the recurrent step
     once, prints `READY`, then stylizes one frame per stdin line until EOF
@@ -186,11 +193,22 @@ def serve(style_name, out_dir, size, precision, pad_mode, batch_size,
     """
     from styletransfer_tpu.engines import video
 
+    size_list = None
+    if sizes:
+        try:
+            size_list = [int(s) for s in sizes.split(",") if s.strip()]
+        except ValueError:
+            raise click.UsageError(f"--sizes must be a comma list of ints, "
+                                   f"got {sizes!r}")
+        if not size_list:
+            raise click.UsageError("--sizes is empty")
+
     def run(stdin, stdout):
         return video.serve_stream_loop(
             style_name=style_name, out_dir=out_dir, size=size,
             precision=precision, pad_mode=pad_mode, batch_size=batch_size,
-            max_streams=max_streams, stdin=stdin, stdout=stdout,
+            max_streams=max_streams, sizes=size_list, stdin=stdin,
+            stdout=stdout,
         )
 
     try:

@@ -877,6 +877,7 @@ def serve_stream_loop(
     pad_mode: str = "reflect",
     batch_size: int = 1,
     max_streams: int = 64,
+    sizes=None,
     stdin=None,
     stdout=None,
 ) -> int:
@@ -931,6 +932,15 @@ def serve_stream_loop(
     request keeps the single-frame program's latency, and ragged waves
     pad to the compiled shape. The lane axis shards over a 1-D device
     mesh like every batched serving path (docs/serving.md "Scaling out").
+
+    **Resolution buckets** (``sizes``, CLI ``--sizes 256,512``): every
+    bucket's programs compile before ``READY``, and an optional FOURTH
+    field sizes a stream — ``FRAME[\\tOUTPUT[\\tSTREAM[\\tSIZE]]]``. A
+    stream's bucket is fixed by its FIRST frame (absent = first listed
+    size) and remembered: later frames may omit SIZE, and naming a
+    DIFFERENT size for a live stream answers ``ERR`` (the carry has a
+    shape — ``RESET`` the stream to change it). Batched waves split into
+    one device call per bucket present; responses stay in request order.
     """
     import re as _re
     import sys as _sys
@@ -969,7 +979,20 @@ def serve_stream_loop(
 
     norm = jax.jit(img_utils.maybe_normalize_on_device)
 
-    sz = size or constants.IMSIZE
+    # Resolution buckets: one compiled program set per size, first =
+    # default (same contract as fast.serve_loop; here a BUCKET belongs to
+    # a stream — its carry has the shape).
+    if sizes:
+        buckets = []
+        for s in sizes:
+            s = int(s)
+            if s < 1:
+                raise ValueError(f"serving size must be >= 1, got {s}")
+            if s not in buckets:
+                buckets.append(s)
+    else:
+        buckets = [size or constants.IMSIZE]
+    default_sz = buckets[0]
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -982,26 +1005,52 @@ def serve_stream_loop(
     # Eager compile at the fixed shapes: READY means ready. The [1, ...]
     # single-frame program always compiles (lone requests use it); the
     # batched wave program compiles only when batching is on.
-    warm = jnp.zeros((1, sz, sz, 3), jnp.uint8)
     t0 = time.time()
-    np.asarray(step(params, warm, norm(warm))[1])
-    if batch_size > 1:
-        warm_b = place(np.zeros((batch_size, sz, sz, 3), np.uint8))
-        old_b = place(np.zeros((batch_size, sz, sz, 3), np.float32))
-        np.asarray(step(params, warm_b, old_b)[1])
+    for s in buckets:
+        warm = jnp.zeros((1, s, s, 3), jnp.uint8)
+        np.asarray(step(params, warm, norm(warm))[1])
+        if batch_size > 1:
+            warm_b = place(np.zeros((batch_size, s, s, 3), np.uint8))
+            old_b = place(np.zeros((batch_size, s, s, 3), np.float32))
+            np.asarray(step(params, warm_b, old_b)[1])
     logger.info(
-        "video serve: compiled %dpx %s stream step (batch=%d) in %.1fs; ready",
-        sz, precision, batch_size, time.time() - t0,
+        "video serve: compiled %s px %s stream step (batch=%d) in %.1fs; ready",
+        buckets, precision, batch_size, time.time() - t0,
     )
     print("READY", file=stdout, flush=True)
 
     from styletransfer_tpu.engines import daemon
 
-    # stream id -> previous stylized frame [1,H,W,3] in normalized model
-    # space, kept as DEVICE arrays: waves assemble their `olds` with a
-    # device-side concatenate, so the f32 carry never rides the host link
-    # (only the uint8 output is read back).
+    # stream id -> (bucket px, previous stylized frame [1,H,W,3]) in
+    # normalized model space, carries kept as DEVICE arrays: waves assemble
+    # their `olds` with a device-side concatenate, so the f32 carry never
+    # rides the host link (only the uint8 output is read back).
     carries: "OrderedDict" = OrderedDict()
+
+    def stream_bucket(sid, size_field) -> int:
+        """A stream's resolution: fixed by its first frame, remembered
+        after (the carry has a shape — changing mid-stream is an ERR)."""
+        want = None
+        if size_field:
+            try:
+                want = int(size_field)
+            except ValueError:
+                raise ValueError(
+                    f"SIZE must be an integer, got {size_field!r}"
+                )
+            if want not in buckets:
+                raise ValueError(
+                    f"size {want} not in serving buckets {buckets}"
+                )
+        if sid in carries:
+            have = carries[sid][0]
+            if want is not None and want != have:
+                raise ValueError(
+                    f"stream {sid!r} is {have}px; RESET it before changing "
+                    f"size to {want}"
+                )
+            return have
+        return want if want is not None else default_sz
 
     def touch(sid):
         carries.move_to_end(sid)
@@ -1036,12 +1085,12 @@ def serve_stream_loop(
         tag = "" if sid == "0" else f"s{_re.sub(r'[^\w.-]', '_', sid)}_"
         return f"video_st_{style_name}_{tag}{stem}.png"
 
-    def load_frame(in_path):
+    def load_frame(in_path, bucket):
         return img_utils.load_image_uint8(
-            os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=sz
+            os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=bucket
         )
 
-    def run_single(in_path, explicit_out, sid, frame_dev, old_dev):
+    def run_single(in_path, explicit_out, sid, bucket, frame_dev, old_dev):
         out_model, out_u8 = step(state["params"], frame_dev, old_dev)
         out_arr = np.asarray(out_u8)[0]  # forces completion of out_model too
         out_file = daemon.resolve_out_path(
@@ -1051,34 +1100,38 @@ def serve_stream_loop(
         # Advance the carry only once the request has fully succeeded — a
         # save failure answers ERR and must leave the stream state intact
         # (the documented "failed requests do NOT advance the carry").
-        carries[sid] = out_model
+        carries[sid] = (bucket, out_model)
         touch(sid)
         return out_file
 
     def parse(fields):
-        if len(fields) > 3:
+        if len(fields) > 4:
             raise ValueError(
-                f"expected FRAME[\\tOUTPUT[\\tSTREAM]], got {len(fields)} fields"
+                "expected FRAME[\\tOUTPUT[\\tSTREAM[\\tSIZE]]], got "
+                f"{len(fields)} fields"
             )
         return (fields[0], fields[1] if len(fields) > 1 else "",
-                (fields[2] if len(fields) > 2 else "") or "0")
+                (fields[2] if len(fields) > 2 else "") or "0",
+                fields[3] if len(fields) > 3 else "")
 
     def handle(*fields):
-        in_path, explicit_out, sid = parse(fields)
+        in_path, explicit_out, sid, size_field = parse(fields)
         if in_path == "RESET":
-            if len(fields) == 2:
+            if len(fields) == 2 or (len(fields) > 3 and fields[3]):
                 # Reject rather than guess: batched and serial modes must
                 # not diverge on a malformed trailing-tab RESET.
                 raise ValueError(
-                    "RESET takes no OUTPUT field; use RESET or "
+                    "RESET takes no OUTPUT/SIZE field; use RESET or "
                     "RESET\\t\\t<stream>"
                 )
             carries.pop(sid, None)
             return f"RESET {sid}" if len(fields) > 2 else "RESET"
-        frame_dev = jnp.asarray(load_frame(in_path))
+        bucket = stream_bucket(sid, size_field)
+        frame_dev = jnp.asarray(load_frame(in_path, bucket))
         old = carries.get(sid)
-        old_dev = jnp.asarray(old) if old is not None else norm(frame_dev)
-        return run_single(in_path, explicit_out, sid, frame_dev, old_dev)
+        old_dev = jnp.asarray(old[1]) if old is not None else norm(frame_dev)
+        return run_single(in_path, explicit_out, sid, bucket, frame_dev,
+                          old_dev)
 
     if batch_size == 1:
         return daemon.run_request_loop(
@@ -1117,17 +1170,19 @@ def serve_stream_loop(
                     wave.append((i, fields))
             pending = rest
 
-            lanes = []  # (result idx, in_path, out, sid, frame u8, old f32)
+            # lane: (result idx, in_path, out, sid, bucket, frame u8, old f32)
+            by_bucket: dict = {}
+            n_lanes = 0
             for i, fields in wave:
                 try:
-                    in_path, explicit_out, sid = parse(fields)
+                    in_path, explicit_out, sid, size_field = parse(fields)
                     if in_path == "RELOAD" and len(fields) == 1:
                         results[i] = reload()
                         continue
                     if in_path == "RESET":
-                        if len(fields) == 2:
+                        if len(fields) == 2 or (len(fields) > 3 and fields[3]):
                             raise ValueError(
-                                "RESET takes no OUTPUT field; use RESET "
+                                "RESET takes no OUTPUT/SIZE field; use RESET "
                                 "or RESET\\t\\t<stream>"
                             )
                         if len(fields) > 2:
@@ -1136,65 +1191,70 @@ def serve_stream_loop(
                         else:
                             results[i] = reset_all()
                         continue
-                    frame = load_frame(in_path)
+                    bucket = stream_bucket(sid, size_field)
+                    frame = load_frame(in_path, bucket)
                     old = carries.get(sid)
-                    old_dev = (jnp.asarray(old) if old is not None
+                    old_dev = (jnp.asarray(old[1]) if old is not None
                                else norm(jnp.asarray(frame)))
-                    lanes.append(
-                        (i, in_path, explicit_out, sid, frame[0], old_dev)
+                    by_bucket.setdefault(bucket, []).append(
+                        (i, in_path, explicit_out, sid, bucket, frame[0],
+                         old_dev)
                     )
+                    n_lanes += 1
                 except Exception as exc:  # noqa: BLE001 - answered per-request
                     results[i] = exc
-            if not lanes:
+            if not n_lanes:
                 continue
-            if len(lanes) == 1:
-                i, in_path, explicit_out, sid, frame, old_dev = lanes[0]
-                try:
-                    results[i] = run_single(
-                        in_path, explicit_out, sid,
-                        jnp.asarray(frame[None]), old_dev,
+            for bucket, lanes in by_bucket.items():
+                if len(lanes) == 1:
+                    i, in_path, explicit_out, sid, bkt, frame, old_dev = lanes[0]
+                    try:
+                        results[i] = run_single(
+                            in_path, explicit_out, sid, bkt,
+                            jnp.asarray(frame[None]), old_dev,
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        results[i] = exc
+                    continue
+                frames = np.stack([l[5] for l in lanes])
+                # Carries stay on device: concatenate there and read back
+                # only the uint8 output (the f32 model-space carry never
+                # rides the host link).
+                olds = jnp.concatenate([l[6] for l in lanes])
+                padn = batch_size - len(lanes)
+                if padn:
+                    frames = np.concatenate(
+                        [frames, np.repeat(frames[-1:], padn, axis=0)]
                     )
-                except Exception as exc:  # noqa: BLE001
-                    results[i] = exc
-                continue
-            frames = np.stack([l[4] for l in lanes])
-            # Carries stay on device: concatenate there and read back only
-            # the uint8 output (the f32 model-space carry never rides the
-            # host link).
-            olds = jnp.concatenate([l[5] for l in lanes])
-            padn = batch_size - len(lanes)
-            if padn:
-                frames = np.concatenate(
-                    [frames, np.repeat(frames[-1:], padn, axis=0)]
-                )
-                olds = jnp.concatenate(
-                    [olds, jnp.repeat(olds[-1:], padn, axis=0)]
-                )
-            try:
-                out_model, out_u8 = step(
-                    state["params"], place(frames), place(olds)
-                )
-                out_u8 = np.asarray(out_u8)[: len(lanes)]
-            except Exception as exc:  # noqa: BLE001
-                # ERR only THIS wave's lanes: earlier waves already saved
-                # outputs and advanced their carries — answering the whole
-                # group ERR would tell the client those succeeded requests
-                # failed ("failed requests do NOT advance the carry" must
-                # stay true per request, not per group).
-                for lane in lanes:
-                    results[lane[0]] = exc
-                continue
-            for k, (i, in_path, explicit_out, sid, _, _) in enumerate(lanes):
-                try:
-                    out_file = daemon.resolve_out_path(
-                        explicit_out, out_dir, default_name(in_path, sid)
+                    olds = jnp.concatenate(
+                        [olds, jnp.repeat(olds[-1:], padn, axis=0)]
                     )
-                    img_utils.save_uint8(out_u8[k], out_file)
-                    carries[sid] = out_model[k:k + 1]
-                    touch(sid)
-                    results[i] = out_file
+                try:
+                    out_model, out_u8 = step(
+                        state["params"], place(frames), place(olds)
+                    )
+                    out_u8 = np.asarray(out_u8)[: len(lanes)]
                 except Exception as exc:  # noqa: BLE001
-                    results[i] = exc
+                    # ERR only THIS wave's lanes: earlier waves already saved
+                    # outputs and advanced their carries — answering the whole
+                    # group ERR would tell the client those succeeded requests
+                    # failed ("failed requests do NOT advance the carry" must
+                    # stay true per request, not per group).
+                    for lane in lanes:
+                        results[lane[0]] = exc
+                    continue
+                for k, (i, in_path, explicit_out, sid, bkt, _, _) in enumerate(
+                        lanes):
+                    try:
+                        out_file = daemon.resolve_out_path(
+                            explicit_out, out_dir, default_name(in_path, sid)
+                        )
+                        img_utils.save_uint8(out_u8[k], out_file)
+                        carries[sid] = (bkt, out_model[k:k + 1])
+                        touch(sid)
+                        results[i] = out_file
+                    except Exception as exc:  # noqa: BLE001
+                        results[i] = exc
         return results
 
     return daemon.run_batched_request_loop(

@@ -108,7 +108,7 @@ def test_video_serve_daemon_subprocess(tmp_path):
         f"{content}\n"          # frame 1 (fresh carry) -> OK
         f"{content}\n"          # frame 2 (carry persists) -> OK
         "RESET\n"               # -> OK RESET
-        f"{content}\ta\tb\tc\n" # too many fields -> ERR
+        f"{content}\ta\tb\tc\td\n" # too many fields -> ERR
         "RELOAD\n"              # -> OK (same checkpoint)
     )
     proc = _spawn(
@@ -117,7 +117,8 @@ def test_video_serve_daemon_subprocess(tmp_path):
     lines = _assert_protocol_stdout(proc, 5)
     assert lines[1].startswith("OK ") and lines[2].startswith("OK ")
     assert lines[3] == "OK RESET"
-    assert "expected FRAME[\\tOUTPUT[\\tSTREAM]], got 4 fields" in lines[4]
+    assert ("expected FRAME[\\tOUTPUT[\\tSTREAM[\\tSIZE]]], got 5 fields"
+            in lines[4])
     assert lines[5].startswith("OK RELOAD")
     assert os.path.isfile(lines[1].split(" ", 1)[1])
 

@@ -1045,6 +1045,58 @@ def test_serve_loop_size_buckets(tmp_path, rng):
         assert Image.open(tmp_path / "big.png").size == (48, 48)
 
 
+def test_video_serve_size_buckets_per_stream(tmp_path, rng):
+    """video_st serve --sizes: a stream's resolution bucket is fixed by
+    its first frame's SIZE field and remembered; changing it mid-stream
+    is an ERR until RESET; mixed-bucket waves split per bucket; serial
+    and batched daemons must behave identically."""
+    import io
+
+    from PIL import Image
+
+    from styletransfer_tpu.engines import video as video_engine
+
+    params = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+    img = tmp_path / "f.png"
+    Image.fromarray(
+        rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    ).save(img)
+
+    o = tmp_path
+    requests = (
+        f"{img}\t{o}/a1.png\tA\n"        # stream A: default bucket 32
+        f"{img}\t{o}/b1.png\tB\t48\n"    # stream B: explicit 48
+        f"{img}\t{o}/a2.png\tA\t48\n"    # A is 32 -> ERR (RESET to change)
+        f"{img}\t{o}/a3.png\tA\n"        # SIZE omitted -> remembered 32
+        "RESET\t\tA\n"                   # free stream A
+        f"{img}\t{o}/a4.png\tA\t48\n"    # fresh A at 48 -> OK
+        f"{img}\t{o}/x.png\tC\t40\n"     # not a compiled bucket -> ERR
+        "\n"
+    )
+    for batch_size in (1, 2):
+        stdin = io.StringIO(requests)
+        stdout = io.StringIO()
+        video_engine.serve_stream_loop(
+            style_name="tst", out_dir=str(tmp_path / "results"),
+            params=params, sizes=[32, 48], batch_size=batch_size,
+            stdin=stdin, stdout=stdout,
+        )
+        lines = stdout.getvalue().splitlines()
+        assert lines[0] == "READY"
+        assert lines[1] == f"OK {o}/a1.png"
+        assert lines[2] == f"OK {o}/b1.png"
+        assert "stream 'A' is 32px; RESET it before changing size to 48" \
+            in lines[3]
+        assert lines[4] == f"OK {o}/a3.png"
+        assert lines[5] == "OK RESET A"
+        assert lines[6] == f"OK {o}/a4.png"
+        assert "size 40 not in serving buckets [32, 48]" in lines[7]
+        assert Image.open(o / "a1.png").size == (32, 32)
+        assert Image.open(o / "b1.png").size == (48, 48)
+        assert Image.open(o / "a3.png").size == (32, 32)
+        assert Image.open(o / "a4.png").size == (48, 48)
+
+
 def test_video_serve_multi_stream_batched_matches_scan(tmp_path, rng):
     """Two interleaved streams through ONE batched daemon: cross-stream
     waves run as one device call, same-stream requests serialize, each
