@@ -127,16 +127,43 @@ def save_epoch(
     return path
 
 
+def existing_checkpoint_path(
+    model_name: str, style_name: str, epoch: int, models_path: Optional[str] = None
+) -> Optional[str]:
+    """The epoch's checkpoint path in WHICHEVER format actually exists
+    (the active backend's format preferred when both do), or ``None``.
+
+    The resume path must load through this, never through
+    :func:`checkpoint_path` alone: that one carries only the ACTIVE
+    backend's suffix, so after switching ``STX_CKPT_BACKEND`` it would
+    name a file the previous backend never wrote and resume would crash
+    instead of skipping the finished epoch. :func:`load` dispatches by
+    suffix, so whichever path this returns loads correctly.
+    """
+    base = os.path.join(
+        _models_dir(models_path), f"{model_name}_{style_name}_epoch{epoch}"
+    )
+    candidates = [base + CKPT_SUFFIX, base + ORBAX_SUFFIX]
+    if _ckpt_backend() == "orbax":
+        candidates.reverse()
+    for path in candidates:
+        if path.endswith(ORBAX_SUFFIX):
+            if os.path.isdir(path):
+                return path
+        elif os.path.isfile(path):
+            return path
+    return None
+
+
 def epoch_checkpoint_exists(
     model_name: str, style_name: str, epoch: int, models_path: Optional[str] = None
 ) -> bool:
     """Resume-skip check (reference network.py:681-685). An epoch saved
     under EITHER backend counts — switching ``STX_CKPT_BACKEND`` must not
     retrain finished epochs."""
-    base = os.path.join(
-        _models_dir(models_path), f"{model_name}_{style_name}_epoch{epoch}"
-    )
-    return os.path.isfile(base + CKPT_SUFFIX) or os.path.isdir(base + ORBAX_SUFFIX)
+    return existing_checkpoint_path(
+        model_name, style_name, epoch, models_path
+    ) is not None
 
 
 def _epoch_of(filename: str) -> int:

@@ -11,6 +11,7 @@ import os
 import click
 
 from styletransfer_tpu import constants
+from styletransfer_tpu.clis import common
 from styletransfer_tpu.engines import netserve
 from styletransfer_tpu.utils.logging import get_logger
 
@@ -324,15 +325,7 @@ def serve(style_name, out_dir, size, sizes, precision, pad_mode, batch_size,
     """
     from styletransfer_tpu.engines import fast
 
-    size_list = None
-    if sizes:
-        try:
-            size_list = [int(s) for s in sizes.split(",") if s.strip()]
-        except ValueError:
-            raise click.UsageError(f"--sizes must be a comma list of ints, "
-                                   f"got {sizes!r}")
-        if not size_list:
-            raise click.UsageError("--sizes is empty")
+    size_list = common.parse_sizes_option(sizes)
 
     def run(stdin, stdout):
         return fast.serve_loop(
@@ -389,15 +382,7 @@ def serve_multi(name, num_styles, out_dir, size, sizes, precision,
     """
     from styletransfer_tpu.engines import multistyle as ms
 
-    size_list = None
-    if sizes:
-        try:
-            size_list = [int(s) for s in sizes.split(",") if s.strip()]
-        except ValueError:
-            raise click.UsageError(f"--sizes must be a comma list of ints, "
-                                   f"got {sizes!r}")
-        if not size_list:
-            raise click.UsageError("--sizes is empty")
+    size_list = common.parse_sizes_option(sizes)
 
     def run(stdin, stdout):
         return ms.serve_loop(

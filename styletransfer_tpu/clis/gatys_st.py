@@ -139,7 +139,9 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
     # (weighted-average Gram targets — same syntax as the daemon's STYLE
     # field, docs/serving.md). A plain path parses to a 1-element blend.
     try:
-        style_paths, style_ws = gatys.parse_style_spec(style_image_path)
+        style_paths, style_ws = gatys.parse_style_spec(
+            style_image_path, root=constants.PROJECT_ROOT_PATH
+        )
     except ValueError as exc:
         raise click.UsageError(str(exc))
     style_paths = [

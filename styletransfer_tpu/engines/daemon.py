@@ -24,6 +24,25 @@ from typing import Callable, Dict, Optional
 from styletransfer_tpu.utils.logging import get_logger
 
 
+def normalize_buckets(sizes, fallback_size: int) -> list:
+    """Validated, deduped resolution-bucket list (first = the default).
+
+    One contract for every bucketed daemon (fast, multi, video): positive
+    ints, order-preserving dedup, ``sizes=None`` collapses to the single
+    ``fallback_size`` bucket — so the three serve loops cannot drift.
+    """
+    if not sizes:
+        return [fallback_size]
+    buckets: list = []
+    for s in sizes:
+        s = int(s)
+        if s < 1:
+            raise ValueError(f"serving size must be >= 1, got {s}")
+        if s not in buckets:
+            buckets.append(s)
+    return buckets
+
+
 def split_fields(line: str) -> list:
     """TAB-split a request line, dropping TRAILING empty fields.
 

@@ -255,20 +255,7 @@ def static_train(
         # processes (missing/stale on some hosts), per-process resume would
         # put them at different loop positions and desync the mesh — fall
         # back to epoch-level resume EVERYWHERE together.
-        if not distributed.positions_agree(
-            0 if state is None else 1,
-            0 if state is None else int(state["epoch"]),
-            0 if state is None else int(state["iteration"]),
-            0 if state is None else int(state["extra"].get("batch_in_epoch", 0)),
-        ):
-            logger.warning(
-                "Step-state resume positions differ across processes "
-                "(this process: %s); ALL processes fall back to "
-                "epoch-level resume.",
-                "none" if state is None else
-                f"epoch={state['epoch']} iter={state['iteration']}",
-            )
-            state = None
+        state = distributed.agree_resume_state(state)
         if state is not None:
             params = mesh_lib.replicate(state["params"], mesh)
             opt_state = mesh_lib.replicate(state["opt_state"], mesh)
@@ -299,7 +286,9 @@ def static_train(
             # Load THIS epoch's own file (the reference's per-epoch resume,
             # network.py:681-685) — the overall-latest could be a later epoch.
             params = ckpt.load(
-                ckpt.checkpoint_path(MODEL_NAME, style_name, epoch, models_path),
+                ckpt.existing_checkpoint_path(
+                    MODEL_NAME, style_name, epoch, models_path
+                ),
                 params,
             )
             params = mesh_lib.replicate(params, mesh)
@@ -646,16 +635,7 @@ def serve_loop(
     serve_fn = make_serve_fn(precision, pad_mode)
 
     # Resolution buckets: one compiled program per size, first = default.
-    if sizes:
-        buckets = []
-        for s in sizes:
-            s = int(s)
-            if s < 1:
-                raise ValueError(f"serving size must be >= 1, got {s}")
-            if s not in buckets:
-                buckets.append(s)
-    else:
-        buckets = [size or constants.IMSIZE]
+    buckets = daemon.normalize_buckets(sizes, size or constants.IMSIZE)
     default_sz = buckets[0]
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)

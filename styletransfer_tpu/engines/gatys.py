@@ -506,7 +506,7 @@ def train_gatys(
     return pixels, losses
 
 
-def parse_style_spec(spec: str):
+def parse_style_spec(spec: str, root: Optional[str] = None):
     """STYLE spec -> (paths, normalized weights).
 
     ``a.png`` is the plain single style; ``a.png,b.png[:0.3,0.7]``
@@ -514,7 +514,17 @@ def parse_style_spec(spec: str):
     average of the styles' (equal weights when omitted; normalized here).
     Shared by the serving daemon's STYLE field and the one-shot CLI's
     STYLE-IMAGE-PATH argument. Raises ValueError on malformed specs.
+
+    Escape hatch: a path that LOOKS like a blend spec but names an
+    existing file (commas and colons are legal in POSIX filenames) is
+    taken literally — pass ``root`` so relative paths resolve the same
+    way the caller will load them. Blend syntax therefore cannot shadow
+    a real single-style file.
     """
+    if "," in spec or ":" in spec:
+        literal = os.path.join(root, spec) if root else spec
+        if os.path.isfile(literal):
+            return [spec], [1.0]
     paths_part, sep, w_part = spec.partition(":")
     paths = [p for p in paths_part.split(",") if p]
     if not paths:
@@ -648,14 +658,21 @@ def serve_loop(
         # Blends (parse_style_spec) cost one cached VGG pass per distinct
         # style and zero recompiles — the Gatys analogue of serve-multi's
         # blend-as-data requests.
-        paths, ws = parse_style_spec(spec)
+        paths, ws = parse_style_spec(spec, root=constants.PROJECT_ROOT_PATH)
         return blend_grams([style_grams_cached(p) for p in paths], ws)
 
     def style_stem(spec: str) -> str:
-        paths, _ = parse_style_spec(spec)
-        return "+".join(
+        paths, ws = parse_style_spec(spec, root=constants.PROJECT_ROOT_PATH)
+        stem = "+".join(
             os.path.splitext(os.path.basename(p))[0] for p in paths
         )
+        if len(paths) > 1:
+            # Distinct blends of the same styles must not share a default
+            # output name (one would silently overwrite the other); the
+            # weights are normalized, so equivalent specs (0.9,0.1 vs 9,1)
+            # still collapse to one name.
+            stem += "_" + "_".join(f"{w:g}" for w in ws)
+        return stem
 
     def optimize(content, grams):
         return _run_optimizer(

@@ -236,20 +236,7 @@ def train(
         )
         # Collective resume check (see fast.static_train): mismatched
         # step states across hosts must degrade everyone together.
-        if not distributed.positions_agree(
-            0 if state is None else 1,
-            0 if state is None else int(state["epoch"]),
-            0 if state is None else int(state["iteration"]),
-            0 if state is None else int(state["extra"].get("batch_in_epoch", 0)),
-        ):
-            logger.warning(
-                "Step-state resume positions differ across processes "
-                "(this process: %s); ALL processes fall back to "
-                "epoch-level resume.",
-                "none" if state is None else
-                f"epoch={state['epoch']} iter={state['iteration']}",
-            )
-            state = None
+        state = distributed.agree_resume_state(state)
         if state is not None:
             params = mesh_lib.replicate(state["params"], mesh)
             opt_state = mesh_lib.replicate(state["opt_state"], mesh)
@@ -282,7 +269,9 @@ def train(
             # Load THIS epoch's own file (the reference's per-epoch resume,
             # network.py:681-685) — the overall-latest could be a later epoch.
             params = ckpt.load(
-                ckpt.checkpoint_path(MODEL_NAME, style_name, epoch, models_path),
+                ckpt.existing_checkpoint_path(
+                    MODEL_NAME, style_name, epoch, models_path
+                ),
                 params,
             )
             params = mesh_lib.replicate(params, mesh)
@@ -444,17 +433,8 @@ def serve_loop(
         return img_utils.to_uint8_on_device(y)
 
     # Resolution buckets: one compiled program per size, first = default
-    # (same contract as fast.serve_loop).
-    if sizes:
-        buckets = []
-        for s in sizes:
-            s = int(s)
-            if s < 1:
-                raise ValueError(f"serving size must be >= 1, got {s}")
-            if s not in buckets:
-                buckets.append(s)
-    else:
-        buckets = [size or constants.IMSIZE]
+    # (one shared contract: daemon.normalize_buckets).
+    buckets = daemon.normalize_buckets(sizes, size or constants.IMSIZE)
     default_sz = buckets[0]
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)

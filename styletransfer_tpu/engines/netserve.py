@@ -30,11 +30,16 @@ Design — one queue in, FIFO routing out:
 Per-connection protocol deltas vs the pipe form:
 
 - a blank line closes THAT connection only (on a pipe it shuts the
-  daemon down — a multi-client daemon must survive one client leaving);
-- ``SHUTDOWN`` stops the whole daemon: it answers ``OK SHUTDOWN`` to the
-  sender, then feeds the engine loop its shutdown condition;
-- client disconnects are absorbed: in-flight responses for a vanished
-  client are dropped with a warning, everyone else keeps being served.
+  daemon down — a multi-client daemon must survive one client leaving).
+  The goodbye is GRACEFUL: responses the engine still owes the
+  connection are delivered first, then the socket closes — so
+  ``printf 'in.jpg\\n\\n' | nc host port`` gets its ``OK`` exactly like
+  the pipe form would;
+- ``SHUTDOWN`` stops the whole daemon; its ``OK SHUTDOWN`` ack is sent
+  AFTER the sender's owed responses (count-pairing order preserved);
+- an abrupt disconnect (EOF/reset without goodbye) is absorbed:
+  in-flight responses for the vanished client are dropped with a
+  warning, everyone else keeps being served.
 
 The daemon still prints ``TCP <host> <port>`` (the BOUND port — pass 0
 to let the OS pick) and ``READY`` on its real stdout, so process
@@ -93,7 +98,17 @@ def parse_hostport(spec: str) -> Tuple[str, int]:
 
 
 class _Client:
-    """One accepted connection: a locked line writer the demux can target."""
+    """One accepted connection: a locked line writer the demux can target,
+    plus the in-flight accounting that makes goodbyes GRACEFUL — a blank
+    line or SHUTDOWN must not cut off responses the engine still owes
+    this connection (they were valid requests; the pipe form answers
+    them too)."""
+
+    # A single client may have at most this many enqueued-but-unanswered
+    # lines; its reader then blocks (pressure rides its TCP window). This
+    # bounds how far one flooding client can queue ahead of others in the
+    # shared FIFO.
+    MAX_INFLIGHT = 256
 
     def __init__(self, conn: socket.socket, addr, ident: int):
         self.conn = conn
@@ -101,6 +116,12 @@ class _Client:
         self.ident = ident
         self.wlock = threading.Lock()
         self.alive = True
+        self.greeted = False  # exactly-once READY; guarded by mux.clock
+        self._cond = threading.Condition()
+        self._outstanding = 0
+        self._closing = False
+        self._finished = False
+        self._deferred: list = []
 
     def send_line(self, line: str) -> bool:
         with self.wlock:
@@ -113,6 +134,47 @@ class _Client:
                 self.alive = False
                 return False
 
+    def begin_request(self) -> None:
+        """Reader thread: account one enqueued line (blocks at the cap)."""
+        with self._cond:
+            while self._outstanding >= self.MAX_INFLIGHT and self.alive:
+                self._cond.wait(timeout=1.0)
+            self._outstanding += 1
+
+    def end_request(self) -> None:
+        """Demux thread: one owed response was sent (or dropped)."""
+        with self._cond:
+            self._outstanding -= 1
+            self._cond.notify_all()
+            finish = self._should_finish()
+        if finish:
+            self._finish()
+
+    def request_close(self, deferred_line: Optional[str] = None) -> None:
+        """Reader thread: graceful goodbye/SHUTDOWN — close once every
+        owed response has been delivered; ``deferred_line`` (the SHUTDOWN
+        ack) is sent last, after them, keeping the count-pairing order."""
+        with self._cond:
+            self._closing = True
+            if deferred_line is not None:
+                self._deferred.append(deferred_line)
+            finish = self._should_finish()
+        if finish:
+            self._finish()
+
+    def _should_finish(self) -> bool:
+        # Call with self._cond held. One winner closes the socket.
+        if self._closing and self._outstanding <= 0 and not self._finished:
+            self._finished = True
+            return True
+        return False
+
+    def _finish(self) -> None:
+        for line in self._deferred:
+            self.send_line(line)
+        self._deferred = []
+        self.close()
+
     def close(self) -> None:
         with self.wlock:
             self.alive = False
@@ -124,6 +186,8 @@ class _Client:
                 self.conn.close()
             except OSError:
                 pass
+        with self._cond:
+            self._cond.notify_all()  # unblock a reader waiting at the cap
 
 
 class _Mux:
@@ -133,9 +197,14 @@ class _Mux:
     def __init__(self, name: str):
         self.name = name
         self.logger = get_logger()
-        # Bounded for backpressure: a flooding client blocks its own
-        # reader thread (and thus its TCP window) instead of growing an
-        # unbounded host-side backlog; other clients keep their own lanes.
+        # One shared, bounded FIFO: the engine consumes in arrival order
+        # (single-queue semantics, exactly like piped stdin), so a
+        # flooding client CAN queue ahead of others — its damage is
+        # capped twice: per-client in-flight lines (_Client.MAX_INFLIGHT)
+        # and this bound. When both fill, readers block and the pressure
+        # rides each sender's TCP window. True per-client fairness would
+        # need per-connection queues + round-robin draining; not worth it
+        # until a real workload shows head-of-line blocking.
         self.q: "queue.Queue" = queue.Queue(maxsize=1024)
         self.pending: "collections.deque[_Client]" = collections.deque()
         self.plock = threading.Lock()
@@ -144,9 +213,16 @@ class _Mux:
         self.ready = threading.Event()
 
     def add_client(self, client: _Client) -> None:
+        # `greeted` flips under clock in BOTH greeting paths (here and the
+        # demux READY broadcast), so a client connecting concurrently with
+        # the engine's READY gets exactly one — a duplicate would shift a
+        # count-pairing client's whole response stream by one.
         with self.clock:
             self.clients.add(client)
-        if self.ready.is_set():
+            greet = self.ready.is_set() and not client.greeted
+            if greet:
+                client.greeted = True
+        if greet:
             client.send_line("READY")
 
     def drop_client(self, client: _Client) -> None:
@@ -209,9 +285,14 @@ class _DemuxStdout:
         if client is None:
             print(line, file=self.real, flush=True)
             if line == "READY":
-                self.mux.ready.set()
-            with self.mux.clock:
-                targets = list(self.mux.clients)
+                with self.mux.clock:
+                    self.mux.ready.set()
+                    targets = [c for c in self.mux.clients if not c.greeted]
+                    for c in targets:
+                        c.greeted = True
+            else:
+                with self.mux.clock:
+                    targets = list(self.mux.clients)
             for c in targets:
                 c.send_line(line)
             return
@@ -220,26 +301,44 @@ class _DemuxStdout:
                 "%s: client %s vanished; dropped response %r",
                 self.mux.name, client.addr, line[:80],
             )
+        client.end_request()
 
 
 def _client_reader(mux: _Mux, client: _Client) -> None:
-    """Per-connection reader: request lines in, connection control out."""
+    """Per-connection reader: request lines in, connection control out.
+
+    Goodbye (blank line) and SHUTDOWN are GRACEFUL: the connection stays
+    open until every response the engine owes this client has been
+    delivered (request_close); only an abrupt EOF/error closes it on the
+    spot — the peer is gone, there is nobody to deliver to.
+    """
+    graceful = False
     try:
         f = client.conn.makefile("r", encoding="utf-8", errors="replace")
         for raw in f:
             line = raw.rstrip("\n")
             if not line.strip():
-                break  # blank line: this client says goodbye
+                graceful = True
+                client.request_close()
+                break
             if line.strip() == "SHUTDOWN":
-                client.send_line("OK SHUTDOWN")
+                graceful = True
+                client.request_close("OK SHUTDOWN")
                 mux.q.put((None, ""))  # engine loop's shutdown condition
                 break
+            client.begin_request()  # blocks at the per-client cap
             mux.q.put((client, line))
     except Exception as exc:  # noqa: BLE001 - a broken client must not kill us
         mux.logger.warning("%s: reader for %s failed (%s)",
                            mux.name, client.addr, exc)
     finally:
-        mux.drop_client(client)
+        if graceful:
+            # No more broadcasts for a leaving client; the socket itself
+            # closes in _Client._finish once the owed responses drain.
+            with mux.clock:
+                mux.clients.discard(client)
+        else:
+            mux.drop_client(client)
 
 
 def _acceptor(mux: _Mux, listener: socket.socket) -> None:

@@ -325,21 +325,9 @@ def video_train(
         # chunk) than its peers and desync the mesh before the carry
         # sidecar check below ever runs. Mismatch -> everyone falls back
         # to epoch-level resume together.
-        if not distributed_lib.positions_agree(
-            0 if state is None else 1,
-            0 if state is None else int(state["epoch"]),
-            0 if state is None else int(state["iteration"]),
-            0 if state is None else int(state["extra"].get("batch_in_epoch", 0)),
-            0 if state is None else int(state["extra"].get("chunk_in_batch", 0)),
-        ):
-            logger.warning(
-                "Step-state resume positions differ across processes "
-                "(this process: %s); ALL processes fall back to "
-                "epoch-level resume.",
-                "none" if state is None else
-                f"epoch={state['epoch']} iter={state['iteration']}",
-            )
-            state = None
+        state = distributed_lib.agree_resume_state(
+            state, extra_keys=("batch_in_epoch", "chunk_in_batch")
+        )
         if state is not None:
             params = mesh_lib.replicate(state["params"], mesh)
             opt_state = mesh_lib.replicate(state["opt_state"], mesh)
@@ -416,7 +404,9 @@ def video_train(
             # Load THIS epoch's own file (the reference's per-epoch resume,
             # network.py:959-965) — the overall-latest could be a later epoch.
             params = ckpt.load(
-                ckpt.checkpoint_path(MODEL_NAME, style_name, epoch, models_path),
+                ckpt.existing_checkpoint_path(
+                    MODEL_NAME, style_name, epoch, models_path
+                ),
                 params,
             )
             params = mesh_lib.replicate(params, mesh)
@@ -979,19 +969,12 @@ def serve_stream_loop(
 
     norm = jax.jit(img_utils.maybe_normalize_on_device)
 
+    from styletransfer_tpu.engines import daemon
+
     # Resolution buckets: one compiled program set per size, first =
-    # default (same contract as fast.serve_loop; here a BUCKET belongs to
-    # a stream — its carry has the shape).
-    if sizes:
-        buckets = []
-        for s in sizes:
-            s = int(s)
-            if s < 1:
-                raise ValueError(f"serving size must be >= 1, got {s}")
-            if s not in buckets:
-                buckets.append(s)
-    else:
-        buckets = [size or constants.IMSIZE]
+    # default (one shared contract: daemon.normalize_buckets; here a
+    # BUCKET belongs to a stream — its carry has the shape).
+    buckets = daemon.normalize_buckets(sizes, size or constants.IMSIZE)
     default_sz = buckets[0]
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -1018,8 +1001,6 @@ def serve_stream_loop(
         buckets, precision, batch_size, time.time() - t0,
     )
     print("READY", file=stdout, flush=True)
-
-    from styletransfer_tpu.engines import daemon
 
     # stream id -> (bucket px, previous stylized frame [1,H,W,3]) in
     # normalized model space, carries kept as DEVICE arrays: waves assemble

@@ -138,6 +138,33 @@ def local_batch_size(global_batch_size: int) -> int:
     return global_batch_size // count
 
 
+def agree_resume_state(state, extra_keys: Tuple[str, ...] = ("batch_in_epoch",)):
+    """Collectively validate a loaded step state's resume POSITION.
+
+    Encodes ``(present, epoch, iteration, *extras)`` and all-gathers it
+    (:func:`positions_agree`): if any process loaded a different position
+    — step-state file missing or stale on some hosts — EVERY process
+    returns ``None`` together (epoch-level resume); per-process fallback
+    would desync the mesh. Returns ``state`` unchanged when all agree.
+    One helper for the three trainers so their encodings cannot drift.
+    """
+    if positions_agree(
+        0 if state is None else 1,
+        0 if state is None else int(state["epoch"]),
+        0 if state is None else int(state["iteration"]),
+        *(0 if state is None else int(state["extra"].get(k, 0))
+          for k in extra_keys),
+    ):
+        return state
+    get_logger().warning(
+        "Step-state resume positions differ across processes "
+        "(this process: %s); ALL processes fall back to epoch-level resume.",
+        "none" if state is None else
+        f"epoch={state['epoch']} iter={state['iteration']}",
+    )
+    return None
+
+
 def positions_agree(*values: int) -> bool:
     """True iff every process computed the same integer tuple.
 

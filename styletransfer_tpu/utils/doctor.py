@@ -55,8 +55,14 @@ def _probe_backend(env_extra: dict, timeout: float) -> Check:
     if proc.returncode != 0:
         tail = " ".join(proc.stderr.split())[-300:]
         return Check(name, "fail", f"backend init failed: ...{tail}")
-    platform, n = proc.stdout.split()
-    return Check(name, "ok", f"{platform}, {n} device(s)")
+    # Parse defensively: libraries may print banners to stdout during
+    # init — a diagnostics tool must report oddities, never crash on them.
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    tokens = lines[-1].split() if lines else []
+    if len(tokens) != 2 or not tokens[1].isdigit():
+        return Check(name, "fail",
+                     f"probe printed unexpected output: {proc.stdout!r:.300}")
+    return Check(name, "ok", f"{tokens[0]}, {tokens[1]} device(s)")
 
 
 def run_checks(
@@ -151,9 +157,11 @@ def run_checks(
         from styletransfer_tpu import ckpt
 
         names = [f for f in os.listdir(models_dir)
-                 if f.endswith((ckpt.CKPT_SUFFIX, ".pth"))]
+                 if f.endswith((ckpt.CKPT_SUFFIX, ".pth"))
+                 or (f.endswith(ckpt.ORBAX_SUFFIX)
+                     and os.path.isdir(os.path.join(models_dir, f)))]
         add(Check("checkpoints", "ok" if names else "info",
-                  f"{len(names)} file(s) in {models_dir}"))
+                  f"{len(names)} checkpoint(s) in {models_dir}"))
     else:
         add(Check("checkpoints", "info",
                   f"{models_dir} absent (created by training)"))

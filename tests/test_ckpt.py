@@ -103,6 +103,20 @@ def test_orbax_backend_roundtrip_and_discovery(tmp_path, params, monkeypatch):
     found, epoch = ckpt.find_latest("fast_st", "sty", mp)
     assert epoch == 4 and found.endswith(".msgpack")
     assert ckpt.epoch_checkpoint_exists("fast_st", "sty", 3, mp)
+    # Cross-backend RESUME LOAD: with the default backend active, the
+    # orbax epoch must load through existing_checkpoint_path (what the
+    # trainers' resume-skip uses) — checkpoint_path alone would name a
+    # .msgpack that was never written and crash the resume.
+    p3 = ckpt.existing_checkpoint_path("fast_st", "sty", 3, mp)
+    assert p3.endswith(".orbax")
+    re3 = ckpt.load(p3, params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(re3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert ckpt.existing_checkpoint_path("fast_st", "sty", 4, mp).endswith(
+        ".msgpack"
+    )
+    assert ckpt.existing_checkpoint_path("fast_st", "sty", 9, mp) is None
 
     # Overwriting an existing orbax epoch must not fail (force semantics,
     # like a plain file rewrite).

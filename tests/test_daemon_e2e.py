@@ -208,7 +208,7 @@ def test_gatys_serve_daemon_subprocess(tmp_path):
     )
     lines = _assert_protocol_stdout(proc, 4)
     assert lines[1].startswith("OK ") and "loss=" in lines[1]
-    assert lines[2].startswith("OK ") and "style+content.png" in lines[2]
+    assert lines[2].startswith("OK ") and "style+content_0.8_0.2.png" in lines[2]
     assert "expected CONTENT\\tSTYLE[\\tOUTPUT]" in lines[3]
     assert lines[4].startswith("ERR RELOAD") and "stateless" in lines[4]
     assert os.path.isfile(lines[1].split(" ", 2)[1])

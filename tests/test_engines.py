@@ -817,6 +817,23 @@ def test_gatys_serve_loop_protocol(tmp_path, rng, vgg_params):
     assert os.path.isfile(out_path)
 
 
+def test_parse_style_spec_literal_path_escape(tmp_path):
+    """Commas and colons are legal in POSIX filenames: a STYLE value that
+    names an EXISTING file is taken literally, never reinterpreted as a
+    blend spec — with and without a resolution root."""
+    from styletransfer_tpu.engines import gatys
+
+    weird = tmp_path / "style, v2:final.png"
+    weird.write_bytes(b"x")
+    assert gatys.parse_style_spec(str(weird)) == ([str(weird)], [1.0])
+    assert gatys.parse_style_spec(
+        "style, v2:final.png", root=str(tmp_path)
+    ) == (["style, v2:final.png"], [1.0])
+    # Without a matching file the same text parses as a (bad) blend spec.
+    with pytest.raises(ValueError):
+        gatys.parse_style_spec("style, v2:final.png", root=str(tmp_path / "x"))
+
+
 def test_gatys_serve_loop_style_blend(tmp_path, rng, vgg_params):
     """STYLE blend spec 'a,b[:w1,w2]': the daemon optimizes toward the
     weighted-average Gram targets. Full weight on one style must equal the
@@ -855,7 +872,9 @@ def test_gatys_serve_loop_style_blend(tmp_path, rng, vgg_params):
     blend10 = np.asarray(Image.open(lines[2].split(" ")[1]))
     np.testing.assert_array_equal(plain, blend10)
     assert lines[3].startswith("OK ")
-    assert lines[3].split(" ")[1].endswith("gatys_content_s1+s2.png")
+    # Default stem carries the normalized weights: distinct blends of the
+    # same styles must not overwrite each other's default output.
+    assert lines[3].split(" ")[1].endswith("gatys_content_s1+s2_0.5_0.5.png")
     blend_eq = np.asarray(Image.open(lines[3].split(" ")[1]))
     assert (blend_eq != plain).any()  # an actual blend differs from s1
     assert "2 style paths but 1 weights" in lines[4]

@@ -170,6 +170,36 @@ def test_batched_loop_routes_across_clients():
     assert srv.result == 6
 
 
+def test_goodbye_and_shutdown_wait_for_owed_responses():
+    """Graceful close: a client that pipelines requests and its goodbye
+    (or SHUTDOWN) in one write still receives every owed response — and
+    the SHUTDOWN ack arrives AFTER them, preserving count-pairing."""
+    started = threading.Event()
+
+    def slow_handle(*fields):
+        started.set()
+        time.sleep(0.2)
+        return fields[0].upper()
+
+    # Blank-line goodbye pipelined behind a request.
+    srv = _Server(_serial_loop(handle=slow_handle))
+    c1 = _Client(srv.port)
+    assert c1.recv() == "READY"
+    c1.sock.sendall(b"gone\n\n")  # request + goodbye in one segment
+    assert c1.recv() == "OK GONE"  # delivered before the close
+    assert c1.recv() == ""  # then EOF
+
+    # SHUTDOWN pipelined behind a request: ack comes after the response.
+    c2 = _Client(srv.port)
+    assert c2.recv() == "READY"
+    c2.sock.sendall(b"last\nSHUTDOWN\n")
+    assert c2.recv() == "OK LAST"
+    assert c2.recv() == "OK SHUTDOWN"
+    assert c2.recv() == ""
+    srv.join()
+    assert srv.result == 2
+
+
 def test_vanished_client_response_dropped_others_survive():
     started = threading.Event()
 
