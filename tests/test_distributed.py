@@ -118,7 +118,10 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         )
     results = []
     for proc, out in procs:
-        stdout, _ = proc.communicate(timeout=420)
+        # 900s: each worker compiles a full CPU train step; on the
+        # 1-core CI/build box two workers race the rest of the suite
+        # for the core, and 420s flaked under full-suite load.
+        stdout, _ = proc.communicate(timeout=900)
         assert proc.returncode == 0, stdout.decode(errors="replace")[-4000:]
         results.append(json.loads(out.read_text()))
 
@@ -263,7 +266,10 @@ def test_two_process_carry_shard_sidecars(tmp_path):
             )
         )
     for proc, out in procs:
-        stdout, _ = proc.communicate(timeout=420)
+        # 900s: each worker compiles a full CPU train step; on the
+        # 1-core CI/build box two workers race the rest of the suite
+        # for the core, and 420s flaked under full-suite load.
+        stdout, _ = proc.communicate(timeout=900)
         assert proc.returncode == 0, stdout.decode(errors="replace")[-4000:]
         assert json.loads(out.read_text())["ok"]
 
