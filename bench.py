@@ -107,10 +107,25 @@ def main() -> None:
     )
     apply_jit = jax.jit(transformer.apply)
 
+    # Split the startup cost so the artifact attributes it correctly:
+    # with a warm persistent cache, XLA compile is ~0.2 s (cache hit) and
+    # the remainder is the tunneled backend preparing the program
+    # server-side on FIRST dispatch (measured 15-220 s depending on
+    # contention — backend-inherent, not a cold cache; see
+    # docs/performance.md "Compile cost").
     t0 = time.perf_counter()
-    y = apply_jit(params, x)
-    float(jnp.sum(y))  # force compile + execute
-    log(f"fast_st compile+first: {time.perf_counter() - t0:.1f}s")
+    lowered = apply_jit.lower(params, x)
+    t_lower = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    y = compiled(params, x)
+    float(jnp.sum(y))  # force execute
+    t_first = time.perf_counter() - t0
+    log(f"fast_st compile+first: {t_lower + t_compile + t_first:.1f}s "
+        f"(trace+lower {t_lower:.1f}s, xla compile {t_compile:.1f}s, "
+        f"first dispatch {t_first:.1f}s)")
 
     best = 0.0
     for _trial in range(int(os.environ.get("BENCH_TRIALS", "5"))):
