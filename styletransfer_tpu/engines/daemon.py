@@ -61,6 +61,29 @@ def split_fields(line: str) -> list:
     return fields
 
 
+_io_pool = None
+
+
+def io_pool():
+    """Shared thread pool for per-request host image IO in batched groups.
+
+    A drained group's PNG decodes/encodes are independent per request and
+    PIL releases the GIL around codec work, so running them serially
+    leaves host IO on the critical path next to the one device call (at
+    256px a decode+encode is ~5-8 ms — comparable to the per-image device
+    cost, so a 16-lane group pays ~100 ms of avoidable serial host time).
+    One process-wide pool (like process_dir's decode pool) keeps thread
+    count bounded across daemons that share a process in tests.
+    """
+    global _io_pool
+    if _io_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _io_pool = ThreadPoolExecutor(max_workers=8,
+                                      thread_name_prefix="serve-io")
+    return _io_pool
+
+
 def resolve_out_path(explicit_out: str, out_dir: str, default_name: str) -> str:
     """Output path for one request: the explicit TAB field (resolved
     against the project root, parent dirs created) or ``out_dir`` +

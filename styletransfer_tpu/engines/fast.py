@@ -717,9 +717,12 @@ def serve_loop(
 
     def run_segment(segment, results):
         """Serve one RELOAD-free run of requests: one device call per
-        resolution bucket present, responses by request index."""
-        by_bucket: Dict[int, list] = {}
-        for i, fields in segment:
+        resolution bucket present, responses by request index. Host PNG
+        decode/encode runs on the shared IO pool (per-request work is
+        independent; serial IO would sit on the critical path beside the
+        device call — daemon.io_pool)."""
+
+        def decode(i, fields):
             try:
                 bucket = resolve_bucket(fields)
                 in_path = fields[0]
@@ -727,11 +730,20 @@ def serve_loop(
                     os.path.join(constants.PROJECT_ROOT_PATH, in_path),
                     size=bucket,
                 )[0]
-                by_bucket.setdefault(bucket, []).append(
-                    (i, in_path, fields[1] if len(fields) > 1 else "", arr)
-                )
+                return (i, bucket, in_path,
+                        fields[1] if len(fields) > 1 else "", arr, None)
             except Exception as exc:  # noqa: BLE001 - answered per-request
+                return i, None, None, None, None, exc
+
+        by_bucket: Dict[int, list] = {}
+        for i, bucket, in_path, explicit_out, arr, exc in daemon.io_pool().map(
+                lambda job: decode(*job), segment):
+            if exc is not None:
                 results[i] = exc
+            else:
+                by_bucket.setdefault(bucket, []).append(
+                    (i, in_path, explicit_out, arr)
+                )
         for bucket, metas in by_bucket.items():
             arr = np.stack([m[3] for m in metas])
             pad = batch_size - len(metas)
@@ -745,11 +757,15 @@ def serve_loop(
                 for i, _, _, _ in metas:
                     results[i] = exc
                 continue
-            for (i, in_path, explicit_out, _), img in zip(metas, out):
+
+            def save(meta_img):
+                (i, in_path, explicit_out, _), img = meta_img
                 try:
                     results[i] = save_one(in_path, explicit_out, img)
                 except Exception as exc:  # noqa: BLE001
                     results[i] = exc
+
+            list(daemon.io_pool().map(save, zip(metas, out)))
 
     return daemon.run_batched_request_loop(
         daemon.segmented_handle_batch(run_segment, {"RELOAD": reload}),

@@ -556,8 +556,8 @@ def serve_loop(
         # Per-request styles are DATA ([B, S] blend weights), so a mixed
         # group of hard selections and blends runs as ONE device call;
         # resolution buckets are SHAPES, so the group splits per bucket.
-        by_bucket = {}
-        for i, fields in segment:
+        # Host decode/encode rides the shared IO pool (daemon.io_pool).
+        def decode(i, fields):
             try:
                 bucket = resolve_bucket(fields)
                 in_path = fields[0]
@@ -566,12 +566,20 @@ def serve_loop(
                     os.path.join(constants.PROJECT_ROOT_PATH, in_path),
                     size=bucket,
                 )[0]
-                by_bucket.setdefault(bucket, []).append(
-                    (i, in_path, fields[1] if len(fields) > 1 else "",
-                     tag, w, arr)
-                )
+                return i, bucket, (
+                    i, in_path, fields[1] if len(fields) > 1 else "",
+                    tag, w, arr,
+                ), None
             except Exception as exc:  # noqa: BLE001 - answered per-request
+                return i, None, None, exc
+
+        by_bucket = {}
+        for i, bucket, meta, exc in daemon.io_pool().map(
+                lambda job: decode(*job), segment):
+            if exc is not None:
                 results[i] = exc
+            else:
+                by_bucket.setdefault(bucket, []).append(meta)
         for bucket, metas in by_bucket.items():
             arr = np.stack([m[5] for m in metas])
             wb = np.stack([m[4] for m in metas])
@@ -587,11 +595,15 @@ def serve_loop(
                 for meta in metas:
                     results[meta[0]] = exc
                 continue
-            for (i, in_path, explicit_out, tag, _, _), img in zip(metas, out):
+
+            def save(meta_img):
+                (i, in_path, explicit_out, tag, _, _), img = meta_img
                 try:
                     results[i] = save_one(in_path, explicit_out, tag, img)
                 except Exception as exc:  # noqa: BLE001
                     results[i] = exc
+
+            list(daemon.io_pool().map(save, zip(metas, out)))
 
     return daemon.run_batched_request_loop(
         daemon.segmented_handle_batch(run_segment, {"RELOAD": reload}),

@@ -1152,8 +1152,10 @@ def serve_stream_loop(
             pending = rest
 
             # lane: (result idx, in_path, out, sid, bucket, frame u8, old f32)
-            by_bucket: dict = {}
-            n_lanes = 0
+            # Serial pass: parse + commands + stream-bucket bookkeeping
+            # (mutates shared stream state, must stay in request order);
+            # frame decode then rides the shared IO pool (pure per path).
+            jobs = []
             for i, fields in wave:
                 try:
                     in_path, explicit_out, sid, size_field = parse(fields)
@@ -1173,17 +1175,30 @@ def serve_stream_loop(
                             results[i] = reset_all()
                         continue
                     bucket = stream_bucket(sid, size_field)
-                    frame = load_frame(in_path, bucket)
-                    old = carries.get(sid)
-                    old_dev = (jnp.asarray(old[1]) if old is not None
-                               else norm(jnp.asarray(frame)))
-                    by_bucket.setdefault(bucket, []).append(
-                        (i, in_path, explicit_out, sid, bucket, frame[0],
-                         old_dev)
-                    )
-                    n_lanes += 1
+                    jobs.append((i, in_path, explicit_out, sid, bucket))
                 except Exception as exc:  # noqa: BLE001 - answered per-request
                     results[i] = exc
+
+            def decode(job):
+                try:
+                    return job, load_frame(job[1], job[4]), None
+                except Exception as exc:  # noqa: BLE001 - answered per-request
+                    return job, None, exc
+
+            by_bucket: dict = {}
+            n_lanes = 0
+            for job, frame, exc in daemon.io_pool().map(decode, jobs):
+                i, in_path, explicit_out, sid, bucket = job
+                if exc is not None:
+                    results[i] = exc
+                    continue
+                old = carries.get(sid)
+                old_dev = (jnp.asarray(old[1]) if old is not None
+                           else norm(jnp.asarray(frame)))
+                by_bucket.setdefault(bucket, []).append(
+                    (i, in_path, explicit_out, sid, bucket, frame[0], old_dev)
+                )
+                n_lanes += 1
             if not n_lanes:
                 continue
             for bucket, lanes in by_bucket.items():
@@ -1224,18 +1239,29 @@ def serve_stream_loop(
                     for lane in lanes:
                         results[lane[0]] = exc
                     continue
-                for k, (i, in_path, explicit_out, sid, bkt, _, _) in enumerate(
-                        lanes):
+                # PNG encodes ride the IO pool; the carry/LRU updates stay
+                # serial (touch() evicts from the shared OrderedDict). A
+                # failed save still does NOT advance that lane's carry.
+                def encode(k):
+                    i, in_path, explicit_out, sid, bkt, _, _ = lanes[k]
                     try:
                         out_file = daemon.resolve_out_path(
                             explicit_out, out_dir, default_name(in_path, sid)
                         )
                         img_utils.save_uint8(out_u8[k], out_file)
-                        carries[sid] = (bkt, out_model[k:k + 1])
-                        touch(sid)
-                        results[i] = out_file
+                        return k, out_file, None
                     except Exception as exc:  # noqa: BLE001
+                        return k, None, exc
+
+                for k, out_file, exc in daemon.io_pool().map(
+                        encode, range(len(lanes))):
+                    i, _, _, sid, bkt, _, _ = lanes[k]
+                    if exc is not None:
                         results[i] = exc
+                        continue
+                    carries[sid] = (bkt, out_model[k:k + 1])
+                    touch(sid)
+                    results[i] = out_file
         return results
 
     return daemon.run_batched_request_loop(
