@@ -23,6 +23,7 @@ Reference behavior being matched:
 from __future__ import annotations
 
 import os
+import threading
 from typing import Optional
 
 import jax.numpy as jnp
@@ -172,7 +173,11 @@ def save_uint8(arr: np.ndarray, path: str) -> None:
     if arr.ndim == 4:
         arr = arr[0]
     base, ext = os.path.splitext(path)
-    tmp = f"{base}.tmp-{os.getpid()}{ext or '.png'}"
+    # pid AND thread id: batched daemons encode a group's outputs on a
+    # thread pool, and two requests naming the SAME output path must not
+    # share a temp file (interleaved writes + a stolen rename corrupt
+    # both; last completed rename wins instead, like the serial case).
+    tmp = f"{base}.tmp-{os.getpid()}-{threading.get_ident()}{ext or '.png'}"
     try:
         Image.fromarray(arr).save(tmp)
         os.replace(tmp, path)

@@ -65,6 +65,32 @@ def test_save_uint8_atomic(tmp_path, rng):
     assert list(tmp_path.glob("*.tmp-*")) == []
 
 
+def test_save_uint8_concurrent_same_path(tmp_path, rng):
+    """Concurrent saves to the SAME output path must not corrupt each
+    other: batched daemons encode a group's outputs on a thread pool, and
+    a group may contain several requests with identical default naming.
+    The temp name is pid+thread-unique, so every save is atomic and the
+    last completed rename wins (regression: a pid-only temp name let one
+    thread rename another's half-written file, observed as a
+    FileNotFoundError under the TCP bench's identical-request burst)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    out = tmp_path / "same.png"
+    arrs = [np.full((16, 16, 3), v, np.uint8) for v in range(8)]
+
+    def save(a):
+        for _ in range(20):
+            images.save_uint8(a, str(out))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(save, arrs))  # raises if any save failed
+
+    loaded = np.asarray(Image.open(out).convert("RGB"))
+    # the file is one of the written images, intact (no interleaving)
+    assert any(np.array_equal(loaded, a) for a in arrs)
+    assert list(tmp_path.glob("*.tmp-*")) == []
+
+
 def test_save_with_ground_truth_concat(tmp_path, rng):
     a = images.normalize(rng.random((1, 8, 8, 3)).astype(np.float32))
     b = images.normalize(rng.random((1, 8, 8, 3)).astype(np.float32))
