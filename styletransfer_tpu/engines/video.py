@@ -985,28 +985,136 @@ def serve_stream_loop(
         batch_size, params
     )
 
+    # Per-stream carries (previous stylized frame, normalized model
+    # space) live in ONE resident device buffer per bucket — a slot
+    # table. Waves assemble their ``olds`` with a single gather
+    # (``jnp.take``) and write outputs back with a single scatter
+    # (``.at[idx].set``) instead of a concatenate over N per-lane arrays
+    # plus N slices: 2 dispatches per wave vs ~2N. Measured 22% per-wave
+    # at 64 lanes through the tunneled backend
+    # (benchmarks/video_wave_bench.py: 1.05 -> 0.82 s/wave). Row ``cap``
+    # of each buffer is a scratch slot — padded and failed lanes scatter
+    # there — so every wave op keeps ONE static shape. Index operands are
+    # always device arrays (a Python-int index would bake into the
+    # program and recompile per slot). The f32 carries never ride the
+    # host link (only uint8 outputs are read back).
+    class _SlotCarries:
+        def __init__(self, cap):
+            self.cap = cap
+            self.lru = OrderedDict()  # sid -> (bucket, slot)
+            self.buffers = {}         # bucket -> [cap+1, s, s, 3] f32
+            self.free = {}            # bucket -> free slot indices
+
+        def __contains__(self, sid):
+            return sid in self.lru
+
+        def __len__(self):
+            return len(self.lru)
+
+        def bucket_of(self, sid):
+            return self.lru[sid][0]
+
+        def slot_of(self, sid):
+            return self.lru[sid][1]
+
+        def scratch(self, bucket):
+            self._ensure(bucket)
+            return self.cap
+
+        def _ensure(self, bucket):
+            if bucket not in self.buffers:
+                self.buffers[bucket] = jnp.zeros(
+                    (self.cap + 1, bucket, bucket, 3), jnp.float32)
+                self.free[bucket] = list(range(self.cap))
+
+        def get_old(self, sid):
+            """The stream's carry as a [1, s, s, 3] device array (one
+            gather), or None for a fresh stream."""
+            if sid not in self.lru:
+                return None
+            bucket, slot = self.lru[sid]
+            return jnp.take(self.buffers[bucket], jnp.asarray([slot]),
+                            axis=0)
+
+        def allocate(self, sid, bucket, protected=()):
+            """A slot for a NEW stream (evicting the LRU stream at
+            capacity, like the per-lane store did). ``protected`` sids —
+            the current wave's other lanes, whose slot numbers the caller
+            already holds — are skipped (rotated to MRU), or eviction
+            could free a slot mid-wave and hand it to a second lane. A
+            victim outside the wave always exists: a wave has at most
+            batch_size <= max_streams lanes, one stream each. The caller
+            commits the sid only after its request succeeds — ``release``
+            returns the slot if the request fails. A failed fresh request
+            at capacity may therefore still evict (allocation precedes
+            the outcome); below capacity — the common case — it never
+            does."""
+            self._ensure(bucket)
+            while not self.free[bucket] or len(self.lru) >= self.cap:
+                evicted, (eb, eslot) = self.lru.popitem(last=False)
+                if evicted in protected:
+                    self.lru[evicted] = (eb, eslot)  # re-insert at MRU
+                    continue
+                self.free[eb].append(eslot)
+                logger.warning(
+                    "video serve: evicted stream %r (max-streams=%d); its "
+                    "next frame starts a fresh stream", evicted, self.cap,
+                )
+            return self.free[bucket].pop()
+
+        def release(self, bucket, slot):
+            self.free[bucket].append(slot)
+
+        def commit(self, sid, bucket, slot):
+            """Register/refresh sid at slot (the buffer row was already
+            scattered) and mark it most-recently-used."""
+            self.lru[sid] = (bucket, slot)
+            self.lru.move_to_end(sid)
+
+        def scatter(self, bucket, idx, rows):
+            """Write ``rows`` ([B, s, s, 3]) at ``idx`` ([B] int array;
+            scratch entries absorb padded/failed lanes)."""
+            self.buffers[bucket] = self.buffers[bucket].at[idx].set(rows)
+
+        def pop(self, sid):
+            entry = self.lru.pop(sid, None)
+            if entry is not None:
+                self.free[entry[0]].append(entry[1])
+
+        def clear(self):
+            for bucket, buf in self.buffers.items():
+                self.free[bucket] = list(range(self.cap))
+            self.lru.clear()
+
+    carries = _SlotCarries(max_streams)
+
     # Eager compile at the fixed shapes: READY means ready. The [1, ...]
     # single-frame program always compiles (lone requests use it); the
-    # batched wave program compiles only when batching is on.
+    # batched wave program compiles only when batching is on. The slot
+    # buffers allocate and their gather/scatter/norm programs warm here
+    # too (everything scatters to the scratch row).
     t0 = time.time()
     for s in buckets:
         warm = jnp.zeros((1, s, s, 3), jnp.uint8)
         np.asarray(step(params, warm, norm(warm))[1])
+        scr = carries.scratch(s)
+        idx1 = jnp.asarray([scr])
+        carries.scatter(s, idx1, jnp.zeros((1, s, s, 3), jnp.float32))
+        float(jnp.sum(jnp.take(carries.buffers[s], idx1, axis=0)))
         if batch_size > 1:
             warm_b = place(np.zeros((batch_size, s, s, 3), np.uint8))
             old_b = place(np.zeros((batch_size, s, s, 3), np.float32))
             np.asarray(step(params, warm_b, old_b)[1])
+            idx_b = jnp.asarray(np.full(batch_size, scr, np.int32))
+            carries.scatter(s, idx_b, norm(warm_b))
+            float(jnp.sum(place(jnp.take(
+                carries.buffers[s], idx_b, axis=0))))
     logger.info(
         "video serve: compiled %s px %s stream step (batch=%d) in %.1fs; ready",
         buckets, precision, batch_size, time.time() - t0,
     )
     print("READY", file=stdout, flush=True)
 
-    # stream id -> (bucket px, previous stylized frame [1,H,W,3]) in
-    # normalized model space, carries kept as DEVICE arrays: waves assemble
-    # their `olds` with a device-side concatenate, so the f32 carry never
-    # rides the host link (only the uint8 output is read back).
-    carries: "OrderedDict" = OrderedDict()
 
     def stream_bucket(sid, size_field) -> int:
         """A stream's resolution: fixed by its first frame, remembered
@@ -1024,7 +1132,7 @@ def serve_stream_loop(
                     f"size {want} not in serving buckets {buckets}"
                 )
         if sid in carries:
-            have = carries[sid][0]
+            have = carries.bucket_of(sid)
             if want is not None and want != have:
                 raise ValueError(
                     f"stream {sid!r} is {have}px; RESET it before changing "
@@ -1032,15 +1140,6 @@ def serve_stream_loop(
                 )
             return have
         return want if want is not None else default_sz
-
-    def touch(sid):
-        carries.move_to_end(sid)
-        while len(carries) > max_streams:
-            evicted, _ = carries.popitem(last=False)
-            logger.warning(
-                "video serve: evicted stream %r (max-streams=%d); its next "
-                "frame starts a fresh stream", evicted, max_streams,
-            )
 
     def reset_all():
         carries.clear()
@@ -1077,12 +1176,20 @@ def serve_stream_loop(
         out_file = daemon.resolve_out_path(
             explicit_out, out_dir, default_name(in_path, sid)
         )
-        img_utils.save_uint8(out_arr, out_file)
-        # Advance the carry only once the request has fully succeeded — a
-        # save failure answers ERR and must leave the stream state intact
-        # (the documented "failed requests do NOT advance the carry").
-        carries[sid] = (bucket, out_model)
-        touch(sid)
+        slot = (carries.slot_of(sid) if sid in carries
+                else carries.allocate(sid, bucket))
+        try:
+            img_utils.save_uint8(out_arr, out_file)
+        except BaseException:
+            # Advance the carry only once the request has fully succeeded —
+            # a save failure answers ERR and must leave the stream state
+            # intact (the documented "failed requests do NOT advance the
+            # carry"). A fresh stream's tentative slot goes back.
+            if sid not in carries:
+                carries.release(bucket, slot)
+            raise
+        carries.scatter(bucket, jnp.asarray([slot]), out_model)
+        carries.commit(sid, bucket, slot)
         return out_file
 
     def parse(fields):
@@ -1105,12 +1212,13 @@ def serve_stream_loop(
                     "RESET takes no OUTPUT/SIZE field; use RESET or "
                     "RESET\\t\\t<stream>"
                 )
-            carries.pop(sid, None)
+            carries.pop(sid)
             return f"RESET {sid}" if len(fields) > 2 else "RESET"
         bucket = stream_bucket(sid, size_field)
         frame_dev = jnp.asarray(load_frame(in_path, bucket))
-        old = carries.get(sid)
-        old_dev = jnp.asarray(old[1]) if old is not None else norm(frame_dev)
+        old_dev = carries.get_old(sid)
+        if old_dev is None:
+            old_dev = norm(frame_dev)
         return run_single(in_path, explicit_out, sid, bucket, frame_dev,
                           old_dev)
 
@@ -1169,7 +1277,7 @@ def serve_stream_loop(
                                 "or RESET\\t\\t<stream>"
                             )
                         if len(fields) > 2:
-                            carries.pop(sid, None)
+                            carries.pop(sid)
                             results[i] = f"RESET {sid}"
                         else:
                             results[i] = reset_all()
@@ -1192,43 +1300,60 @@ def serve_stream_loop(
                 if exc is not None:
                     results[i] = exc
                     continue
-                old = carries.get(sid)
-                old_dev = (jnp.asarray(old[1]) if old is not None
-                           else norm(jnp.asarray(frame)))
                 by_bucket.setdefault(bucket, []).append(
-                    (i, in_path, explicit_out, sid, bucket, frame[0], old_dev)
+                    (i, in_path, explicit_out, sid, bucket, frame[0])
                 )
                 n_lanes += 1
             if not n_lanes:
                 continue
             for bucket, lanes in by_bucket.items():
                 if len(lanes) == 1:
-                    i, in_path, explicit_out, sid, bkt, frame, old_dev = lanes[0]
+                    i, in_path, explicit_out, sid, bkt, frame = lanes[0]
                     try:
+                        frame_dev = jnp.asarray(frame[None])
+                        old_dev = carries.get_old(sid)
+                        if old_dev is None:
+                            old_dev = norm(frame_dev)
                         results[i] = run_single(
                             in_path, explicit_out, sid, bkt,
-                            jnp.asarray(frame[None]), old_dev,
+                            frame_dev, old_dev,
                         )
                     except Exception as exc:  # noqa: BLE001
                         results[i] = exc
                     continue
+                # Slot-table wave: ONE gather assembles olds, ONE scatter
+                # seeds fresh streams, ONE scatter commits outputs — all
+                # at the static [batch_size] shape (padding and non-fresh
+                # lanes point at the scratch row), so lane count never
+                # adds dispatches and the f32 carries never leave device.
+                scratch = carries.scratch(bucket)
+                slots, fresh = [], []
+                for _, _, _, sid, _, _ in lanes:
+                    is_fresh = sid not in carries
+                    slots.append(
+                        carries.allocate(sid, bucket, protected=seen)
+                        if is_fresh else carries.slot_of(sid))
+                    fresh.append(is_fresh)
                 frames = np.stack([l[5] for l in lanes])
-                # Carries stay on device: concatenate there and read back
-                # only the uint8 output (the f32 model-space carry never
-                # rides the host link).
-                olds = jnp.concatenate([l[6] for l in lanes])
                 padn = batch_size - len(lanes)
                 if padn:
                     frames = np.concatenate(
                         [frames, np.repeat(frames[-1:], padn, axis=0)]
                     )
-                    olds = jnp.concatenate(
-                        [olds, jnp.repeat(olds[-1:], padn, axis=0)]
-                    )
+                lane_idx = jnp.asarray(
+                    np.asarray(slots + [slots[-1]] * padn, np.int32))
+                fresh_idx = jnp.asarray(np.asarray(
+                    [s if f else scratch for s, f in zip(slots, fresh)]
+                    + [scratch] * padn, np.int32))
                 try:
-                    out_model, out_u8 = step(
-                        state["params"], place(frames), place(olds)
-                    )
+                    placed = place(frames)
+                    # a fresh stream's first frame pairs with itself:
+                    # seed its slot with the normalized frame, then one
+                    # gather serves every lane
+                    carries.scatter(bucket, fresh_idx, norm(placed))
+                    olds = place(jnp.take(
+                        carries.buffers[bucket], lane_idx, axis=0))
+                    out_model, out_u8 = step(state["params"], placed, olds)
                     out_u8 = np.asarray(out_u8)[: len(lanes)]
                 except Exception as exc:  # noqa: BLE001
                     # ERR only THIS wave's lanes: earlier waves already saved
@@ -1238,12 +1363,17 @@ def serve_stream_loop(
                     # stay true per request, not per group).
                     for lane in lanes:
                         results[lane[0]] = exc
+                    for s, f in zip(slots, fresh):
+                        if f:
+                            carries.release(bucket, s)
                     continue
-                # PNG encodes ride the IO pool; the carry/LRU updates stay
-                # serial (touch() evicts from the shared OrderedDict). A
-                # failed save still does NOT advance that lane's carry.
+                # PNG encodes ride the IO pool; slot/LRU bookkeeping stays
+                # serial. A failed save does NOT advance that lane's carry:
+                # its output row scatters to scratch (a warm lane's stored
+                # carry is untouched; a fresh lane's tentative slot is
+                # returned).
                 def encode(k):
-                    i, in_path, explicit_out, sid, bkt, _, _ = lanes[k]
+                    i, in_path, explicit_out, sid, bkt, _ = lanes[k]
                     try:
                         out_file = daemon.resolve_out_path(
                             explicit_out, out_dir, default_name(in_path, sid)
@@ -1253,14 +1383,21 @@ def serve_stream_loop(
                     except Exception as exc:  # noqa: BLE001
                         return k, None, exc
 
-                for k, out_file, exc in daemon.io_pool().map(
-                        encode, range(len(lanes))):
-                    i, _, _, sid, bkt, _, _ = lanes[k]
+                out_slots = np.full(batch_size, scratch, np.int32)
+                outcomes = list(daemon.io_pool().map(
+                    encode, range(len(lanes))))
+                for k, out_file, exc in outcomes:
+                    if exc is None:
+                        out_slots[k] = slots[k]
+                carries.scatter(bucket, jnp.asarray(out_slots), out_model)
+                for k, out_file, exc in outcomes:
+                    i, _, _, sid, bkt, _ = lanes[k]
                     if exc is not None:
                         results[i] = exc
+                        if fresh[k]:
+                            carries.release(bucket, slots[k])
                         continue
-                    carries[sid] = (bkt, out_model[k:k + 1])
-                    touch(sid)
+                    carries.commit(sid, bkt, slots[k])
                     results[i] = out_file
         return results
 

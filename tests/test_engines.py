@@ -1183,6 +1183,66 @@ def test_video_serve_multi_stream_batched_matches_scan(tmp_path, rng):
     )
 
 
+def test_video_serve_eviction_protects_same_wave_streams(tmp_path, rng):
+    """At stream capacity, a wave mixing WARM lanes and FRESH lanes must
+    evict only streams OUTSIDE the wave: the slot-table allocator skips
+    (rotates) the wave's own sids, or an eviction could free a slot whose
+    number a warm lane already holds and alias two lanes onto one row.
+    Here max_streams=4 is filled by A-D, then one wave serves warm A,B +
+    fresh E,F (evicting C,D) — A's and B's later frames must still be
+    bit-identical to their scanned references, proving their carries
+    survived the capacity wave intact."""
+    import io
+
+    from PIL import Image
+
+    from styletransfer_tpu.engines import video as video_engine
+    from styletransfer_tpu.utils import images as img_utils
+
+    params = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+    frames = {}
+    for sname, count in (("A", 3), ("B", 3), ("C", 1), ("D", 1),
+                         ("E", 1), ("F", 1)):
+        for t in range(count):
+            arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+            p = tmp_path / f"{sname}{t}.png"
+            Image.fromarray(arr).save(p)
+            frames[(sname, t)] = p
+
+    # wave 1: A0 B0 C0 D0 (fills capacity) / wave 2: A1 B1 E0 F0 (warm +
+    # fresh at capacity -> evicts C, D) / wave 3: A2 B2
+    order = [("A", 0), ("B", 0), ("C", 0), ("D", 0),
+             ("A", 1), ("B", 1), ("E", 0), ("F", 0),
+             ("A", 2), ("B", 2)]
+    outs = {k: tmp_path / f"out_{k[0]}{k[1]}.png" for k in order}
+    stdin = io.StringIO(
+        "".join(f"{frames[k]}\t{outs[k]}\t{k[0]}\n" for k in order) + "\n"
+    )
+    stdout = io.StringIO()
+    n = video_engine.serve_stream_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=params,
+        size=32, batch_size=4, max_streams=4, stdin=stdin, stdout=stdout,
+    )
+    assert n == len(order)
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    for line, k in zip(lines[1:], order):
+        assert line == f"OK {outs[k]}"
+
+    for sname, count in (("A", 3), ("B", 3), ("E", 1), ("F", 1)):
+        u8 = jnp.asarray(np.stack([
+            img_utils.load_image_uint8(str(frames[(sname, t)]), size=32)[0]
+            for t in range(count)
+        ]))[:, None]
+        ref = video_engine._stylize_chunk(
+            params, u8, img_utils.maybe_normalize_on_device(u8[0])
+        )
+        want = np.asarray(img_utils.to_uint8_on_device(ref))[:, 0]
+        for t in range(count):
+            got = np.asarray(Image.open(outs[(sname, t)]))
+            np.testing.assert_array_equal(got, want[t])
+
+
 def test_video_serve_batched_stress_interleaved_streams(tmp_path, rng):
     """12 requests across 3 ragged-length interleaved streams through a
     batch-4 daemon: one response per request in order, and every stream's
