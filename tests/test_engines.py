@@ -851,9 +851,12 @@ def test_gatys_serve_loop_style_blend(tmp_path, rng, vgg_params):
             rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
         ).save(p)
 
+    # Explicit OUTPUT fields must be absolute here: a relative OUTPUT is
+    # resolved against the real project root (resolve_out_path), and a
+    # test must not drop artifacts outside tmp_path.
     stdin = io.StringIO(
-        f"{c}\t{s1}\tplain.png\n"
-        f"{c}\t{s1},{s2}:1,0\tblend10.png\n"   # == plain s1, bitwise
+        f"{c}\t{s1}\t{tmp_path / 'plain.png'}\n"
+        f"{c}\t{s1},{s2}:1,0\t{tmp_path / 'blend10.png'}\n"  # == plain s1, bitwise
         f"{c}\t{s1},{s2}\n"                    # equal blend, default stem
         f"{c}\t{s1},{s2}:0.3\n"                # weight count mismatch -> ERR
         f"{c}\t{s1},{s2}:-1,2\n"               # negative weight -> ERR
