@@ -1,32 +1,40 @@
-"""Pipe vs TCP transport overhead for the serving daemons.
+"""Pipe vs TCP vs HTTP transport overhead for the serving daemons.
 
 The TCP transport (engines/netserve.py) adds a listener, per-client
 reader threads, and a FIFO response router in front of the same engine
-loops the pipe daemons run — this bench measures what that costs per
-request, end to end, against the SHIPPED binary (``python -m
-styletransfer_tpu fast_st serve``):
+loops the pipe daemons run; the HTTP gateway (engines/httpserve.py)
+adds request parsing plus a temp-file spool for the image bytes riding
+the bodies. This bench measures what each costs per request, end to
+end, against the SHIPPED binary (``python -m styletransfer_tpu fast_st
+serve``):
 
 - serial phase: N request→response round-trips, one at a time (the
   latency a lone client sees);
-- burst phase: N requests pipelined up front with ``-b BATCH`` dynamic
-  batching (the throughput a bursty client sees).
+- burst phase: N requests in flight at once with ``-b BATCH`` dynamic
+  batching (the throughput a bursty client sees; over HTTP this is N
+  concurrent connections — cross-connection batching is the claim
+  docs/serving.md makes, so it is what gets measured).
 
-Both phases run once over the process pipes and once over a localhost
-socket; the deltas are the transport overhead. Run it on the TPU host
-for the serving tables in docs/serving.md; on CPU (STX_PLATFORM=cpu) it
-still isolates the transport delta — the engine work is identical on
-both sides.
+Each phase runs over the process pipes, a localhost socket, and a
+localhost HTTP gateway; the deltas are the transport overhead. Run it
+on the TPU host for the serving tables in docs/serving.md; on CPU
+(STX_PLATFORM=cpu) it still isolates the transport delta — the engine
+work is identical on all sides. (The HTTP rows carry the image bytes in
+the bodies — upload + spool + PNG response download — where pipe/TCP
+rows exchange paths; that byte-shuttling IS the gateway's honest cost.)
 
 Run: python benchmarks/tcp_transport_bench.py
 Env: TCPB_N (default 32), TCPB_SIZE (256), TCPB_BATCH (8)
 """
 
+import concurrent.futures
 import json
 import os
 import socket
 import subprocess
 import sys
 import time
+import urllib.request
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
@@ -129,18 +137,69 @@ def run_tcp(content):
     return out
 
 
+def run_http(content):
+    with open(os.path.join(REPO_ROOT, content), "rb") as f:
+        body = f.read()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "styletransfer_tpu", "fast_st", "serve",
+         STYLE, "--size", str(SIZE), "-b", str(BATCH),
+         "--http", "127.0.0.1:0"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        bufsize=1, cwd=REPO_ROOT,
+    )
+    try:
+        banner = proc.stdout.readline().split()
+        port = int(banner[2])
+        url = f"http://127.0.0.1:{port}/v1/stylize"
+
+        def post():
+            req = urllib.request.Request(url, data=body, method="POST")
+            with urllib.request.urlopen(req, timeout=1200) as resp:
+                png = resp.read()
+                assert resp.status == 200 and png[:4] == b"\x89PNG"
+
+        t0 = time.time()
+        assert proc.stdout.readline().strip() == "READY"
+        out = {"ready_s": round(time.time() - t0, 1)}
+        t0 = time.time()
+        for _ in range(N):
+            post()
+        out["serial_ms"] = round((time.time() - t0) / N * 1e3, 1)
+        # Burst = N concurrent connections; the gateway's mux feeds them
+        # to the engine loop, which groups up to BATCH per device call.
+        with concurrent.futures.ThreadPoolExecutor(max_workers=N) as pool:
+            t0 = time.time()
+            futs = [pool.submit(post) for _ in range(N)]
+            for f in futs:
+                f.result()
+            out["burst_ms"] = round((time.time() - t0) / N * 1e3, 1)
+        urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/shutdown", data=b"", method="POST"),
+            timeout=60).read()
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    return out
+
+
 def main():
     content = ensure_assets()
     rows = []
-    for transport, fn in (("pipe", run_pipe), ("tcp", run_tcp)):
+    for transport, fn in (("pipe", run_pipe), ("tcp", run_tcp),
+                          ("http", run_http)):
         r = {"transport": transport, **fn(content)}
         rows.append(r)
         print(f"{transport}: {r}", file=sys.stderr)
-    pipe, tcp = rows
+    pipe, tcp, http = rows
     print(json.dumps({
         "n": N, "size": SIZE, "batch": BATCH, "rows": rows,
         "serial_overhead_ms": round(tcp["serial_ms"] - pipe["serial_ms"], 1),
         "burst_overhead_ms": round(tcp["burst_ms"] - pipe["burst_ms"], 1),
+        "http_serial_overhead_ms": round(
+            http["serial_ms"] - pipe["serial_ms"], 1),
+        "http_burst_overhead_ms": round(
+            http["burst_ms"] - pipe["burst_ms"], 1),
     }, indent=2))
 
 

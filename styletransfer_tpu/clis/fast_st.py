@@ -12,7 +12,7 @@ import click
 
 from styletransfer_tpu import constants
 from styletransfer_tpu.clis import common
-from styletransfer_tpu.engines import netserve
+from styletransfer_tpu.engines import httpserve, netserve
 from styletransfer_tpu.utils.logging import get_logger
 
 LOGGER = get_logger()
@@ -309,8 +309,10 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, size, precision,
                    "--sizes, a group runs one call per bucket present)")
 @click.option("--tcp", default=None, metavar="[HOST:]PORT",
               help=netserve.TCP_HELP)
+@click.option("--http", default=None, metavar="[HOST:]PORT",
+              help=httpserve.HTTP_HELP)
 def serve(style_name, out_dir, size, sizes, precision, pad_mode, batch_size,
-          tcp):
+          tcp, http):
     """
     Warm-process stylization daemon: compiles the serving program once,
     prints `READY`, then stylizes one image per stdin line until EOF or a
@@ -335,7 +337,7 @@ def serve(style_name, out_dir, size, sizes, precision, pad_mode, batch_size,
         )
 
     try:
-        netserve.maybe_serve_tcp(run, tcp, "fast-tcp")
+        httpserve.serve_transport(run, tcp, http, "fast", "fast")
     except ValueError as exc:
         raise click.UsageError(str(exc))
 
@@ -366,8 +368,10 @@ def serve(style_name, out_dir, size, sizes, precision, pad_mode, batch_size,
                    "runs one call per bucket present)")
 @click.option("--tcp", default=None, metavar="[HOST:]PORT",
               help=netserve.TCP_HELP)
+@click.option("--http", default=None, metavar="[HOST:]PORT",
+              help=httpserve.HTTP_HELP)
 def serve_multi(name, num_styles, out_dir, size, sizes, precision,
-                batch_size, tcp):
+                batch_size, tcp, http):
     """
     Warm-process MULTI-STYLE daemon for a network trained by `train-multi`:
     compiles one program, prints `READY`, then stylizes one image per stdin
@@ -392,6 +396,6 @@ def serve_multi(name, num_styles, out_dir, size, sizes, precision,
         )
 
     try:
-        netserve.maybe_serve_tcp(run, tcp, "multi-tcp")
+        httpserve.serve_transport(run, tcp, http, "multi", "multi")
     except ValueError as exc:
         raise click.UsageError(str(exc))

@@ -11,7 +11,7 @@ import os
 import click
 
 from styletransfer_tpu import constants
-from styletransfer_tpu.engines import netserve
+from styletransfer_tpu.engines import httpserve, netserve
 from styletransfer_tpu.utils.logging import get_logger
 
 LOGGER = get_logger()
@@ -75,10 +75,14 @@ LOGGER = get_logger()
                    "weighted-average Gram targets, no recompile.")
 @click.option("--tcp", default=None, metavar="[HOST:]PORT",
               help="(--serve only) " + netserve.TCP_HELP)
+@click.option("--http", default=None, metavar="[HOST:]PORT",
+              help="(--serve only) " + httpserve.HTTP_HELP + " The content "
+                   "image is the POST body; ?style= names a server-side "
+                   "style path or blend spec.")
 def gatys_st(content_image_path, style_image_path, out_name, steps,
              content_weight, style_weight, optimizer, batch, learning_rate,
              history_size, history_math, coarse_steps, coarse_scale,
-             precision, size, serve, tcp):
+             precision, size, serve, tcp, http):
     """
     Run the original Gatys style transfer. Both `style-image` and
     `content-image` should be the paths to the image we want to take the
@@ -112,12 +116,12 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
             )
 
         try:
-            netserve.maybe_serve_tcp(run, tcp, "gatys-tcp")
+            httpserve.serve_transport(run, tcp, http, "gatys", "gatys")
         except ValueError as exc:
             raise click.UsageError(str(exc))
         return
-    if tcp is not None:
-        raise click.UsageError("--tcp requires --serve (daemon mode).")
+    if tcp is not None or http is not None:
+        raise click.UsageError("--tcp/--http require --serve (daemon mode).")
     if not content_image_path or not style_image_path:
         raise click.UsageError(
             "CONTENT-IMAGE-PATH and STYLE-IMAGE-PATH are required "

@@ -11,7 +11,7 @@ import click
 
 from styletransfer_tpu import constants
 from styletransfer_tpu.clis import common
-from styletransfer_tpu.engines import netserve
+from styletransfer_tpu.engines import httpserve, netserve
 from styletransfer_tpu.utils.logging import get_logger
 
 LOGGER = get_logger()
@@ -175,8 +175,11 @@ def convert_dir(input_dir, style_name, batch_size, out_dir, fps, precision,
 @click.option("--tcp", default=None, metavar="[HOST:]PORT",
               help=netserve.TCP_HELP + " Each connection can carry its "
                    "own STREAM ids; clients share one id namespace.")
+@click.option("--http", default=None, metavar="[HOST:]PORT",
+              help=httpserve.HTTP_HELP + " Route frames to streams with "
+                   "?stream=ID; POST /reset[?stream=ID] drops carries.")
 def serve(style_name, out_dir, size, precision, pad_mode, batch_size,
-          max_streams, sizes, tcp):
+          max_streams, sizes, tcp, http):
     """
     Warm-process STREAMING stylization daemon: compiles the recurrent step
     once, prints `READY`, then stylizes one frame per stdin line until EOF
@@ -205,6 +208,6 @@ def serve(style_name, out_dir, size, precision, pad_mode, batch_size,
         )
 
     try:
-        netserve.maybe_serve_tcp(run, tcp, "video-tcp")
+        httpserve.serve_transport(run, tcp, http, "video", "video")
     except ValueError as exc:
         raise click.UsageError(str(exc))

@@ -212,3 +212,83 @@ def test_gatys_serve_daemon_subprocess(tmp_path):
     assert "expected CONTENT\\tSTYLE[\\tOUTPUT]" in lines[3]
     assert lines[4].startswith("ERR RELOAD") and "stateless" in lines[4]
     assert os.path.isfile(lines[1].split(" ", 2)[1])
+
+
+def test_fast_serve_http_subprocess(tmp_path):
+    """The shipped binary behind the HTTP gateway: spawn
+    ``fast_st serve --http 127.0.0.1:0``, read the bound port off stdout,
+    and drive the REST surface with a plain urllib client — /healthz
+    gating, a stylize round-trip carrying image BYTES both ways, in-band
+    /stats, and a clean /shutdown."""
+    import io
+    import json
+    import urllib.error
+    import urllib.request
+
+    models = str(tmp_path / "data" / "models")
+    ckpt.save_epoch(
+        transformer.init_params(jax.random.PRNGKey(0)),
+        "fast_st", "sty", 0, models,
+    )
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, size=(SIZE, SIZE, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(frame).save(buf, format="PNG")
+    body = buf.getvalue()
+
+    env = dict(
+        os.environ, STX_PLATFORM="cpu", STX_PROJECT_ROOT=str(tmp_path)
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "styletransfer_tpu", "fast_st", "serve",
+         "sty", "--size", str(SIZE), "--http", "127.0.0.1:0"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=REPO_ROOT, env=env,
+    )
+    try:
+        banner = proc.stdout.readline().strip()
+        assert banner.startswith("HTTP 127.0.0.1 "), banner
+        port = int(banner.split()[2])
+        base = f"http://127.0.0.1:{port}"
+
+        def req(path, data=None, method=None, timeout=600):
+            r = urllib.request.Request(base + path, data=data, method=method)
+            try:
+                with urllib.request.urlopen(r, timeout=timeout) as resp:
+                    return resp.status, dict(resp.headers), resp.read()
+            except urllib.error.HTTPError as e:
+                return e.code, dict(e.headers), e.read()
+
+        # READY on the process stdout still gates /healthz.
+        assert proc.stdout.readline().strip() == "READY"
+        status, _, _ = req("/healthz")
+        assert status == 200
+
+        status, headers, png = req("/v1/stylize", data=body, method="POST")
+        assert status == 200, png[:200]
+        assert headers["Content-Type"] == "image/png"
+        out = np.asarray(Image.open(io.BytesIO(png)))
+        assert out.shape == (SIZE, SIZE, 3) and out.dtype == np.uint8
+
+        # An undecodable body is the engine's ERR -> 422 with the reason.
+        status, _, reason = req("/v1/stylize", data=b"not an image",
+                                method="POST")
+        assert status == 422, reason
+
+        status, _, stats = req("/stats?format=json")
+        assert status == 200
+        parsed = json.loads(stats)
+        assert parsed["ok"] == 1 and parsed["err"] == 1
+
+        status, _, _ = req("/shutdown", data=b"", method="POST")
+        assert status == 200
+        out_text, err = proc.communicate(timeout=120)
+        assert proc.returncode == 0, err[-2000:]
+        # stdout purity: the two handshake lines were consumed above;
+        # nothing else may appear on the protocol stream.
+        assert out_text.strip() == "", out_text
+        assert "shutting down" in err
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate(timeout=30)
