@@ -291,12 +291,59 @@ def segmented_handle_batch(run_segment: Callable, commands: Dict[str, Callable])
     return handle_batch
 
 
+def segmented_submit_batch(submit_segment, commands: Dict[str, Callable]):
+    """Pipelined form of :func:`segmented_handle_batch`.
+
+    ``submit_segment(segment, results)`` STARTS one command-free run —
+    host decode plus the (async) device dispatch — and returns a zero-arg
+    ``finalize`` that fetches the outputs and fills ``results``. The
+    returned ``submit_batch(requests)`` submits every segment of the
+    group (running command handlers between them, in order) and returns
+    one ``finalize()`` for the whole group, so the batched loop can keep
+    the next group's decode+dispatch in flight behind this group's
+    fetch+encode (:func:`run_batched_request_loop` ``submit_batch=``).
+
+    Command ordering is preserved: a RELOAD between segments runs at
+    submit time, AFTER the earlier segment's device call is dispatched
+    (which bound the old params at call time) and BEFORE the later
+    segment's — so "requests before the command see the old state" holds
+    exactly as in the serial form.
+    """
+
+    def submit_batch(requests):
+        results: list = [None] * len(requests)
+        finals: list = []
+        segment: list = []
+        for i, fields in enumerate(requests):
+            if len(fields) == 1 and fields[0] in commands:
+                finals.append(submit_segment(segment, results))
+                segment = []
+                try:
+                    results[i] = commands[fields[0]]()
+                except Exception as exc:  # noqa: BLE001 - answered per-line
+                    results[i] = exc
+                continue
+            segment.append((i, fields))
+        finals.append(submit_segment(segment, results))
+
+        def finalize():
+            for fin in finals:
+                fin()
+            return results
+
+        return finalize
+
+    return submit_batch
+
+
 def run_batched_request_loop(
-    handle_batch: Callable,
+    handle_batch: Optional[Callable],
     max_batch: int,
     stdin=None,
     stdout=None,
     name: str = "serve",
+    submit_batch: Optional[Callable] = None,
+    depth: Optional[int] = None,
 ) -> int:
     """Dynamic-batching variant of :func:`run_request_loop`.
 
@@ -314,6 +361,22 @@ def run_batched_request_loop(
     responses to requests by count work unchanged. Bare ``STATS`` lines
     are answered by the loop itself (in order, like every response) and
     never reach ``handle_batch``.
+
+    ``submit_batch`` (instead of ``handle_batch``) opts into WAVE
+    PIPELINING: ``submit_batch(requests)`` starts the group — host decode
+    plus the async device dispatch — and returns a zero-arg ``finalize()``
+    yielding the results list. When more requests are already queued, the
+    loop submits the next group before finalizing the current one, so up
+    to ``depth`` groups overlap their fetch+encode with the next group's
+    decode+dispatch (JAX dispatch is async; the device executes groups in
+    dispatch order). Measured on the tunneled TPU this hides most of the
+    host IO *and* ~20% of the device round-trip (docs/serving.md). The
+    contract is unchanged: responses stream in request order (groups
+    finalize FIFO), and a lone request — nothing else queued — is
+    finalized immediately, keeping single-request latency. ``depth``
+    (default ``STX_SERVE_PIPELINE_DEPTH`` or 1) is the number of groups
+    held in flight behind the one being drained; 0 restores the strictly
+    serial schedule.
 
     Returns the number of successful requests.
     """
@@ -349,10 +412,72 @@ def run_batched_request_loop(
 
     threading.Thread(target=reader, daemon=True, name=f"{name}-reader").start()
 
+    if submit_batch is None:
+        if handle_batch is None:
+            raise ValueError("need handle_batch or submit_batch")
+
+        def submit_batch(work, _hb=handle_batch):
+            results = _hb(work)
+            return lambda: results
+
+    if depth is None:
+        depth = int(os.environ.get("STX_SERVE_PIPELINE_DEPTH", "1"))
+    depth = max(0, depth)
+
+    # In-flight groups, oldest first: (requests, stats_ix, t0, finalize).
+    inflight: list = []
     n_served = 0
+
+    def finalize_oldest():
+        nonlocal n_served
+        requests, stats_ix, t0, fin = inflight.pop(0)
+        n_work = len(requests) - len(stats_ix)
+        try:
+            work_results = fin()
+            if len(work_results) != n_work:
+                # Protocol invariant: exactly one response per request. A
+                # short/long result list must not silently drop responses
+                # (a counting client would block forever on the missing
+                # lines) — answer the whole group ERR instead.
+                raise RuntimeError(
+                    f"handle_batch returned {len(work_results)} results for "
+                    f"{n_work} requests"
+                )
+        except Exception as exc:  # noqa: BLE001 - daemon must not die per-batch
+            logger.warning("%s: batch of %d failed (%s)", name, n_work, exc)
+            work_results = [exc] * n_work
+        it = iter(work_results)
+        results = [f"STATS {stats.snapshot()}" if i in stats_ix else next(it)
+                   for i in range(len(requests))]
+        group_ok = group_err = 0
+        for i, (fields, result) in enumerate(zip(requests, results)):
+            if isinstance(result, Exception):
+                logger.warning("%s: failed on %s (%s)", name, fields[0], result)
+                print(f"ERR {fields[0]}: {_reason(result)}",
+                      file=stdout, flush=False)
+                group_err += 1
+            else:
+                print(f"OK {result}", file=stdout, flush=False)
+                if i not in stats_ix:
+                    n_served += 1
+                    group_ok += 1
+        stdout.flush()
+        stats.record(group_ok, group_err, time.perf_counter() - t0,
+                     group_size=len(requests) - len(stats_ix))
+
     shutting_down = False
     while not shutting_down:
-        first = q.get()
+        if inflight:
+            # A group is in flight: only take on another if it has already
+            # arrived — otherwise finalize NOW, so a lone request's
+            # response never waits on future traffic.
+            try:
+                first = q.get_nowait()
+            except queue.Empty:
+                finalize_oldest()
+                continue
+        else:
+            first = q.get()
         if first is _EOF or not str(first).strip():
             break
         pending = [first]
@@ -371,43 +496,21 @@ def run_batched_request_loop(
         # answer it in place — without routing it through handle_batch,
         # and without counting it as a served request (like the serial
         # loop's commands). The snapshot reflects the state BEFORE this
-        # wave, the only causally-coherent answer mid-group.
+        # wave's finalize, the only causally-coherent answer mid-group.
         stats_ix = {i for i, f in enumerate(requests)
                     if len(f) == 1 and f[0] == "STATS"}
         work = [f for i, f in enumerate(requests) if i not in stats_ix]
         t0 = time.perf_counter()
         try:
-            work_results = handle_batch(work) if work else []
-            if len(work_results) != len(work):
-                # Protocol invariant: exactly one response per request. A
-                # short/long result list must not silently drop responses
-                # (a counting client would block forever on the missing
-                # lines) — answer the whole group ERR instead.
-                raise RuntimeError(
-                    f"handle_batch returned {len(work_results)} results for "
-                    f"{len(work)} requests"
-                )
-        except Exception as exc:  # noqa: BLE001 - daemon must not die per-batch
-            logger.warning("%s: batch of %d failed (%s)", name, len(work), exc)
-            work_results = [exc] * len(work)
-        it = iter(work_results)
-        results = [f"STATS {stats.snapshot()}" if i in stats_ix else next(it)
-                   for i in range(len(requests))]
-        group_ok = group_err = 0
-        for i, (fields, result) in enumerate(zip(requests, results)):
-            if isinstance(result, Exception):
-                logger.warning("%s: failed on %s (%s)", name, fields[0], result)
-                print(f"ERR {fields[0]}: {_reason(result)}",
-                      file=stdout, flush=False)
-                group_err += 1
-            else:
-                print(f"OK {result}", file=stdout, flush=False)
-                if i not in stats_ix:
-                    n_served += 1
-                    group_ok += 1
-        stdout.flush()
-        stats.record(group_ok, group_err, time.perf_counter() - t0,
-                     group_size=len(work))
+            fin = submit_batch(work) if work else (lambda: [])
+        except Exception as exc:  # noqa: BLE001 - submit must not kill the loop
+            def fin(_exc=exc):
+                raise _exc
+        inflight.append((requests, stats_ix, t0, fin))
+        while len(inflight) > depth:
+            finalize_oldest()
+    while inflight:
+        finalize_oldest()
     logger.info("%s: shutting down after %d request(s)", name, n_served)
     stats.report("final")
     return n_served

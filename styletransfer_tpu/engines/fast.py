@@ -715,12 +715,17 @@ def serve_loop(
             commands={"RELOAD": reload},
         )
 
-    def run_segment(segment, results):
-        """Serve one RELOAD-free run of requests: one device call per
-        resolution bucket present, responses by request index. Host PNG
-        decode/encode runs on the shared IO pool (per-request work is
-        independent; serial IO would sit on the critical path beside the
-        device call — daemon.io_pool)."""
+    def submit_segment(segment, results):
+        """START one RELOAD-free run of requests — host PNG decode on the
+        shared IO pool, then one async device dispatch per resolution
+        bucket present — and return a ``finalize()`` that fetches the
+        outputs and encodes them (also pooled), filling ``results`` by
+        request index. The split lets the batched loop overlap this
+        group's fetch+encode with the NEXT group's decode+dispatch
+        (daemon.run_batched_request_loop ``submit_batch=``): on the
+        tunneled TPU the device round-trip dominates a wave, and JAX's
+        async dispatch queues group k+1 behind group k on-device while
+        the host works both ends."""
 
         def decode(i, fields):
             try:
@@ -744,30 +749,41 @@ def serve_loop(
                 by_bucket.setdefault(bucket, []).append(
                     (i, in_path, explicit_out, arr)
                 )
+        launched = []
         for bucket, metas in by_bucket.items():
             arr = np.stack([m[3] for m in metas])
             pad = batch_size - len(metas)
             if pad:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
             try:
-                out = np.asarray(
-                    serve(state["params"], place(arr))
-                )[: len(metas)]
+                launched.append((metas, serve(state["params"], place(arr))))
             except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
                 for i, _, _, _ in metas:
                     results[i] = exc
-                continue
 
-            def save(meta_img):
-                (i, in_path, explicit_out, _), img = meta_img
+        def finalize():
+            for metas, out_dev in launched:
                 try:
-                    results[i] = save_one(in_path, explicit_out, img)
-                except Exception as exc:  # noqa: BLE001
-                    results[i] = exc
+                    out = np.asarray(out_dev)[: len(metas)]
+                except Exception as exc:  # noqa: BLE001 - e.g. runtime error
+                    for i, _, _, _ in metas:
+                        results[i] = exc
+                    continue
 
-            list(daemon.io_pool().map(save, zip(metas, out)))
+                def save(meta_img):
+                    (i, in_path, explicit_out, _), img = meta_img
+                    try:
+                        results[i] = save_one(in_path, explicit_out, img)
+                    except Exception as exc:  # noqa: BLE001
+                        results[i] = exc
+
+                list(daemon.io_pool().map(save, zip(metas, out)))
+
+        return finalize
 
     return daemon.run_batched_request_loop(
-        daemon.segmented_handle_batch(run_segment, {"RELOAD": reload}),
-        batch_size, stdin=stdin, stdout=stdout, name="serve",
+        None, batch_size, stdin=stdin, stdout=stdout, name="serve",
+        submit_batch=daemon.segmented_submit_batch(
+            submit_segment, {"RELOAD": reload}
+        ),
     )

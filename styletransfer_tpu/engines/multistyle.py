@@ -552,11 +552,14 @@ def serve_loop(
             commands={"RELOAD": reload},
         )
 
-    def run_segment(segment, results):
+    def submit_segment(segment, results):
         # Per-request styles are DATA ([B, S] blend weights), so a mixed
         # group of hard selections and blends runs as ONE device call;
         # resolution buckets are SHAPES, so the group splits per bucket.
         # Host decode/encode rides the shared IO pool (daemon.io_pool).
+        # Submit/finalize split so the batched loop pipelines waves —
+        # this group's fetch+encode overlaps the next group's
+        # decode+dispatch (see fast.serve_loop's submit_segment).
         def decode(i, fields):
             try:
                 bucket = resolve_bucket(fields)
@@ -580,6 +583,7 @@ def serve_loop(
                 results[i] = exc
             else:
                 by_bucket.setdefault(bucket, []).append(meta)
+        launched = []
         for bucket, metas in by_bucket.items():
             arr = np.stack([m[5] for m in metas])
             wb = np.stack([m[4] for m in metas])
@@ -588,24 +592,36 @@ def serve_loop(
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
                 wb = np.concatenate([wb, np.repeat(wb[-1:], pad, axis=0)])
             try:
-                out = np.asarray(
-                    serve_fn(state["params"], place(arr), place(wb))
-                )[: len(metas)]
+                launched.append(
+                    (metas, serve_fn(state["params"], place(arr), place(wb)))
+                )
             except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
                 for meta in metas:
                     results[meta[0]] = exc
-                continue
 
-            def save(meta_img):
-                (i, in_path, explicit_out, tag, _, _), img = meta_img
+        def finalize():
+            for metas, out_dev in launched:
                 try:
-                    results[i] = save_one(in_path, explicit_out, tag, img)
-                except Exception as exc:  # noqa: BLE001
-                    results[i] = exc
+                    out = np.asarray(out_dev)[: len(metas)]
+                except Exception as exc:  # noqa: BLE001 - e.g. runtime error
+                    for meta in metas:
+                        results[meta[0]] = exc
+                    continue
 
-            list(daemon.io_pool().map(save, zip(metas, out)))
+                def save(meta_img):
+                    (i, in_path, explicit_out, tag, _, _), img = meta_img
+                    try:
+                        results[i] = save_one(in_path, explicit_out, tag, img)
+                    except Exception as exc:  # noqa: BLE001
+                        results[i] = exc
+
+                list(daemon.io_pool().map(save, zip(metas, out)))
+
+        return finalize
 
     return daemon.run_batched_request_loop(
-        daemon.segmented_handle_batch(run_segment, {"RELOAD": reload}),
-        batch_size, stdin=stdin, stdout=stdout, name="multi serve",
+        None, batch_size, stdin=stdin, stdout=stdout, name="multi serve",
+        submit_batch=daemon.segmented_submit_batch(
+            submit_segment, {"RELOAD": reload}
+        ),
     )

@@ -620,6 +620,139 @@ def test_segmented_handle_batch_unit():
     assert calls == [[0], [2], [4]]  # segments in order, split at commands
 
 
+def test_daemon_pipelined_loop_overlaps_and_orders():
+    """submit_batch opts the batched loop into wave pipelining: with
+    requests already queued, the loop SUBMITS group k+1 before FINALIZING
+    group k (the overlap that hides host IO behind the device round-trip),
+    while responses still stream strictly in request order and every
+    group finalizes FIFO."""
+    import io
+
+    from styletransfer_tpu.engines import daemon
+
+    events = []
+
+    def submit_batch(work):
+        gid = len([e for e in events if e[0] == "submit"])
+        events.append(("submit", gid))
+
+        def finalize():
+            events.append(("finalize", gid))
+            return [fields[0] for fields in work]
+
+        return finalize
+
+    stdin = io.StringIO("".join(f"r{i}\n" for i in range(8)) + "\n")
+    stdout = io.StringIO()
+    n = daemon.run_batched_request_loop(
+        None, max_batch=2, stdin=stdin, stdout=stdout, name="t",
+        submit_batch=submit_batch, depth=1,
+    )
+    assert n == 8
+    assert stdout.getvalue().splitlines() == [f"OK r{i}" for i in range(8)]
+    # Finalizes happen FIFO and every submitted group finalizes.
+    fin_order = [g for kind, g in events if kind == "finalize"]
+    assert fin_order == sorted(fin_order)
+    assert len(fin_order) == len([e for e in events if e[0] == "submit"])
+    # The overlap actually happened: with the whole burst pre-queued, at
+    # least one group was submitted before the previous one finalized.
+    overlapped = any(
+        events.index(("submit", g + 1)) < events.index(("finalize", g))
+        for g in range(len(fin_order) - 1)
+    )
+    assert overlapped
+
+
+def test_daemon_pipelined_loop_depth0_is_serial():
+    """depth=0 restores the strictly serial schedule: every group
+    finalizes before the next submit (the pre-pipelining behavior, kept
+    reachable via STX_SERVE_PIPELINE_DEPTH=0)."""
+    import io
+
+    from styletransfer_tpu.engines import daemon
+
+    events = []
+
+    def submit_batch(work):
+        gid = len([e for e in events if e[0] == "submit"])
+        events.append(("submit", gid))
+
+        def finalize():
+            events.append(("finalize", gid))
+            return [fields[0] for fields in work]
+
+        return finalize
+
+    stdin = io.StringIO("".join(f"r{i}\n" for i in range(6)) + "\n")
+    stdout = io.StringIO()
+    daemon.run_batched_request_loop(
+        None, max_batch=2, stdin=stdin, stdout=stdout, name="t",
+        submit_batch=submit_batch, depth=0,
+    )
+    # Strict alternation: submit g, finalize g, submit g+1, ...
+    assert events == [
+        (kind, g) for g in range(len(events) // 2)
+        for kind in ("submit", "finalize")
+    ]
+
+
+def test_daemon_pipelined_submit_failure_answers_err():
+    """A submit_batch that raises (not just a finalize failure) answers
+    the whole group ERR and the daemon keeps serving later groups."""
+    import io
+
+    from styletransfer_tpu.engines import daemon
+
+    def submit_batch(work):
+        if any(fields[0] == "bad" for fields in work):
+            raise RuntimeError("submit exploded")
+        results = [fields[0] for fields in work]
+        return lambda: results
+
+    # max_batch=1 so 'bad' cannot share a group with its neighbors.
+    stdin = io.StringIO("a\nbad\nb\n\n")
+    stdout = io.StringIO()
+    n = daemon.run_batched_request_loop(
+        None, max_batch=1, stdin=stdin, stdout=stdout, name="t",
+        submit_batch=submit_batch, depth=1,
+    )
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "OK a"
+    assert lines[1].startswith("ERR bad: submit exploded")
+    assert lines[2] == "OK b"
+    assert n == 2
+
+
+def test_segmented_submit_batch_reload_ordering():
+    """segmented_submit_batch preserves the command-ordering contract:
+    segment dispatches BEFORE the command bind the pre-command state,
+    dispatches after it see the new state — even though every fetch
+    happens later, in one finalize."""
+    from styletransfer_tpu.engines import daemon
+
+    state = {"v": "old"}
+    log = []
+
+    def submit_segment(segment, results):
+        bound = state["v"]  # captured at dispatch time, like jit args
+        log.append(("submit", [i for i, _ in segment], bound))
+
+        def finalize():
+            for i, fields in segment:
+                results[i] = f"{fields[0]}@{bound}"
+
+        return finalize
+
+    def reload():
+        state["v"] = "new"
+        return "RELOAD ok"
+
+    sb = daemon.segmented_submit_batch(submit_segment, {"RELOAD": reload})
+    fin = sb([["a"], ["RELOAD"], ["b"]])
+    results = fin()
+    assert results == ["a@old", "RELOAD ok", "b@new"]
+
+
 def test_daemon_stats_command_serial():
     """A bare STATS line answers the loop's own health summary in-band —
     counted like the other commands (not a served request) and reflecting
