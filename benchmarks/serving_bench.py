@@ -57,8 +57,9 @@ def log(msg: str) -> None:
 class Daemon:
     """One serve subprocess speaking the line protocol over pipes."""
 
-    def __init__(self, args, sandbox, ready_timeout=3600):
-        env = dict(os.environ, STX_PROJECT_ROOT=str(sandbox))
+    def __init__(self, args, sandbox, ready_timeout=3600, extra_env=None):
+        env = dict(os.environ, STX_PROJECT_ROOT=str(sandbox),
+                   **(extra_env or {}))
         self.stderr_path = os.path.join(
             sandbox, f"daemon_{abs(hash(tuple(args)))}.stderr")
         self._stderr = open(self.stderr_path, "w")
@@ -255,8 +256,39 @@ def bench_fast(sandbox: str) -> dict:
     return out
 
 
+def bench_pipeline(sandbox: str) -> dict:
+    """A/B the pipelined wave schedule: the same ``fast_st serve -b 8``
+    binary with STX_SERVE_PIPELINE_DEPTH=0 (strictly serial waves — the
+    shipped default, a measured decision from THIS bench: 93.7 vs 95.8
+    ms/req on the tunneled TPU) vs 1 (group k+1's decode+dispatch
+    overlaps group k's fetch+encode). Sustained 64-request bursts; the
+    delta is what the pipeline hides."""
+    out = {}
+    for depth in (0, 1):
+        log(f"[pipeline] -b 8 burst of 64 at depth {depth}...")
+        d = Daemon(["fast_st", "serve", "sty", "--size", str(SIZE),
+                    "-b", "8"], sandbox,
+                   extra_env={"STX_SERVE_PIPELINE_DEPTH": str(depth)})
+        burst = [f"content.png\tout/pb{i}.png" for i in range(64)]
+        _check(d.burst(burst[:8])[0])  # warm the 8-lane program
+        ts = []
+        for _ in range(3):
+            resps, dt = d.burst(burst)
+            _check(resps)
+            ts.append(dt)
+        d.close()
+        dt = statistics.median(ts)
+        out[f"depth{depth}_req_per_s"] = round(64 / dt, 1)
+        out[f"depth{depth}_ms_per_req"] = round(dt / 64 * 1e3, 1)
+    if out.get("depth0_ms_per_req"):
+        out["speedup"] = round(
+            out["depth0_ms_per_req"] / out["depth1_ms_per_req"], 2)
+    return out
+
+
 BENCHES = {"gatys": bench_gatys, "video": bench_video,
-           "reload": bench_reload, "fast": bench_fast}
+           "reload": bench_reload, "fast": bench_fast,
+           "pipeline": bench_pipeline}
 
 
 def main() -> None:

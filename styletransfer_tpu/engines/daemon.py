@@ -257,51 +257,23 @@ def _reason(exc: Exception) -> str:
     return " ".join(str(exc).split()) or type(exc).__name__
 
 
-def segmented_handle_batch(run_segment: Callable, commands: Dict[str, Callable]):
-    """Build a ``handle_batch`` that splits groups on bare command lines.
-
-    ``run_segment(segment, results)`` serves one command-free run of
-    ``(request index, fields)`` pairs, writing each outcome (payload string
-    or Exception) into ``results`` at the request's index. ``commands``
-    maps bare single-field words (e.g. ``"RELOAD"``) to zero-arg handlers:
-    requests before the command are served first (one segment), then the
-    command runs, then the rest — so e.g. a mid-burst RELOAD serves
-    earlier requests with the old params and later ones with the new. A
-    command-handler exception answers ERR for that line only. Shared by
-    ``fast.serve_loop`` and ``multistyle.serve_loop`` so the two batched
-    protocols cannot drift.
-    """
-
-    def handle_batch(requests):
-        results: list = [None] * len(requests)
-        segment: list = []
-        for i, fields in enumerate(requests):
-            if len(fields) == 1 and fields[0] in commands:
-                run_segment(segment, results)
-                segment = []
-                try:
-                    results[i] = commands[fields[0]]()
-                except Exception as exc:  # noqa: BLE001 - answered per-line
-                    results[i] = exc
-                continue
-            segment.append((i, fields))
-        run_segment(segment, results)
-        return results
-
-    return handle_batch
-
-
 def segmented_submit_batch(submit_segment, commands: Dict[str, Callable]):
-    """Pipelined form of :func:`segmented_handle_batch`.
+    """Build a ``submit_batch`` that splits groups on bare command lines.
 
     ``submit_segment(segment, results)`` STARTS one command-free run —
     host decode plus the (async) device dispatch — and returns a zero-arg
-    ``finalize`` that fetches the outputs and fills ``results``. The
-    returned ``submit_batch(requests)`` submits every segment of the
+    ``finalize`` that fetches the outputs and fills ``results``. ``results``
+    is indexed by request position; each outcome is a payload string or an
+    Exception; ``commands`` maps bare single-field words (e.g. ``"RELOAD"``)
+    to zero-arg handlers whose exception answers ERR for that line only.
+    The returned ``submit_batch(requests)`` submits every segment of the
     group (running command handlers between them, in order) and returns
-    one ``finalize()`` for the whole group, so the batched loop can keep
+    one ``finalize()`` for the whole group, so the batched loop CAN keep
     the next group's decode+dispatch in flight behind this group's
-    fetch+encode (:func:`run_batched_request_loop` ``submit_batch=``).
+    fetch+encode when pipelining is opted in
+    (:func:`run_batched_request_loop` ``submit_batch=``). Shared by
+    ``fast.serve_loop`` and ``multistyle.serve_loop`` so the two batched
+    protocols cannot drift.
 
     Command ordering is preserved: a RELOAD between segments runs at
     submit time, AFTER the earlier segment's device call is dispatched
@@ -362,21 +334,33 @@ def run_batched_request_loop(
     are answered by the loop itself (in order, like every response) and
     never reach ``handle_batch``.
 
-    ``submit_batch`` (instead of ``handle_batch``) opts into WAVE
+    ``submit_batch`` (instead of ``handle_batch``) supports WAVE
     PIPELINING: ``submit_batch(requests)`` starts the group — host decode
     plus the async device dispatch — and returns a zero-arg ``finalize()``
-    yielding the results list. When more requests are already queued, the
-    loop submits the next group before finalizing the current one, so up
-    to ``depth`` groups overlap their fetch+encode with the next group's
+    yielding the results list. With ``depth`` > 0 and more requests
+    already queued, the loop submits the next group before finalizing the
+    current one, overlapping group k's fetch+encode with group k+1's
     decode+dispatch (JAX dispatch is async; the device executes groups in
-    dispatch order). Measured on the tunneled TPU this hides most of the
-    host IO *and* ~20% of the device round-trip (docs/serving.md). The
-    contract is unchanged: responses stream in request order (groups
-    finalize FIFO), and a lone request — nothing else queued — is
-    finalized immediately, keeping single-request latency. ``depth``
-    (default ``STX_SERVE_PIPELINE_DEPTH`` or 1) is the number of groups
-    held in flight behind the one being drained; 0 restores the strictly
-    serial schedule.
+    dispatch order). The contract is unchanged: responses stream in
+    request order (groups finalize FIFO), and a lone request — nothing
+    else queued — is finalized immediately.
+
+    ``depth`` (default ``STX_SERVE_PIPELINE_DEPTH`` or 0) is the number
+    of groups held in flight behind the one being drained. The default is
+    0 — strictly serial — a MEASURED decision: on the tunneled TPU the
+    A/B (``benchmarks/serving_bench.py pipeline``, fast daemon ``-b 8``,
+    64-request bursts, pooled host IO) is a wash (93.7 ms/req serial vs
+    95.8 pipelined) because the device wave dwarfs the host IO the
+    overlap hides, and depth>0 buys two real costs: cross-group side
+    effects reorder (group k+1's input decode runs before group k's
+    output save — back-to-back dependent requests may read a
+    not-yet-written or stale file), and the per-request stats become
+    client-observed dequeue→response times whose sum can exceed
+    wall-clock. Opt in via the env var where host IO is a large fraction
+    of the wave (co-located chips, big images, slow storage). When only
+    ``handle_batch`` is given the work is synchronous — there is nothing
+    to overlap — so ``depth`` is forced to 0 (depth>0 would only delay
+    group k's responses until group k+1 finished computing).
 
     Returns the number of successful requests.
     """
@@ -420,8 +404,12 @@ def run_batched_request_loop(
             results = _hb(work)
             return lambda: results
 
+        # Synchronous handler: all work happens at submit time, so
+        # holding groups in flight can't overlap anything — it would only
+        # withhold finished responses until the NEXT group computed.
+        depth = 0
     if depth is None:
-        depth = int(os.environ.get("STX_SERVE_PIPELINE_DEPTH", "1"))
+        depth = int(os.environ.get("STX_SERVE_PIPELINE_DEPTH", "0"))
     depth = max(0, depth)
 
     # In-flight groups, oldest first: (requests, stats_ix, t0, finalize).

@@ -126,12 +126,18 @@ class _HttpMux:
         self.q.put((w, line))
         while True:
             if w.event.wait(0.5):
-                return w.line  # type: ignore[return-value]
+                break
             if self.closed.is_set():
                 # The response may have raced the close; one last look.
                 if w.event.wait(0.1):
-                    return w.line  # type: ignore[return-value]
+                    break
                 raise RuntimeError("daemon shut down before responding")
+        if w.line is None:
+            # close() wakes pending waiters without a response line (the
+            # loop died mid-request) — that must surface as the 503 path,
+            # not a None for the handler to trip over.
+            raise RuntimeError("daemon shut down before responding")
+        return w.line
 
     def close(self) -> None:
         """Engine loop is gone: wake every still-blocked submitter."""
@@ -355,18 +361,27 @@ class _Handler(BaseHTTPRequestHandler):
             raise _Handled()
 
     def _read_body(self) -> bytes:
+        # Every error reply here leaves the request body UNREAD on the
+        # socket; on a keep-alive connection those bytes would be parsed
+        # as the next request line (a desynchronized connection that
+        # answers garbage from then on). Close the connection instead —
+        # send_header("Connection", "close") also sets close_connection,
+        # so BaseHTTPRequestHandler stops reading after this response.
+        close = {"Connection": "close"}
         length_s = self.headers.get("Content-Length")
         if length_s is None:
-            self._reply_text(411, "Content-Length required")
+            self._reply_text(411, "Content-Length required", headers=close)
             raise _Handled()
         try:
             length = int(length_s)
         except ValueError:
-            self._reply_text(400, f"bad Content-Length {length_s!r}")
+            self._reply_text(400, f"bad Content-Length {length_s!r}",
+                             headers=close)
             raise _Handled()
         if length > MAX_BODY_BYTES:
             self._reply_text(
-                413, f"body of {length} bytes exceeds {MAX_BODY_BYTES}")
+                413, f"body of {length} bytes exceeds {MAX_BODY_BYTES}",
+                headers=close)
             raise _Handled()
         return self.rfile.read(length)
 

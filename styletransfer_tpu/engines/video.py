@@ -992,17 +992,27 @@ def serve_stream_loop(
     # (``.at[idx].set``) instead of a concatenate over N per-lane arrays
     # plus N slices: 2 dispatches per wave vs ~2N. Measured 22% per-wave
     # at 64 lanes through the tunneled backend
-    # (benchmarks/video_wave_bench.py: 1.05 -> 0.82 s/wave). Row ``cap``
-    # of each buffer is a scratch slot — padded and failed lanes scatter
-    # there — so every wave op keeps ONE static shape. Index operands are
-    # always device arrays (a Python-int index would bake into the
-    # program and recompile per slot). The f32 carries never ride the
-    # host link (only uint8 outputs are read back).
+    # (benchmarks/video_wave_bench.py: 1.05 -> 0.82 s/wave). Row 0 of
+    # each buffer is a scratch slot — padded and failed lanes scatter
+    # there — so every wave op keeps ONE static shape; real slots are
+    # 1-based. Index operands are always device arrays (a Python-int
+    # index would bake into the program and recompile per slot). The f32
+    # carries never ride the host link (only uint8 outputs are read
+    # back). Tables start small and DOUBLE toward ``--max-streams`` as
+    # streams materialize: sizing eagerly at the cap would pin
+    # (cap+1)·s²·12 bytes of device memory per bucket (~250 MB at the
+    # defaults with --sizes 256,512) whether or not any stream exists.
+    # Appending rows keeps every live slot index valid and the scratch
+    # row at 0; each growth step's gather/scatter programs recompile once
+    # at the new table shape (small ops, logged, ≤ log2(cap) times per
+    # bucket over the daemon's life).
     class _SlotCarries:
-        def __init__(self, cap):
+        def __init__(self, cap, init):
             self.cap = cap
+            self.init = max(1, min(init, cap))
             self.lru = OrderedDict()  # sid -> (bucket, slot)
-            self.buffers = {}         # bucket -> [cap+1, s, s, 3] f32
+            self.buffers = {}         # bucket -> [rows+1, s, s, 3] f32
+            self.rows = {}            # bucket -> allocated slots (excl. 0)
             self.free = {}            # bucket -> free slot indices
 
         def __contains__(self, sid):
@@ -1019,13 +1029,29 @@ def serve_stream_loop(
 
         def scratch(self, bucket):
             self._ensure(bucket)
-            return self.cap
+            return 0
 
         def _ensure(self, bucket):
             if bucket not in self.buffers:
+                self.rows[bucket] = self.init
                 self.buffers[bucket] = jnp.zeros(
-                    (self.cap + 1, bucket, bucket, 3), jnp.float32)
-                self.free[bucket] = list(range(self.cap))
+                    (self.init + 1, bucket, bucket, 3), jnp.float32)
+                self.free[bucket] = list(range(1, self.init + 1))
+
+        def _grow(self, bucket):
+            old = self.rows[bucket]
+            new = min(self.cap, old * 2)
+            logger.info(
+                "video serve: growing %dpx slot table %d -> %d rows "
+                "(first wave at the new shape pays a small recompile)",
+                bucket, old, new,
+            )
+            self.buffers[bucket] = jnp.concatenate([
+                self.buffers[bucket],
+                jnp.zeros((new - old, bucket, bucket, 3), jnp.float32),
+            ])
+            self.free[bucket].extend(range(old + 1, new + 1))
+            self.rows[bucket] = new
 
         def get_old(self, sid):
             """The stream's carry as a [1, s, s, 3] device array (one
@@ -1051,6 +1077,10 @@ def serve_stream_loop(
             does."""
             self._ensure(bucket)
             while not self.free[bucket] or len(self.lru) >= self.cap:
+                if (not self.free[bucket] and self.rows[bucket] < self.cap
+                        and len(self.lru) < self.cap):
+                    self._grow(bucket)
+                    continue
                 evicted, (eb, eslot) = self.lru.popitem(last=False)
                 if evicted in protected:
                     self.lru[evicted] = (eb, eslot)  # re-insert at MRU
@@ -1082,17 +1112,20 @@ def serve_stream_loop(
                 self.free[entry[0]].append(entry[1])
 
         def clear(self):
-            for bucket, buf in self.buffers.items():
-                self.free[bucket] = list(range(self.cap))
+            for bucket in self.buffers:
+                self.free[bucket] = list(range(1, self.rows[bucket] + 1))
             self.lru.clear()
 
-    carries = _SlotCarries(max_streams)
+    # Initial table: enough for one full wave of fresh streams (so the
+    # common batched case never grows mid-wave) and at least 8.
+    carries = _SlotCarries(max_streams, init=max(8, batch_size))
 
     # Eager compile at the fixed shapes: READY means ready. The [1, ...]
     # single-frame program always compiles (lone requests use it); the
     # batched wave program compiles only when batching is on. The slot
-    # buffers allocate and their gather/scatter/norm programs warm here
-    # too (everything scatters to the scratch row).
+    # buffers allocate (at their initial size) and their gather/scatter/
+    # norm programs warm here too (everything scatters to the scratch
+    # row); a later table growth recompiles only those small table ops.
     t0 = time.time()
     for s in buckets:
         warm = jnp.zeros((1, s, s, 3), jnp.uint8)
@@ -1170,14 +1203,19 @@ def serve_stream_loop(
             os.path.join(constants.PROJECT_ROOT_PATH, in_path), size=bucket
         )
 
-    def run_single(in_path, explicit_out, sid, bucket, frame_dev, old_dev):
+    def run_single(in_path, explicit_out, sid, bucket, frame_dev, old_dev,
+                   protected=()):
         out_model, out_u8 = step(state["params"], frame_dev, old_dev)
         out_arr = np.asarray(out_u8)[0]  # forces completion of out_model too
         out_file = daemon.resolve_out_path(
             explicit_out, out_dir, default_name(in_path, sid)
         )
+        # ``protected``: when this lone lane is part of a batched WAVE
+        # (one bucket had a single request), an eviction here must not
+        # pick a stream that has a pending lane in another bucket of the
+        # SAME wave — its carry would silently reset before its lane ran.
         slot = (carries.slot_of(sid) if sid in carries
-                else carries.allocate(sid, bucket))
+                else carries.allocate(sid, bucket, protected=protected))
         try:
             img_utils.save_uint8(out_arr, out_file)
         except BaseException:
@@ -1316,7 +1354,7 @@ def serve_stream_loop(
                             old_dev = norm(frame_dev)
                         results[i] = run_single(
                             in_path, explicit_out, sid, bkt,
-                            frame_dev, old_dev,
+                            frame_dev, old_dev, protected=seen,
                         )
                     except Exception as exc:  # noqa: BLE001
                         results[i] = exc

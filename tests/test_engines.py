@@ -588,19 +588,23 @@ def test_daemon_split_fields_trailing_tabs():
     assert daemon.split_fields("a\tb") == ["a", "b"]
 
 
-def test_segmented_handle_batch_unit():
-    """segmented_handle_batch: bare command lines split the group into
+def test_segmented_submit_batch_unit():
+    """segmented_submit_batch: bare command lines split the group into
     ordered segments; a failing command answers ERR for its line only and
     later segments still run."""
     from styletransfer_tpu.engines import daemon
 
     calls = []
 
-    def run_segment(segment, results):
+    def submit_segment(segment, results):
         if segment:
             calls.append([i for i, _ in segment])
-        for i, fields in segment:
-            results[i] = f"done-{fields[0]}"
+
+        def finalize():
+            for i, fields in segment:
+                results[i] = f"done-{fields[0]}"
+
+        return finalize
 
     state = {"n": 0}
 
@@ -610,8 +614,8 @@ def test_segmented_handle_batch_unit():
             raise RuntimeError("boom")
         return f"CMD {state['n']}"
 
-    hb = daemon.segmented_handle_batch(run_segment, {"CMD": cmd})
-    results = hb([["a"], ["CMD"], ["b"], ["CMD"], ["c"]])
+    sb = daemon.segmented_submit_batch(submit_segment, {"CMD": cmd})
+    results = sb([["a"], ["CMD"], ["b"], ["CMD"], ["c"]])()
     assert results[0] == "done-a"
     assert results[1] == "CMD 1"
     assert results[2] == "done-b"
@@ -1375,6 +1379,118 @@ def test_video_serve_eviction_protects_same_wave_streams(tmp_path, rng):
         )
         want = np.asarray(img_utils.to_uint8_on_device(ref))[:, 0]
         for t in range(count):
+            got = np.asarray(Image.open(outs[(sname, t)]))
+            np.testing.assert_array_equal(got, want[t])
+
+
+def test_video_serve_lone_lane_eviction_protects_wave(tmp_path, rng):
+    """A FRESH stream that rides a wave as the LONE lane of its bucket
+    (the run_single path) must not evict a warm stream that has a pending
+    lane elsewhere in the SAME wave. At capacity 2 with buckets 32/48:
+    wave 1 fills capacity with W,X (32px); wave 2 is [C0 (48px, fresh,
+    lone in its bucket), W1 (32px, warm)] — the allocator must evict X
+    (the only stream outside the wave), not W (the global LRU), or W1
+    would silently restart and diverge from its scanned reference."""
+    import io
+
+    from PIL import Image
+
+    from styletransfer_tpu.engines import video as video_engine
+    from styletransfer_tpu.utils import images as img_utils
+
+    params = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+    frames = {}
+    for sname, count in (("W", 2), ("X", 1), ("C", 1)):
+        for t in range(count):
+            arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+            p = tmp_path / f"{sname}{t}.png"
+            Image.fromarray(arr).save(p)
+            frames[(sname, t)] = p
+
+    # group 1: W0 X0 (fills capacity) / group 2: C0 (48px fresh) + W1
+    order = [("W", 0, ""), ("X", 0, ""), ("C", 0, "48"), ("W", 1, "")]
+    outs = {(s, t): tmp_path / f"out_{s}{t}.png" for s, t, _ in order}
+    stdin = io.StringIO(
+        "".join(f"{frames[(s, t)]}\t{outs[(s, t)]}\t{s}\t{sz}\n"
+                for s, t, sz in order) + "\n"
+    )
+    stdout = io.StringIO()
+    n = video_engine.serve_stream_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=params,
+        batch_size=2, max_streams=2, sizes=[32, 48],
+        stdin=stdin, stdout=stdout,
+    )
+    assert n == len(order)
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    for line, (s, t, _) in zip(lines[1:], order):
+        assert line == f"OK {outs[(s, t)]}"
+
+    for sname, count, size in (("W", 2, 32), ("X", 1, 32), ("C", 1, 48)):
+        u8 = jnp.asarray(np.stack([
+            img_utils.load_image_uint8(str(frames[(sname, t)]), size=size)[0]
+            for t in range(count)
+        ]))[:, None]
+        ref = video_engine._stylize_chunk(
+            params, u8, img_utils.maybe_normalize_on_device(u8[0])
+        )
+        want = np.asarray(img_utils.to_uint8_on_device(ref))[:, 0]
+        for t in range(count):
+            got = np.asarray(Image.open(outs[(sname, t)]))
+            np.testing.assert_array_equal(got, want[t])
+
+
+def test_video_serve_slot_table_grows_lazily(tmp_path, rng):
+    """The slot table starts at max(8, batch_size) rows and doubles toward
+    --max-streams as streams materialize (eager sizing at the cap would
+    pin device memory for slots that may never exist). 10 distinct
+    streams through a batch-2, max-streams-12 daemon force one growth
+    step with NO eviction; carries allocated before the growth (S0) and
+    after it (S9) must both survive — their second frames stay
+    bit-identical to the scanned reference."""
+    import io
+
+    from PIL import Image
+
+    from styletransfer_tpu.engines import video as video_engine
+    from styletransfer_tpu.utils import images as img_utils
+
+    params = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
+    streams = [f"S{i}" for i in range(10)]
+    frames = {}
+    for sname in streams:
+        for t in range(2 if sname in ("S0", "S9") else 1):
+            arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+            p = tmp_path / f"{sname}_{t}.png"
+            Image.fromarray(arr).save(p)
+            frames[(sname, t)] = p
+
+    order = [(s, 0) for s in streams] + [("S0", 1), ("S9", 1)]
+    outs = {k: tmp_path / f"out_{k[0]}_{k[1]}.png" for k in order}
+    stdin = io.StringIO(
+        "".join(f"{frames[k]}\t{outs[k]}\t{k[0]}\n" for k in order) + "\n"
+    )
+    stdout = io.StringIO()
+    n = video_engine.serve_stream_loop(
+        style_name="tst", out_dir=str(tmp_path / "results"), params=params,
+        size=32, batch_size=2, max_streams=12, stdin=stdin, stdout=stdout,
+    )
+    assert n == len(order)
+    lines = stdout.getvalue().splitlines()
+    assert lines[0] == "READY"
+    for line, k in zip(lines[1:], order):
+        assert line == f"OK {outs[k]}"
+
+    for sname in ("S0", "S9"):
+        u8 = jnp.asarray(np.stack([
+            img_utils.load_image_uint8(str(frames[(sname, t)]), size=32)[0]
+            for t in range(2)
+        ]))[:, None]
+        ref = video_engine._stylize_chunk(
+            params, u8, img_utils.maybe_normalize_on_device(u8[0])
+        )
+        want = np.asarray(img_utils.to_uint8_on_device(ref))[:, 0]
+        for t in range(2):
             got = np.asarray(Image.open(outs[(sname, t)]))
             np.testing.assert_array_equal(got, want[t])
 

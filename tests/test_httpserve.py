@@ -253,6 +253,45 @@ def test_shutdown_refuses_connections():
         urllib.request.urlopen(srv.url("/healthz"), timeout=5)
 
 
+def test_body_error_closes_keepalive_connection():
+    """A 413/411 reply leaves the request body unread on the socket; on a
+    keep-alive connection those bytes would be parsed as the next request
+    line (a permanently desynchronized connection). The gateway must
+    answer ``Connection: close`` and actually close, so the client's
+    unread body dies with the connection instead of poisoning it."""
+    import socket
+
+    srv = _Server(_reverse_loop())
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=10) as s:
+            s.sendall(
+                b"POST /v1/stylize HTTP/1.1\r\n"
+                b"Host: t\r\n"
+                b"Content-Length: 99999999999\r\n"
+                b"\r\n"
+                b"these-body-bytes-would-poison-a-kept-alive-connection"
+            )
+            s.settimeout(10)
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                resp += chunk
+            head = resp.split(b"\r\n\r\n", 1)[0].decode("latin-1").lower()
+            assert " 413 " in head.splitlines()[0]
+            assert "connection: close" in head
+            # The server closes after the response: drain to EOF rather
+            # than parsing our stray body bytes as a second request.
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+    finally:
+        srv.request("/shutdown", data=b"", method="POST")
+        srv.join()
+
+
 def test_spool_files_cleaned_up():
     import tempfile
     import time
