@@ -189,6 +189,72 @@ class _ServeStats:
         )
 
 
+class _ShutdownSignal(BaseException):
+    """Raised by the SIGTERM/SIGINT handler at a SAFE point — only while
+    the loop is blocked waiting for input, never mid-request. BaseException
+    on purpose: the loops' per-request ``except Exception`` containment
+    must not swallow a shutdown into an ERR response."""
+
+
+class _GracefulSignals:
+    """Graceful SIGTERM/SIGINT for warm daemons (the supervisor contract:
+    systemd/k8s stop with SIGTERM and expect in-flight work to finish).
+
+    The loop marks ``busy = True`` around request processing. A first
+    signal while busy just sets ``requested`` — the response in flight is
+    still written, then the loop exits before reading the next line. A
+    signal while idle (blocked on input) raises :class:`_ShutdownSignal`
+    out of the blocking read, which the loop catches as a normal
+    shutdown. A SECOND signal always raises (the operator insists).
+
+    Handlers install only in the main thread (CPython delivers signals
+    there; ``signal.signal`` elsewhere raises) and are restored on exit,
+    so in-process callers — tests, the TCP/HTTP transports' threaded
+    harnesses — see no global state change. EOF / blank line / SHUTDOWN
+    remain the in-band shutdown paths; this adds the out-of-band one.
+    """
+
+    def __init__(self, name: str, logger):
+        self.requested = False
+        self.busy = False
+        self._installed = []
+        self._name = name
+        self._logger = logger
+
+    def __enter__(self):
+        import signal
+        import threading
+
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    self._installed.append((sig, signal.signal(sig, self._on)))
+                except (ValueError, OSError):  # pragma: no cover - platform
+                    pass
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for sig, prev in self._installed:
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, OSError):  # pragma: no cover - platform
+                pass
+        return False
+
+    def _on(self, signum, frame):
+        first = not self.requested
+        self.requested = True
+        if self.busy and first:
+            self._logger.info(
+                "%s: got signal %d; finishing in-flight request(s) then "
+                "shutting down", self._name, signum,
+            )
+            return
+        raise _ShutdownSignal()
+
+
 def run_request_loop(
     handle: Callable[..., str],
     stdin=None,
@@ -223,29 +289,47 @@ def run_request_loop(
     commands.setdefault("STATS", lambda: f"STATS {stats.snapshot()}")
 
     n_served = 0
-    for line in stdin:
-        line = line.rstrip("\n")
-        if not line.strip():
-            break
-        if commands and line.strip() in commands:
-            word = line.strip()
-            try:
-                print(f"OK {commands[word]()}", file=stdout, flush=True)
-            except Exception as exc:  # noqa: BLE001 - e.g. RELOAD with no ckpt
-                logger.warning("%s: command %s failed (%s)", name, word, exc)
-                print(f"ERR {word}: {_reason(exc)}", file=stdout, flush=True)
-            continue
-        fields = split_fields(line)
-        t0 = time.perf_counter()
+    sig = _GracefulSignals(name, logger)
+    with sig:
         try:
-            result = handle(*fields)
-            n_served += 1
-            print(f"OK {result}", file=stdout, flush=True)
-            stats.record(1, 0, time.perf_counter() - t0)
-        except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
-            logger.warning("%s: failed on %s (%s)", name, fields[0], exc)
-            print(f"ERR {fields[0]}: {_reason(exc)}", file=stdout, flush=True)
-            stats.record(0, 1, time.perf_counter() - t0)
+            for line in stdin:
+                line = line.rstrip("\n")
+                if not line.strip():
+                    break
+                sig.busy = True
+                try:
+                    if commands and line.strip() in commands:
+                        word = line.strip()
+                        try:
+                            print(f"OK {commands[word]()}",
+                                  file=stdout, flush=True)
+                        except Exception as exc:  # noqa: BLE001 - e.g. RELOAD with no ckpt
+                            logger.warning("%s: command %s failed (%s)",
+                                           name, word, exc)
+                            print(f"ERR {word}: {_reason(exc)}",
+                                  file=stdout, flush=True)
+                    else:
+                        fields = split_fields(line)
+                        t0 = time.perf_counter()
+                        try:
+                            result = handle(*fields)
+                            n_served += 1
+                            print(f"OK {result}", file=stdout, flush=True)
+                            stats.record(1, 0, time.perf_counter() - t0)
+                        except Exception as exc:  # noqa: BLE001 - daemon must not die per-request
+                            logger.warning("%s: failed on %s (%s)",
+                                           name, fields[0], exc)
+                            print(f"ERR {fields[0]}: {_reason(exc)}",
+                                  file=stdout, flush=True)
+                            stats.record(0, 1, time.perf_counter() - t0)
+                finally:
+                    sig.busy = False
+                if sig.requested:
+                    break
+        except _ShutdownSignal:
+            pass
+    if sig.requested:
+        logger.info("%s: graceful shutdown on signal", name)
     logger.info("%s: shutting down after %d request(s)", name, n_served)
     stats.report("final")
     return n_served
@@ -454,51 +538,78 @@ def run_batched_request_loop(
                      group_size=len(requests) - len(stats_ix))
 
     shutting_down = False
-    while not shutting_down:
-        if inflight:
-            # A group is in flight: only take on another if it has already
-            # arrived — otherwise finalize NOW, so a lone request's
-            # response never waits on future traffic.
-            try:
-                first = q.get_nowait()
-            except queue.Empty:
-                finalize_oldest()
-                continue
-        else:
-            first = q.get()
-        if first is _EOF or not str(first).strip():
-            break
-        pending = [first]
-        while len(pending) < max_batch:
-            try:
-                nxt = q.get_nowait()
-            except queue.Empty:
-                break
-            if nxt is _EOF or not str(nxt).strip():
-                shutting_down = True
-                break
-            pending.append(nxt)
-
-        requests = [split_fields(line) for line in pending]
-        # STATS is loop-owned (the stats live here, engines after all):
-        # answer it in place — without routing it through handle_batch,
-        # and without counting it as a served request (like the serial
-        # loop's commands). The snapshot reflects the state BEFORE this
-        # wave's finalize, the only causally-coherent answer mid-group.
-        stats_ix = {i for i, f in enumerate(requests)
-                    if len(f) == 1 and f[0] == "STATS"}
-        work = [f for i, f in enumerate(requests) if i not in stats_ix]
-        t0 = time.perf_counter()
+    sig = _GracefulSignals(name, logger)
+    with sig:
         try:
-            fin = submit_batch(work) if work else (lambda: [])
-        except Exception as exc:  # noqa: BLE001 - submit must not kill the loop
-            def fin(_exc=exc):
-                raise _exc
-        inflight.append((requests, stats_ix, t0, fin))
-        while len(inflight) > depth:
-            finalize_oldest()
-    while inflight:
-        finalize_oldest()
+            while not shutting_down and not sig.requested:
+                if inflight:
+                    # A group is in flight: only take on another if it has
+                    # already arrived — otherwise finalize NOW, so a lone
+                    # request's response never waits on future traffic.
+                    try:
+                        first = q.get_nowait()
+                    except queue.Empty:
+                        sig.busy = True
+                        try:
+                            finalize_oldest()
+                        finally:
+                            sig.busy = False
+                        continue
+                else:
+                    first = q.get()  # idle: _ShutdownSignal may raise here
+                if first is _EOF or not str(first).strip():
+                    break
+                sig.busy = True
+                try:
+                    pending = [first]
+                    while len(pending) < max_batch:
+                        try:
+                            nxt = q.get_nowait()
+                        except queue.Empty:
+                            break
+                        if nxt is _EOF or not str(nxt).strip():
+                            shutting_down = True
+                            break
+                        pending.append(nxt)
+
+                    requests = [split_fields(line) for line in pending]
+                    # STATS is loop-owned (the stats live here, engines
+                    # after all): answer it in place — without routing it
+                    # through handle_batch, and without counting it as a
+                    # served request (like the serial loop's commands).
+                    # The snapshot reflects the state BEFORE this wave's
+                    # finalize, the only causally-coherent answer
+                    # mid-group.
+                    stats_ix = {i for i, f in enumerate(requests)
+                                if len(f) == 1 and f[0] == "STATS"}
+                    work = [f for i, f in enumerate(requests)
+                            if i not in stats_ix]
+                    t0 = time.perf_counter()
+                    try:
+                        fin = submit_batch(work) if work else (lambda: [])
+                    except Exception as exc:  # noqa: BLE001 - submit must not kill the loop
+                        def fin(_exc=exc):
+                            raise _exc
+                    inflight.append((requests, stats_ix, t0, fin))
+                    while len(inflight) > depth:
+                        finalize_oldest()
+                finally:
+                    sig.busy = False
+        except _ShutdownSignal:
+            pass
+        # Drain: answer every group already submitted (a graceful signal
+        # must not leave clients waiting on responses the device already
+        # computed). A SECOND signal during the drain aborts it.
+        try:
+            while inflight:
+                finalize_oldest()
+        except _ShutdownSignal:
+            logger.warning(
+                "%s: second signal during drain; %d group(s) unanswered",
+                name, len(inflight),
+            )
+    if sig.requested:
+        logger.info("%s: graceful shutdown on signal", name)
     logger.info("%s: shutting down after %d request(s)", name, n_served)
     stats.report("final")
     return n_served

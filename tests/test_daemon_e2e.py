@@ -292,3 +292,44 @@ def test_fast_serve_http_subprocess(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.communicate(timeout=30)
+
+
+def test_fast_serve_sigterm_graceful_subprocess(tmp_path):
+    """The supervisor stop contract against the shipped binary: SIGTERM
+    to a warm pipe daemon makes it finish what it owes and exit 0 — the
+    response to a request sent just before the signal still arrives, the
+    graceful-shutdown path is logged, and stdout stays protocol-pure."""
+    import signal
+
+    models = str(tmp_path / "data" / "models")
+    ckpt.save_epoch(
+        transformer.init_params(jax.random.PRNGKey(0)),
+        "fast_st", "sty", 0, models,
+    )
+    content = _make_content(tmp_path)
+    env = dict(
+        os.environ, STX_PLATFORM="cpu", STX_PROJECT_ROOT=str(tmp_path)
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "styletransfer_tpu", "fast_st", "serve",
+         "sty", "--size", str(SIZE)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd=REPO_ROOT, env=env,
+    )
+    try:
+        assert proc.stdout.readline().strip() == "READY"
+        proc.stdin.write(f"{content}\tout/pre_sig.png\n")
+        proc.stdin.flush()
+        resp = proc.stdout.readline().strip()
+        assert resp == "OK " + str(tmp_path / "out" / "pre_sig.png"), resp
+
+        proc.send_signal(signal.SIGTERM)  # idle daemon: graceful exit
+        out, err = proc.communicate(timeout=120)
+        assert proc.returncode == 0, err[-2000:]
+        assert out.strip() == "", out  # nothing unread on the protocol
+        assert "graceful shutdown on signal" in err, err[-2000:]
+        assert "shutting down after 1 request(s)" in err
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate(timeout=30)

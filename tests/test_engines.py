@@ -624,6 +624,125 @@ def test_segmented_submit_batch_unit():
     assert calls == [[0], [2], [4]]  # segments in order, split at commands
 
 
+def test_daemon_sigterm_finishes_inflight_request_then_exits():
+    """Graceful SIGTERM while BUSY: a signal arriving mid-request defers —
+    the in-flight response is still written, then the loop exits before
+    reading the next queued line (the supervisor stop contract)."""
+    import io
+    import os
+    import signal
+
+    from styletransfer_tpu.engines import daemon
+
+    def handle(*fields):
+        os.kill(os.getpid(), signal.SIGTERM)  # arrives while busy
+        return f"done-{fields[0]}"
+
+    stdin = io.StringIO("a\nb\nc\n\n")
+    stdout = io.StringIO()
+    n = daemon.run_request_loop(handle, stdin=stdin, stdout=stdout, name="t")
+    assert n == 1
+    assert stdout.getvalue().splitlines() == ["OK done-a"]
+    # The loop restored the process's previous SIGTERM disposition.
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_daemon_sigterm_while_idle_exits_serial_loop():
+    """Graceful SIGTERM while IDLE: a signal during the blocking read
+    raises out of it and the serial loop shuts down cleanly (stats still
+    reported, served count returned)."""
+    import os
+    import signal
+    import time
+
+    from styletransfer_tpu.engines import daemon
+
+    class _Stdin:
+        def __init__(self):
+            self.calls = 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            self.calls += 1
+            if self.calls == 1:
+                return "a\n"
+            os.kill(os.getpid(), signal.SIGTERM)
+            time.sleep(30)  # the signal interrupts this "blocked read"
+            raise AssertionError("signal never delivered")
+
+    import io
+
+    stdout = io.StringIO()
+    n = daemon.run_request_loop(
+        lambda *f: f"done-{f[0]}", stdin=_Stdin(), stdout=stdout, name="t"
+    )
+    assert n == 1
+    assert stdout.getvalue().splitlines() == ["OK done-a"]
+
+
+def test_daemon_sigterm_batched_loop_answers_then_exits():
+    """Graceful SIGTERM on the batched loop: the daemon answers the group
+    in flight (drain) and exits cleanly whether the signal lands while
+    busy or at the idle q.get()."""
+    import io
+    import os
+    import signal
+    import threading
+
+    from styletransfer_tpu.engines import daemon
+
+    answered = threading.Event()
+
+    class _Stdout:
+        def __init__(self):
+            self.buf = io.StringIO()
+
+        def write(self, s):
+            self.buf.write(s)
+            if "OK " in s:
+                answered.set()
+            return len(s)
+
+        def flush(self):
+            pass
+
+    class _Stdin:
+        """One request, then block forever (a live client gone quiet)."""
+
+        def __init__(self):
+            self.calls = 0
+            self.gate = threading.Event()
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            self.calls += 1
+            if self.calls == 1:
+                return "a\n"
+            self.gate.wait(60)
+            raise StopIteration
+
+    def kill_after_answer():
+        assert answered.wait(30)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    killer = threading.Thread(target=kill_after_answer, daemon=True)
+    killer.start()
+    stdin = _Stdin()
+    stdout = _Stdout()
+    n = daemon.run_batched_request_loop(
+        lambda work: [f"done-{f[0]}" for f in work], max_batch=4,
+        stdin=stdin, stdout=stdout, name="t",
+    )
+    stdin.gate.set()
+    killer.join(10)
+    assert n == 1
+    assert stdout.buf.getvalue().splitlines() == ["OK done-a"]
+
+
 def test_daemon_pipelined_loop_overlaps_and_orders():
     """submit_batch opts the batched loop into wave pipelining: with
     requests already queued, the loop SUBMITS group k+1 before FINALIZING
