@@ -113,11 +113,22 @@ def test_dp_step_overhead_is_bounded():
         float(m["total"])
         return (time.perf_counter() - t0) / 2
 
-    # Best-of-3: wall-clock on a shared CPU host is noisy under full-suite
-    # load; the guard targets the program's cost, not transient contention.
-    t1 = min(timed(1) for _ in range(3))
-    t8 = min(timed(8) for _ in range(3))
-    assert t8 < 2.5 * t1, f"8-dev step {t8:.3f}s vs 1-dev {t1:.3f}s"
+    # Wall-clock on a shared CPU host is noisy under full-suite load; the
+    # guard targets the program's cost, not transient contention. Pair the
+    # two timings inside each round (back-to-back, so both see the same
+    # load) and take the best PAIRED ratio — min(t8)/min(t1) across
+    # separated rounds has flaked when load shifted between them.
+    ratios = []
+    for _ in range(4):
+        t1 = timed(1)
+        t8 = timed(8)
+        ratios.append((t8 / t1, t8, t1))
+        if ratios[-1][0] < 2.5:
+            break  # guard satisfied; don't burn suite time on more rounds
+    best = min(ratios)
+    assert best[0] < 2.5, \
+        f"8-dev step {best[1]:.3f}s vs 1-dev {best[2]:.3f}s in the best " \
+        f"of {len(ratios)} paired round(s)"
 
 
 def test_serving_placement_serial_vs_sharded(caplog):
