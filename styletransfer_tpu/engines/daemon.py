@@ -200,23 +200,38 @@ class _GracefulSignals:
     """Graceful SIGTERM/SIGINT for warm daemons (the supervisor contract:
     systemd/k8s stop with SIGTERM and expect in-flight work to finish).
 
-    The loop marks ``busy = True`` around request processing. A first
-    signal while busy just sets ``requested`` — the response in flight is
-    still written, then the loop exits before reading the next line. A
-    signal while idle (blocked on input) raises :class:`_ShutdownSignal`
-    out of the blocking read, which the loop catches as a normal
-    shutdown. A SECOND signal always raises (the operator insists).
+    First signal = graceful: sets ``requested``; in-flight work finishes
+    and its responses are written before the loop exits. How the loop
+    notices depends on its blocking primitive: the batched loop polls its
+    queue (``raise_first_idle=False`` — the handler never raises on the
+    first signal, so a request can never be consumed-then-dropped), while
+    the serial loop blocks in ``readline`` with no timeout, so an IDLE
+    first signal raises :class:`_ShutdownSignal` out of the read (the
+    loop marks ``busy = True`` around request processing; a busy first
+    signal defers). Serial boundary case: a signal landing in the
+    instants between ``readline`` returning a line and the busy mark
+    drops that just-consumed request unanswered — indistinguishable, to
+    the client, from the request still being queued at shutdown (the
+    transports surface daemon-gone to waiters either way).
+
+    A SECOND signal always raises, wherever execution is — the operator
+    insists; partially-written groups and the response drain are
+    abandoned.
 
     Handlers install only in the main thread (CPython delivers signals
-    there; ``signal.signal`` elsewhere raises) and are restored on exit,
-    so in-process callers — tests, the TCP/HTTP transports' threaded
-    harnesses — see no global state change. EOF / blank line / SHUTDOWN
-    remain the in-band shutdown paths; this adds the out-of-band one.
+    there; ``signal.signal`` elsewhere raises) and are restored on exit.
+    Note for in-process main-thread embedders (e.g. tests): while the
+    loop runs, Ctrl-C is a graceful stop of the LOOP (it returns
+    normally) rather than a KeyboardInterrupt out of the embedding
+    program. EOF / blank line / SHUTDOWN remain the in-band shutdown
+    paths; this adds the out-of-band one.
     """
 
-    def __init__(self, name: str, logger):
+    def __init__(self, name: str, logger, raise_first_idle: bool = True):
         self.requested = False
         self.busy = False
+        self.signals = 0
+        self._raise_first_idle = raise_first_idle
         self._installed = []
         self._name = name
         self._logger = logger
@@ -244,9 +259,11 @@ class _GracefulSignals:
         return False
 
     def _on(self, signum, frame):
-        first = not self.requested
+        self.signals += 1
         self.requested = True
-        if self.busy and first:
+        if self.signals >= 2:
+            raise _ShutdownSignal()  # operator insists: abort in place
+        if self.busy or not self._raise_first_idle:
             self._logger.info(
                 "%s: got signal %d; finishing in-flight request(s) then "
                 "shutting down", self._name, signum,
@@ -538,7 +555,10 @@ def run_batched_request_loop(
                      group_size=len(requests) - len(stats_ix))
 
     shutting_down = False
-    sig = _GracefulSignals(name, logger)
+    # raise_first_idle=False: the idle wait below polls, so the first
+    # signal NEVER raises in this loop — a request dequeued by q.get can
+    # never be consumed-then-dropped by a signal landing right after.
+    sig = _GracefulSignals(name, logger, raise_first_idle=False)
     with sig:
         try:
             while not shutting_down and not sig.requested:
@@ -556,7 +576,13 @@ def run_batched_request_loop(
                             sig.busy = False
                         continue
                 else:
-                    first = q.get()  # idle: _ShutdownSignal may raise here
+                    try:
+                        # Idle wait, polled: q.get returns the moment a
+                        # line arrives; the timeout only bounds how long a
+                        # first-signal shutdown waits to be noticed.
+                        first = q.get(timeout=0.5)
+                    except queue.Empty:
+                        continue  # loop condition re-checks sig.requested
                 if first is _EOF or not str(first).strip():
                     break
                 sig.busy = True
@@ -597,16 +623,24 @@ def run_batched_request_loop(
                     sig.busy = False
         except _ShutdownSignal:
             pass
-        # Drain: answer every group already submitted (a graceful signal
-        # must not leave clients waiting on responses the device already
-        # computed). A SECOND signal during the drain aborts it.
+        # Drain: answer every group already submitted (a graceful stop —
+        # signal or EOF with pipelined groups still in flight — must not
+        # leave clients waiting on responses the device already computed).
+        # Only a repeat signal (the operator insisting) abandons it; the
+        # first signal defers here like everywhere else in this loop.
+        if sig.signals >= 2 and inflight:
+            logger.warning(
+                "%s: abort on repeated signals; at least %d group(s) "
+                "unanswered", name, len(inflight),
+            )
+            inflight.clear()
         try:
             while inflight:
                 finalize_oldest()
         except _ShutdownSignal:
             logger.warning(
-                "%s: second signal during drain; %d group(s) unanswered",
-                name, len(inflight),
+                "%s: repeat signal during drain; at least %d group(s) "
+                "unanswered", name, len(inflight),
             )
     if sig.requested:
         logger.info("%s: graceful shutdown on signal", name)

@@ -743,6 +743,32 @@ def test_daemon_sigterm_batched_loop_answers_then_exits():
     assert stdout.buf.getvalue().splitlines() == ["OK done-a"]
 
 
+def test_daemon_second_signal_aborts_batched_work():
+    """The operator-insists contract: a SECOND signal while the batched
+    loop is busy aborts the current work in place (no response for the
+    aborted group) instead of waiting out the drain — a supervisor that
+    escalates must not be forced to SIGKILL."""
+    import io
+    import os
+    import signal
+
+    from styletransfer_tpu.engines import daemon
+
+    def handle_batch(work):
+        os.kill(os.getpid(), signal.SIGTERM)  # first: deferred
+        os.kill(os.getpid(), signal.SIGTERM)  # second: raises in place
+        raise AssertionError("second signal must abort before returning")
+
+    stdin = io.StringIO("a\nb\n\n")
+    stdout = io.StringIO()
+    n = daemon.run_batched_request_loop(
+        handle_batch, max_batch=4, stdin=stdin, stdout=stdout, name="t",
+    )
+    assert n == 0
+    assert stdout.getvalue() == ""  # aborted group answers nothing
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
 def test_daemon_pipelined_loop_overlaps_and_orders():
     """submit_batch opts the batched loop into wave pipelining: with
     requests already queued, the loop SUBMITS group k+1 before FINALIZING
