@@ -123,6 +123,17 @@ def make_sandbox() -> str:
     from PIL import Image
 
     import jax
+
+    # The parent process only ever inits params to write seed checkpoints —
+    # pin it to CPU so setup never pays tunnel RTTs per eager init op (a
+    # slow window turned this into minutes) nor touches the device the
+    # daemons are being measured on. Daemon subprocesses inherit os.environ
+    # (not this config) and keep the real backend.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # noqa: BLE001 - backend already initialized: use as-is
+        pass
+
     from styletransfer_tpu import ckpt
     from styletransfer_tpu.models import transformer
 
