@@ -15,7 +15,10 @@ forces completion of the whole chain.
 Run: ``python bench.py``. Env knobs: BENCH_BATCH (default 128), BENCH_ITERS
 (default 20), BENCH_TRIALS (default 5; headline is best-of-trials — the
 tunneled backend swings 2x run-to-run under contention),
-BENCH_SKIP_EXTRAS=1 for headline only.
+BENCH_SKIP_EXTRAS=1 for headline only, BENCH_DISPATCH_WATCHDOG_S (default
+120) / BENCH_DISPATCH_RETRIES (default 2) for the first-dispatch stall
+watchdog (stall diagnostics also land in
+``benchmarks/results/bench_compile_sidecar.json``).
 """
 
 from __future__ import annotations
@@ -87,6 +90,57 @@ def _probe_backend(timeout_s: int = 150) -> None:
     sys.exit(3)
 
 
+def _watchdogged_first_dispatch(run, watchdog_s: float, attempts: int):
+    """Execute ``run()`` (dispatch + forced readback) under a stall watchdog.
+
+    The round-4 official bench artifact recorded a 1378.5 s "first dispatch"
+    while the compile cache was hot — a tunnel stall, not a cold cache — and
+    nothing in the artifact could distinguish the two.  This wrapper runs the
+    first dispatch in a worker thread; if it exceeds ``watchdog_s`` the
+    attempt is recorded as *stalled* (waited out to a hard bound so we never
+    pile concurrent dispatches on a wedged backend) and the dispatch is
+    retried.  Returns ``(first_dispatch_s, retries, stalled_s)`` where
+    ``first_dispatch_s`` is the first non-stalled attempt's wall time (or the
+    final attempt's, if every attempt stalled — honest worst case).
+    """
+    import threading
+
+    stalled_total = 0.0
+    retries = 0
+    dt = float("inf")
+    for attempt in range(1, attempts + 1):
+        box: dict = {}
+
+        def work() -> None:
+            t0 = time.perf_counter()
+            run()
+            box["dt"] = time.perf_counter() - t0
+
+        t_start = time.perf_counter()
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(watchdog_s)
+        if "dt" in box:
+            return box["dt"], retries, stalled_total
+        log(
+            f"first dispatch exceeded the {watchdog_s:.0f}s watchdog "
+            f"(attempt {attempt}/{attempts}) — tunnel stall suspected; "
+            "waiting it out before re-dispatching"
+        )
+        # Hard bound: don't wait forever for a wedged backend, but long
+        # enough that a merely-slow window completes before we re-dispatch.
+        th.join(float(os.environ.get("BENCH_DISPATCH_HARD_WAIT_S", "600")))
+        waited = time.perf_counter() - t_start
+        dt = box.get("dt", waited)
+        if attempt == attempts:
+            # Out of retries: report the last attempt as the dispatch time.
+            return dt, retries, stalled_total
+        stalled_total += waited
+        retries += 1
+        log(f"stalled attempt took {waited:.1f}s; re-dispatching")
+    return dt, retries, stalled_total
+
+
 def main() -> None:
     _probe_backend()
 
@@ -119,13 +173,44 @@ def main() -> None:
     t0 = time.perf_counter()
     compiled = lowered.compile()
     t_compile = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    y = compiled(params, x)
-    float(jnp.sum(y))  # force execute
-    t_first = time.perf_counter() - t0
+    def _first():
+        float(jnp.sum(compiled(params, x)))  # force execute
+
+    t_first, n_retries, t_stalled = _watchdogged_first_dispatch(
+        _first,
+        watchdog_s=float(os.environ.get("BENCH_DISPATCH_WATCHDOG_S", "120")),
+        attempts=1 + int(os.environ.get("BENCH_DISPATCH_RETRIES", "2")),
+    )
     log(f"fast_st compile+first: {t_lower + t_compile + t_first:.1f}s "
         f"(trace+lower {t_lower:.1f}s, xla compile {t_compile:.1f}s, "
-        f"first dispatch {t_first:.1f}s)")
+        f"first dispatch {t_first:.1f}s, retries {n_retries}, "
+        f"stalled {t_stalled:.1f}s)")
+    # Sidecar JSON so the driver-visible record can't conflate a tunnel
+    # stall with a cold cache (stdout stays the one-line contract).
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", "results", "bench_compile_sidecar.json",
+        )
+        with open(sidecar, "w") as f:
+            json.dump(
+                {
+                    "trace_lower_s": round(t_lower, 2),
+                    "xla_compile_s": round(t_compile, 2),
+                    "first_dispatch_s": round(t_first, 2),
+                    "first_dispatch_retries": n_retries,
+                    "stalled_s": round(t_stalled, 2),
+                    "cache_cold": t_compile > 5.0,
+                    "wall_clock_utc": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+    except OSError as e:  # read-only checkout must not kill the bench
+        log(f"sidecar write skipped: {e}")
 
     best = 0.0
     for _trial in range(int(os.environ.get("BENCH_TRIALS", "5"))):
