@@ -97,49 +97,83 @@ def resolve_out_path(explicit_out: str, out_dir: str, default_name: str) -> str:
     return os.path.join(out_dir, default_name)
 
 
+class _Reservoir:
+    """Uniform reservoir sample (Algorithm R) of wall times, so percentiles
+    keep tracking the WHOLE history — a first-N buffer would freeze the
+    reported latency at day-one values and hide later regressions."""
+
+    SIZE = 4096
+
+    def __init__(self, seed: int = 0):
+        import random
+
+        self.items: list = []
+        self._rng = random.Random(seed)
+        self._n_seen = 0
+
+    def add(self, value_ms: float) -> None:
+        self._n_seen += 1
+        if len(self.items) < self.SIZE:
+            self.items.append(value_ms)
+        else:
+            j = self._rng.randrange(self._n_seen)
+            if j < self.SIZE:
+                self.items[j] = value_ms
+
+    def percentile(self, q: float) -> float:
+        ts = sorted(self.items)
+        return ts[min(len(ts) - 1, int(q * len(ts)))]
+
+    def mean(self) -> float:
+        return sum(self.items) / len(self.items)
+
+
 class _ServeStats:
     """Request-latency bookkeeping for the daemon loops.
 
-    Keeps a bounded reservoir of per-request wall times (ms) plus error
-    and batch-fill counts; logs a one-line summary every ``report_every``
-    requests and at shutdown, so a long-lived daemon's health is visible
-    from its stderr without any external metrics stack.
+    Two bounded reservoirs of per-request wall times (ms):
+
+    - ``times_ms`` — TRUE per-request latency. In the serial loop this is
+      the handler's elapsed time; in the batched loop it is each request's
+      enqueue→reply wall time (what the client actually observed), so the
+      percentiles no longer understate individual tails in batched mode.
+    - ``amort_ms`` — the group-amortized figure (group elapsed / group
+      size), batched mode only, kept as a secondary throughput-style
+      metric (it is what "cost per request on the device" looks like).
+
+    Plus error and batch-fill counts; logs a one-line summary every
+    ``report_every`` requests and at shutdown, so a long-lived daemon's
+    health is visible from its stderr without any external metrics stack.
     """
 
-    RESERVOIR = 4096
-
     def __init__(self, name: str, logger, report_every: int = 100):
-        import random
-
         self.name, self.logger = name, logger
         self.report_every = report_every
-        self.times_ms: list = []
+        self.times_ms = _Reservoir(seed=0)
+        self.amort_ms = _Reservoir(seed=1)
         self.n_ok = 0
         self.n_err = 0
-        # Uniform reservoir sampling (Algorithm R) so the percentiles keep
-        # tracking the WHOLE history — a first-N buffer would freeze the
-        # reported latency at day-one values and hide later regressions.
-        self._rng = random.Random(0)
-        self._n_seen = 0
         self._group_sum = 0
         self._group_n = 0
 
     def record(self, n_ok: int, n_err: int, elapsed_s: float,
-               group_size: Optional[int] = None) -> None:
+               group_size: Optional[int] = None,
+               request_times_ms: Optional[list] = None) -> None:
         n = n_ok + n_err
         if n == 0:
             return
         self.n_ok += n_ok
         self.n_err += n_err
         per_req_ms = elapsed_s * 1e3 / n
-        for _ in range(n):
-            self._n_seen += 1
-            if len(self.times_ms) < self.RESERVOIR:
-                self.times_ms.append(per_req_ms)
-            else:
-                j = self._rng.randrange(self._n_seen)
-                if j < self.RESERVOIR:
-                    self.times_ms[j] = per_req_ms
+        if request_times_ms is None:
+            # Serial mode: handler elapsed IS the true per-request time.
+            for _ in range(n):
+                self.times_ms.add(per_req_ms)
+        else:
+            for t in request_times_ms:
+                self.times_ms.add(t)
+            for _ in range(n):
+                self.amort_ms.add(per_req_ms)
         if group_size is not None:
             self._group_sum += group_size
             self._group_n += 1
@@ -150,42 +184,40 @@ class _ServeStats:
     def snapshot(self) -> str:
         """One-line machine-readable summary — the ``STATS`` protocol
         command's payload, so ops can poll a daemon's health in-band
-        instead of scraping stderr. Percentiles come from the same
-        reservoir as :meth:`report` (group-amortized in batched mode,
-        and said so)."""
+        instead of scraping stderr. ``p50_ms/p95_ms/mean_ms`` are true
+        per-request latencies (enqueue→reply in batched mode);
+        ``amort_*`` fields carry the group-amortized secondary metric."""
         parts = [f"ok={self.n_ok}", f"err={self.n_err}"]
-        if self.times_ms:
-            ts = sorted(self.times_ms)
-            p = lambda q: ts[min(len(ts) - 1, int(q * len(ts)))]  # noqa: E731
+        if self.times_ms.items:
             parts += [
-                f"p50_ms={p(0.50):.1f}", f"p95_ms={p(0.95):.1f}",
-                f"mean_ms={sum(ts) / len(ts):.1f}",
+                f"p50_ms={self.times_ms.percentile(0.50):.1f}",
+                f"p95_ms={self.times_ms.percentile(0.95):.1f}",
+                f"mean_ms={self.times_ms.mean():.1f}",
             ]
             if self._group_n:
                 parts += [
-                    "latency=group-amortized",
+                    "latency=enqueue-to-reply",
+                    f"amort_mean_ms={self.amort_ms.mean():.1f}",
+                    f"amort_p50_ms={self.amort_ms.percentile(0.50):.1f}",
                     f"mean_batch_fill={self._group_sum / self._group_n:.1f}",
                 ]
         return " ".join(parts)
 
     def report(self, label: str) -> None:
-        if not self.times_ms:
+        if not self.times_ms.items:
             return
-        ts = sorted(self.times_ms)
-        p = lambda q: ts[min(len(ts) - 1, int(q * len(ts)))]  # noqa: E731
         fill = ""
-        # Batched mode records group-mean latencies (elapsed/n per wave),
-        # so say so — the percentiles understate individual-request tails
-        # in mixed lone/batched workloads.
         metric = "per-request ms"
         if self._group_n:
-            metric = "group-amortized per-request ms"
-            fill = (f", mean batch fill {self._group_sum / self._group_n:.1f}"
+            metric = "enqueue-to-reply per-request ms"
+            fill = (f", group-amortized mean {self.amort_ms.mean():.1f} ms"
+                    f", mean batch fill {self._group_sum / self._group_n:.1f}"
                     f" over {self._group_n} group(s)")
         self.logger.info(
             "%s %s: %d ok / %d err, %s p50=%.1f p95=%.1f mean=%.1f%s",
             self.name, label, self.n_ok, self.n_err, metric,
-            p(0.50), p(0.95), sum(ts) / len(ts), fill,
+            self.times_ms.percentile(0.50), self.times_ms.percentile(0.95),
+            self.times_ms.mean(), fill,
         )
 
 
@@ -452,12 +484,11 @@ def run_batched_request_loop(
     A/B (``benchmarks/serving_bench.py pipeline``, fast daemon ``-b 8``,
     64-request bursts, pooled host IO) is a wash (93.7 ms/req serial vs
     95.8 pipelined) because the device wave dwarfs the host IO the
-    overlap hides, and depth>0 buys two real costs: cross-group side
+    overlap hides, and depth>0 buys a real cost: cross-group side
     effects reorder (group k+1's input decode runs before group k's
     output save — back-to-back dependent requests may read a
-    not-yet-written or stale file), and the per-request stats become
-    client-observed dequeue→response times whose sum can exceed
-    wall-clock. Opt in via the env var where host IO is a large fraction
+    not-yet-written or stale file). Opt in via the env var where host IO
+    is a large fraction
     of the wave (co-located chips, big images, slow storage). When only
     ``handle_batch`` is given the work is synchronous — there is nothing
     to overlap — so ``depth`` is forced to 0 (depth>0 would only delay
@@ -484,7 +515,10 @@ def run_batched_request_loop(
     def reader():
         try:
             for line in stdin:
-                q.put(line.rstrip("\n"))
+                # Stamp arrival: the batched loop reports each request's
+                # enqueue→reply wall time (what the client observes), not
+                # just the group-amortized figure.
+                q.put((line.rstrip("\n"), time.perf_counter()))
                 if not line.strip():
                     return  # blank line = shutdown; stop consuming stdin
         except Exception as exc:  # noqa: BLE001 - e.g. undecodable stdin bytes
@@ -513,13 +547,14 @@ def run_batched_request_loop(
         depth = int(os.environ.get("STX_SERVE_PIPELINE_DEPTH", "0"))
     depth = max(0, depth)
 
-    # In-flight groups, oldest first: (requests, stats_ix, t0, finalize).
+    # In-flight groups, oldest first:
+    # (requests, enq_times, stats_ix, t0, finalize).
     inflight: list = []
     n_served = 0
 
     def finalize_oldest():
         nonlocal n_served
-        requests, stats_ix, t0, fin = inflight.pop(0)
+        requests, enq_times, stats_ix, t0, fin = inflight.pop(0)
         n_work = len(requests) - len(stats_ix)
         try:
             work_results = fin()
@@ -539,6 +574,8 @@ def run_batched_request_loop(
         results = [f"STATS {stats.snapshot()}" if i in stats_ix else next(it)
                    for i in range(len(requests))]
         group_ok = group_err = 0
+        true_ms: list = []
+        now = time.perf_counter()
         for i, (fields, result) in enumerate(zip(requests, results)):
             if isinstance(result, Exception):
                 logger.warning("%s: failed on %s (%s)", name, fields[0], result)
@@ -550,9 +587,14 @@ def run_batched_request_loop(
                 if i not in stats_ix:
                     n_served += 1
                     group_ok += 1
+            if i not in stats_ix:
+                # Enqueue→reply: what THIS request's client waited, queue
+                # time included — the true tail, not the group mean.
+                true_ms.append((now - enq_times[i]) * 1e3)
         stdout.flush()
-        stats.record(group_ok, group_err, time.perf_counter() - t0,
-                     group_size=len(requests) - len(stats_ix))
+        stats.record(group_ok, group_err, now - t0,
+                     group_size=len(requests) - len(stats_ix),
+                     request_times_ms=true_ms)
 
     shutting_down = False
     # raise_first_idle=False: the idle wait below polls, so the first
@@ -583,7 +625,7 @@ def run_batched_request_loop(
                         first = q.get(timeout=0.5)
                     except queue.Empty:
                         continue  # loop condition re-checks sig.requested
-                if first is _EOF or not str(first).strip():
+                if first is _EOF or not str(first[0]).strip():
                     break
                 sig.busy = True
                 try:
@@ -593,12 +635,13 @@ def run_batched_request_loop(
                             nxt = q.get_nowait()
                         except queue.Empty:
                             break
-                        if nxt is _EOF or not str(nxt).strip():
+                        if nxt is _EOF or not str(nxt[0]).strip():
                             shutting_down = True
                             break
                         pending.append(nxt)
 
-                    requests = [split_fields(line) for line in pending]
+                    requests = [split_fields(line) for line, _ in pending]
+                    enq_times = [t_enq for _, t_enq in pending]
                     # STATS is loop-owned (the stats live here, engines
                     # after all): answer it in place — without routing it
                     # through handle_batch, and without counting it as a
@@ -616,7 +659,7 @@ def run_batched_request_loop(
                     except Exception as exc:  # noqa: BLE001 - submit must not kill the loop
                         def fin(_exc=exc):
                             raise _exc
-                    inflight.append((requests, stats_ix, t0, fin))
+                    inflight.append((requests, enq_times, stats_ix, t0, fin))
                     while len(inflight) > depth:
                         finalize_oldest()
                 finally:

@@ -294,7 +294,7 @@ def _stats_to_prometheus(payload: str, name: str) -> str:
     if quantiles or isinstance(stats.get("mean_ms"), (int, float)):
         lines += [
             "# HELP styletransfer_request_seconds Request latency "
-            "(reservoir percentiles; group-amortized in batched mode).",
+            "(reservoir percentiles; enqueue-to-reply in batched mode).",
             "# TYPE styletransfer_request_seconds summary",
         ]
         for k, v in quantiles:

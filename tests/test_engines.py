@@ -952,6 +952,43 @@ def test_daemon_stats_command_batched():
     assert n == 2  # STATS lines are not served requests
 
 
+def test_daemon_batched_stats_true_per_request_latency():
+    """Batched-mode STATS reports TRUE enqueue→reply per-request latency
+    as the primary metric, keeping the group-amortized figure as a
+    secondary field — and the true tails are never below the amortized
+    mean (every request in a group waits at least the whole group's
+    elapsed time, which is n× the amortized per-request figure)."""
+    import io
+    import time
+
+    from styletransfer_tpu.engines import daemon
+
+    def handle_batch(requests):
+        time.sleep(0.05)  # one measurable device wave for the group
+        return [f[0].upper() for f in requests]
+
+    # One piped burst => one group of 4 (max_batch=4), so the trailing
+    # STATS lands in the NEXT group and sees the burst's recorded stats
+    # (a same-group STATS snapshots pre-finalize state, by contract).
+    stdin = io.StringIO("a\nb\nc\nd\nSTATS\n\n")
+    stdout = io.StringIO()
+    daemon.run_batched_request_loop(
+        handle_batch, max_batch=4, stdin=stdin, stdout=stdout, name="t"
+    )
+    lines = stdout.getvalue().splitlines()
+    stats_line = next(l for l in lines if l.startswith("OK STATS ok=4"))
+    kv = dict(tok.split("=", 1) for tok in stats_line.split()[2:])
+    assert kv["latency"] == "enqueue-to-reply"
+    p50, p95 = float(kv["p50_ms"]), float(kv["p95_ms"])
+    amort_mean = float(kv["amort_mean_ms"])
+    assert float(kv["mean_batch_fill"]) == 4.0
+    # True per-request latency ≥ the group wave (≈50 ms) ≥ amortized mean
+    # (≈12.5 ms); tails at or above the median.
+    assert p50 >= amort_mean
+    assert p95 >= p50 >= 45.0
+    assert amort_mean <= p50 / 2  # 4-fill group: amortized is 1/4 the wave
+
+
 def test_daemon_batched_loop_bounded_queue_flood():
     """The batched loop's internal queue is bounded (backpressure: a
     flooding client blocks at the pipe/socket instead of growing an
