@@ -44,8 +44,14 @@ def fast_st():
                    "(coordinator/rank from STX_COORDINATOR_ADDRESS / "
                    "STX_NUM_PROCESSES / STX_PROCESS_ID; BATCH-SIZE is the "
                    "GLOBAL batch)")
+@click.option("--global-batch", default=None, type=str,
+              help="DP scaling opt-in: 'auto' treats -b as PER-CHIP batch "
+                   "(global = b x device count, every chip busy), or an "
+                   "explicit global batch size. Default: -b is the global "
+                   "batch (reference semantics; extra chips may idle). Adam "
+                   "lr stays at the reference default either way.")
 def train(style_image_path, epochs, batch_size, content_weight, style_weight,
-          packed, step_checkpoint_every, precision, distributed):
+          packed, step_checkpoint_every, precision, distributed, global_batch):
     """
     Perform the training for the fast style transfer network. A checkpoint
     will be created at the end of each epoch in the `data/models/` directory.
@@ -55,6 +61,10 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
         from styletransfer_tpu.parallel import distributed as dist
 
         dist.initialize()
+
+    from styletransfer_tpu.parallel import mesh as mesh_lib
+
+    batch_size = mesh_lib.resolve_global_batch(batch_size, global_batch)
 
     import jax.numpy as jnp
 
@@ -107,9 +117,12 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
 @click.option("--distributed", is_flag=True, default=False,
               help="Initialize jax.distributed for a multi-host run "
                    "(see `fast_st train --help`)")
+@click.option("--global-batch", default=None, type=str,
+              help="'auto' = -b is per-chip (global = b x device count), or "
+                   "an explicit global batch (see `fast_st train --help`)")
 def train_multi(style_image_paths, name, epochs, batch_size, content_weight,
                 style_weight, packed, step_checkpoint_every, precision,
-                distributed):
+                distributed, global_batch):
     """
     Train ONE network on MULTIPLE styles (conditional instance norm).
 
@@ -121,6 +134,10 @@ def train_multi(style_image_paths, name, epochs, batch_size, content_weight,
         from styletransfer_tpu.parallel import distributed as dist
 
         dist.initialize()
+
+    from styletransfer_tpu.parallel import mesh as mesh_lib
+
+    batch_size = mesh_lib.resolve_global_batch(batch_size, global_batch)
 
     import jax.numpy as jnp
     import numpy as np

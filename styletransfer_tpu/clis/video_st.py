@@ -44,9 +44,12 @@ def video_st():
 @click.option("--distributed", is_flag=True, default=False,
               help="Initialize jax.distributed for a multi-host run "
                    "(see `fast_st train --help`)")
+@click.option("--global-batch", default=None, type=str,
+              help="'auto' = -b is per-chip (global = b x device count), or "
+                   "an explicit global batch (see `fast_st train --help`)")
 def train(style_image_path, epochs, batch_size, content_weight, style_weight,
           temporal_weight, use_pretrained_fast_st, precision,
-          step_checkpoint_every, distributed):
+          step_checkpoint_every, distributed, global_batch):
     """
     Perform the training for the video style transfer network. A checkpoint
     will be created at the end of each epoch in the `data/models/` directory.
@@ -59,6 +62,10 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
         from styletransfer_tpu.parallel import distributed as dist
 
         dist.initialize()
+
+    from styletransfer_tpu.parallel import mesh as mesh_lib
+
+    batch_size = mesh_lib.resolve_global_batch(batch_size, global_batch)
 
     import jax.numpy as jnp
 

@@ -58,6 +58,52 @@ def auto_mesh(batch_size: int, axis_name: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
+def resolve_global_batch(batch_size: int, global_batch) -> int:
+    """Resolve the training global batch from the ``--global-batch`` opt-in.
+
+    - ``None``/empty (the default): ``batch_size`` IS the global batch —
+      the reference's semantics (`clis/fast_st.py:21` batch-size=4), which
+      on an 8-chip mesh idles 4 chips with only :func:`auto_mesh`'s
+      warning.
+    - ``"auto"``: ``batch_size`` becomes PER-CHIP; the global batch is
+      ``batch_size × jax.device_count()`` — every chip busy at the same
+      per-chip load, the DP-scaling default for multi-chip training.
+    - an integer string: an explicit global batch.
+
+    The learning-rate implication is deliberate and logged: Adam stays at
+    the reference default (1e-3) whatever the global batch, preserving
+    trajectory semantics at the reference's batch. Scaling the global
+    batch K× reduces gradient noise ~K×; for large K the standard
+    practice is to scale the lr (linear or sqrt rule) and that choice is
+    left to the caller (``engines.fast.static_train`` accepts a
+    pre-built optimizer via its params/loaders hooks) —
+    docs/architecture.md "Parallelism".
+    """
+    if global_batch in (None, ""):
+        return batch_size
+    n = jax.device_count()
+    from styletransfer_tpu.utils.logging import get_logger
+
+    if str(global_batch).lower() == "auto":
+        resolved = batch_size * n
+        get_logger().info(
+            "--global-batch auto: -b %d is per-chip; global batch = %d "
+            "over %d device(s). Adam lr stays at the reference default "
+            "(1e-3) — consider the linear/sqrt lr-scaling rule for large "
+            "global batches.",
+            batch_size, resolved, n,
+        )
+        return resolved
+    resolved = int(global_batch)
+    if resolved < 1:
+        raise ValueError(f"--global-batch must be >= 1, got {resolved}")
+    get_logger().info(
+        "--global-batch %d (explicit): overrides -b %d; %d device(s) "
+        "available.", resolved, batch_size, n,
+    )
+    return resolved
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(axis_name))

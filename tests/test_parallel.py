@@ -155,3 +155,58 @@ def test_serving_placement_serial_vs_sharded(caplog):
     assert len(b.sharding.device_set) == 4
     assert len(pp4(tree)["w"].sharding.device_set) == 4
     assert p4["w"].sharding.is_fully_replicated
+
+
+def test_resolve_global_batch_semantics():
+    """--global-batch: None keeps -b as the global batch (reference
+    semantics), 'auto' scales it per-chip (b x device count — every chip
+    busy), an integer string overrides it, nonsense rejects."""
+    import pytest
+
+    from styletransfer_tpu.parallel import mesh as mesh_lib
+
+    assert mesh_lib.resolve_global_batch(4, None) == 4
+    assert mesh_lib.resolve_global_batch(4, "") == 4
+    # 8 virtual devices in the test mesh.
+    assert mesh_lib.resolve_global_batch(4, "auto") == 32
+    assert mesh_lib.resolve_global_batch(2, "AUTO") == 16
+    assert mesh_lib.resolve_global_batch(4, "16") == 16
+    with pytest.raises(ValueError):
+        mesh_lib.resolve_global_batch(4, "0")
+    with pytest.raises(ValueError):
+        mesh_lib.resolve_global_batch(4, "lots")
+    # The auto-resolved batch fills the whole mesh: no idle devices.
+    assert mesh_lib.auto_mesh(mesh_lib.resolve_global_batch(4, "auto")).devices.size == 8
+
+
+def test_global_batch_auto_cli_wiring(monkeypatch, tmp_path):
+    """`fast_st train --global-batch auto` hands the engine the scaled
+    global batch (per-chip -b x 8 virtual devices)."""
+    import numpy as np
+    from click.testing import CliRunner
+    from PIL import Image
+
+    from styletransfer_tpu import constants
+    from styletransfer_tpu.clis import cli
+    from styletransfer_tpu.engines import fast
+
+    monkeypatch.setattr(constants, "PROJECT_ROOT_PATH", str(tmp_path))
+    style = tmp_path / "style.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    ).save(style)
+
+    seen = {}
+
+    def fake_train(style_image, **kwargs):
+        seen.update(kwargs)
+        return None
+
+    monkeypatch.setattr(fast, "static_train", fake_train)
+    result = CliRunner().invoke(
+        cli,
+        ["fast_st", "train", "style.png", "-b", "4", "-e", "1",
+         "--global-batch", "auto"],
+    )
+    assert result.exit_code == 0, result.output
+    assert seen["batch_size"] == 32
