@@ -105,7 +105,15 @@ def train(style_image_path, epochs, batch_size, content_weight, style_weight,
               help="Conv padding. Use 'zeros' for checkpoints trained by the "
                    "ORIGINAL reference code (its pinned torch 1.1.0 silently "
                    "used zero padding despite the 'reflection' string)")
-def convert_video(video_path, style_name, out_dir, fps, precision, pad_mode):
+@click.option("--save-frames", is_flag=True, default=False,
+              help="Also save each stylized frame as {i}.png in --workdir "
+                   "(the reference always does this — network.py:1133-1134; "
+                   "here it is opt-in since the mux no longer needs the "
+                   "PNG round-trip)")
+@click.option("--workdir", default="workdir/",
+              help="Frame directory for --save-frames")
+def convert_video(video_path, style_name, out_dir, fps, precision, pad_mode,
+                  save_frames, workdir):
     """
     Converts the video at `video-path` using the network pretrained with
     `style-name` and saves the resulting transformed video in `out-dir`.
@@ -118,6 +126,7 @@ def convert_video(video_path, style_name, out_dir, fps, precision, pad_mode):
     video.process_video(
         video_path=video_path, style_name=style_name, out_dir=out_dir,
         fps=fps, precision=precision, pad_mode=pad_mode,
+        save_frames=save_frames, working_dir=workdir,
     )
 
 
