@@ -40,12 +40,15 @@ LOGGER = get_logger()
                    "many images from it in ONE batched on-device "
                    "optimization (0 = all).")
 @click.option("--learning-rate", default=0.05, help="Adam learning rate")
-@click.option("--history-size", default=100, type=click.IntRange(min=1),
-              help="L-BFGS history length H (lbfgs optimizer only). The "
-                   "reference contract is torch's default H=100; smaller "
-                   "histories trade a little convergence for less HBM "
-                   "traffic per iteration — a serving-throughput knob "
-                   "(see docs/performance.md for the measured curve).")
+@click.option("--history-size", default=None, type=click.IntRange(min=1),
+              help="L-BFGS history length H (lbfgs optimizer only). "
+                   "Default: 100 (torch's default — the reference contract) "
+                   "for one-shot runs, 16 for --serve daemons (1.63x "
+                   "per-request throughput at b8; style-space feature delta "
+                   "measured BELOW H=100's own trajectory-chaos floor, so "
+                   "the outputs are perceptually equivalent — "
+                   "docs/performance.md has the measured decision). Pass "
+                   "an explicit value to override either mode.")
 @click.option("--history-math", default="compact",
               type=click.Choice(["compact", "two_loop"]),
               help="L-BFGS direction computation (lbfgs optimizer only): "
@@ -95,6 +98,14 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
     style targets become the weighted average of the listed styles'
     Gram matrices (weights normalized; omitted = equal).
     """
+    # Mode-dependent H default (measured decision, docs/performance.md):
+    # one-shot keeps torch's H=100 contract; daemons default to H=16 —
+    # 1.63x per-request throughput with feature-space deltas below the
+    # contract run's own chaos floor. Explicit --history-size wins in
+    # both modes (e.g. --serve --history-size 100 restores bit-parity
+    # with the one-shot CLI program).
+    if history_size is None:
+        history_size = 16 if serve else 100
     if serve:
         if coarse_steps:
             raise click.UsageError(

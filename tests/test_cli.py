@@ -207,3 +207,57 @@ def test_pack_dataset_cli(tmp_path, monkeypatch, rng):
     assert result.exit_code == 0, result.output + repr(result.exception)
     ds = PackedDataset(str(tmp_path / "out.bin"))
     assert len(ds) == 3 and ds.load(0).shape == (16, 16, 3)
+
+
+def test_gatys_history_size_mode_defaults(monkeypatch):
+    """--history-size defaults are mode-dependent (measured decision,
+    docs/performance.md round 5): one-shot = torch's H=100 contract,
+    --serve = H=16; an explicit value overrides either mode."""
+    from click.testing import CliRunner
+
+    from styletransfer_tpu.clis import cli
+    from styletransfer_tpu.engines import gatys as gatys_engine, httpserve
+
+    seen = {}
+
+    def fake_transport(run, tcp, http, name, prog):
+        seen["transport"] = True
+        # run() would start the daemon loop; don't.
+
+    def fake_serve_loop(**kwargs):
+        seen.update(kwargs)
+        return 0
+
+    monkeypatch.setattr(gatys_engine, "serve_loop", fake_serve_loop)
+    monkeypatch.setattr(
+        httpserve, "serve_transport",
+        lambda run, tcp, http, name, prog: run(None, None),
+    )
+    r = CliRunner().invoke(cli, ["gatys_st", "--serve"])
+    assert r.exit_code == 0, r.output
+    assert seen["history_size"] == 16
+
+    seen.clear()
+    monkeypatch.setattr(gatys_engine, "serve_loop", fake_serve_loop)
+    r = CliRunner().invoke(cli, ["gatys_st", "--serve",
+                                 "--history-size", "100"])
+    assert r.exit_code == 0, r.output
+    assert seen["history_size"] == 100
+
+    # One-shot: capture train_gatys's kwargs without running it.
+    def fake_train(vgg_params, **kwargs):
+        seen.update(kwargs)
+        import jax.numpy as jnp
+
+        return jnp.zeros((1, 8, 8, 3)), [0.0]
+
+    seen.clear()
+    monkeypatch.setattr(gatys_engine, "train_gatys", fake_train)
+    from styletransfer_tpu.utils import demo
+
+    assets = demo.ensure_demo_assets()
+    r = CliRunner().invoke(
+        cli, ["gatys_st", assets["content"], assets["style"], "-s", "1"]
+    )
+    assert r.exit_code == 0, r.output
+    assert seen["history_size"] == 100
