@@ -309,6 +309,31 @@ def _stats_to_prometheus(payload: str, name: str) -> str:
                 f"{stats['mean_ms'] / 1e3 * n:.6f}",
                 f'styletransfer_request_seconds_count{{daemon="{esc}"}} {n}',
             ]
+    # Secondary batched-mode metric: the group-amortized per-request
+    # device cost (the primary summary above is true enqueue-to-reply).
+    amort = [(k, v) for k, v in stats.items()
+             if k.startswith("amort_p") and k.endswith("_ms")
+             and isinstance(v, (int, float))]
+    if amort or isinstance(stats.get("amort_mean_ms"), (int, float)):
+        lines += [
+            "# HELP styletransfer_request_amortized_seconds Group-"
+            "amortized per-request cost (group elapsed / group size).",
+            "# TYPE styletransfer_request_amortized_seconds summary",
+        ]
+        for k, v in amort:
+            q = float(k[len("amort_p"):-3]) / 100.0
+            lines.append(
+                f'styletransfer_request_amortized_seconds{{daemon="{esc}",'
+                f'quantile="{q:g}"}} {v / 1e3:.6f}')
+        if isinstance(stats.get("amort_mean_ms"), (int, float)):
+            n = stats.get("ok", 0) + stats.get("err", 0)
+            lines += [
+                f'styletransfer_request_amortized_seconds_sum'
+                f'{{daemon="{esc}"}} '
+                f"{stats['amort_mean_ms'] / 1e3 * n:.6f}",
+                f'styletransfer_request_amortized_seconds_count'
+                f'{{daemon="{esc}"}} {n}',
+            ]
     if isinstance(stats.get("mean_batch_fill"), (int, float)):
         lines += [
             "# HELP styletransfer_batch_fill_mean Mean dynamic-batch "

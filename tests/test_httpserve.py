@@ -154,6 +154,30 @@ def test_stats_to_prometheus():
             assert len(line.rsplit(" ", 1)) == 2, line
 
 
+def test_stats_to_prometheus_amortized_summary():
+    """Batched-mode STATS payloads export the group-amortized secondary
+    metric as its own summary, alongside the primary enqueue-to-reply
+    one — neither's quantile parsing collides with the other."""
+    payload = ("ok=8 err=0 p50_ms=50.0 p95_ms=60.0 mean_ms=52.0 "
+               "latency=enqueue-to-reply amort_mean_ms=13.0 "
+               "amort_p50_ms=12.0 mean_batch_fill=4.0")
+    text = httpserve._stats_to_prometheus(payload, "t")
+    assert ('styletransfer_request_seconds{daemon="t",quantile="0.5"} '
+            "0.050000" in text)
+    assert ('styletransfer_request_amortized_seconds{daemon="t",'
+            'quantile="0.5"} 0.012000' in text)
+    assert ('styletransfer_request_amortized_seconds_sum{daemon="t"} '
+            "0.104000" in text)
+    assert 'styletransfer_request_amortized_seconds_count{daemon="t"} 8' \
+        in text
+    # The amort quantile must NOT leak into the primary summary.
+    assert 'styletransfer_request_seconds{daemon="t",quantile="0.5"} 0.012' \
+        not in text
+    for line in text.strip().splitlines():
+        if not line.startswith("#"):
+            assert line.startswith("styletransfer_"), line
+
+
 def test_stats_to_prometheus_minimal_payload():
     # A daemon that has served nothing yet reports bare counters.
     text = httpserve._stats_to_prometheus("ok=0 err=0", "t")
