@@ -105,6 +105,62 @@ class Daemon:
         self._stderr.close()
 
 
+_PROBE_SRC = """
+import sys, time
+import styletransfer_tpu  # same backend selection as the daemons
+import jax, jax.numpy as jnp
+x = jnp.zeros((1,), jnp.float32)
+float(x.sum())  # backend init + first dispatch
+print("READY", flush=True)
+i = 0
+for line in sys.stdin:
+    if not line.strip():
+        break
+    i += 1
+    t0 = time.perf_counter()
+    y = x + float(i)  # tiny compiled add: dispatch + scalar readback = RTT
+    _ = float(jnp.sum(y))
+    print(f"{(time.perf_counter() - t0) * 1e3:.2f}", flush=True)
+"""
+
+
+class RTTProbe:
+    """Persistent child measuring the tunnel round-trip (1-element device
+    dispatch + scalar readback) so every serving figure carries an RTT
+    attribution — the tables' ±30-40% swings are tunnel weather, and
+    without this column a reader can't attribute them (VERDICT r04)."""
+
+    def __init__(self):
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", _PROBE_SRC],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1, cwd=REPO_ROOT,
+        )
+        deadline = time.time() + 600
+        while True:
+            line = self.proc.stdout.readline()
+            if line.strip() == "READY":
+                break
+            if not line or time.time() > deadline:
+                raise RuntimeError("RTT probe died before READY")
+
+    def sample(self, n: int = 5) -> dict:
+        vals = []
+        for _ in range(n):
+            self.proc.stdin.write("go\n")
+            self.proc.stdin.flush()
+            vals.append(float(self.proc.stdout.readline()))
+        return {"p50_ms": round(statistics.median(vals), 2),
+                "min_ms": round(min(vals), 2)}
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.close()
+            self.proc.wait(timeout=30)
+        except Exception:  # noqa: BLE001 - best-effort teardown
+            self.proc.kill()
+
+
 def _check(resps) -> None:
     bad = [r for r in resps if not r.startswith("OK")]
     if bad:
@@ -309,12 +365,23 @@ def main() -> None:
         sys.exit(f"unknown benches: {sorted(unknown)} (have {list(BENCHES)})")
     sandbox = make_sandbox()
     log(f"sandbox: {sandbox} (size={SIZE})")
+    probe = None
+    if os.environ.get("SERVE_SKIP_RTT") != "1":
+        probe = RTTProbe()
+        log(f"rtt probe ready: {probe.sample()}")
     results = {"size": SIZE}
     for name in names:
         t0 = time.time()
+        if probe:
+            rtt_before = probe.sample()
         results[name] = BENCHES[name](sandbox)
+        if probe:
+            results[name]["rtt_before"] = rtt_before
+            results[name]["rtt_after"] = probe.sample()
         log(f"[{name}] done in {time.time() - t0:.0f}s: "
             f"{json.dumps(results[name])}")
+    if probe:
+        probe.close()
     print(json.dumps(results))
 
 
