@@ -221,6 +221,46 @@ class _ServeStats:
         )
 
 
+_rtt_state: dict = {"fn": None}
+
+
+def device_rtt_ms() -> Optional[float]:
+    """One tiny device dispatch + scalar readback, in milliseconds.
+
+    The serving benches showed per-request figures swing ±30-40% with
+    tunnel weather; this puts the attribution IN the product: every
+    daemon's ``STATS`` reply carries ``device_rtt_ms`` so ops can tell a
+    slow daemon from a slow transport/device path in production, not
+    just on our bench. The probe program (1-element add) is compiled
+    once on first use (outside the timed region); the per-poll cost is
+    one tiny dispatch. Returns None when disabled (``STX_STATS_RTT=0``)
+    or when no backend is reachable — STATS must never fail because a
+    diagnostic could not be measured.
+    """
+    if os.environ.get("STX_STATS_RTT") == "0":
+        return None
+    import time
+
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        if _rtt_state["fn"] is None:
+            fn = jax.jit(lambda v: v + 1.0)
+            float(jnp.sum(fn(jnp.zeros((1,), jnp.float32))))  # compile
+            _rtt_state["fn"] = fn
+        t0 = time.perf_counter()
+        float(jnp.sum(_rtt_state["fn"](jnp.zeros((1,), jnp.float32))))
+        return (time.perf_counter() - t0) * 1e3
+    except Exception:  # noqa: BLE001 - diagnostics must not break STATS
+        return None
+
+
+def _rtt_suffix() -> str:
+    v = device_rtt_ms()
+    return f" device_rtt_ms={v:.2f}" if v is not None else ""
+
+
 class _ShutdownSignal(BaseException):
     """Raised by the SIGTERM/SIGINT handler at a SAFE point — only while
     the loop is blocked waiting for input, never mid-request. BaseException
@@ -335,7 +375,9 @@ def run_request_loop(
     stats = _ServeStats(name, logger)
 
     commands = dict(commands or {})
-    commands.setdefault("STATS", lambda: f"STATS {stats.snapshot()}")
+    commands.setdefault(
+        "STATS", lambda: f"STATS {stats.snapshot()}{_rtt_suffix()}"
+    )
 
     n_served = 0
     sig = _GracefulSignals(name, logger)
@@ -571,7 +613,8 @@ def run_batched_request_loop(
             logger.warning("%s: batch of %d failed (%s)", name, n_work, exc)
             work_results = [exc] * n_work
         it = iter(work_results)
-        results = [f"STATS {stats.snapshot()}" if i in stats_ix else next(it)
+        results = [f"STATS {stats.snapshot()}{_rtt_suffix()}"
+                   if i in stats_ix else next(it)
                    for i in range(len(requests))]
         group_ok = group_err = 0
         true_ms: list = []

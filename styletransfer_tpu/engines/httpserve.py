@@ -342,6 +342,14 @@ def _stats_to_prometheus(payload: str, name: str) -> str:
             f'styletransfer_batch_fill_mean{{daemon="{esc}"}} '
             f"{stats['mean_batch_fill']}",
         ]
+    if isinstance(stats.get("device_rtt_ms"), (int, float)):
+        lines += [
+            "# HELP styletransfer_device_rtt_seconds One-element device "
+            "dispatch round-trip at poll time (transport attribution).",
+            "# TYPE styletransfer_device_rtt_seconds gauge",
+            f'styletransfer_device_rtt_seconds{{daemon="{esc}"}} '
+            f"{stats['device_rtt_ms'] / 1e3:.6f}",
+        ]
     return "\n".join(lines) + "\n"
 
 

@@ -1887,3 +1887,56 @@ def test_video_serve_stream_matches_scan(tmp_path, rng):
     want2 = np.asarray(img_utils.to_uint8_on_device(out2))[0, 0]
     got2 = np.asarray(Image.open(lines[4].split(" ", 1)[1]))
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_daemon_stats_device_rtt_field(monkeypatch):
+    """Every daemon's STATS reply carries device_rtt_ms (a 1-element
+    device round-trip — transport attribution in production); the field
+    is a parseable float, disabled cleanly by STX_STATS_RTT=0, and must
+    never break STATS when the probe fails."""
+    import io
+
+    from styletransfer_tpu.engines import daemon
+
+    stdin = io.StringIO("a\nSTATS\n\n")
+    stdout = io.StringIO()
+    daemon.run_request_loop(lambda *f: f[0], stdin=stdin, stdout=stdout,
+                            name="t")
+    stats_line = stdout.getvalue().splitlines()[1]
+    assert "device_rtt_ms=" in stats_line
+    kv = dict(tok.split("=", 1) for tok in stats_line.split()[2:])
+    assert float(kv["device_rtt_ms"]) > 0.0
+
+    # Batched loop: same field on in-burst STATS answers.
+    stdin = io.StringIO("a\nSTATS\n\n")
+    stdout = io.StringIO()
+    daemon.run_batched_request_loop(
+        lambda reqs: [f[0] for f in reqs], max_batch=1,
+        stdin=stdin, stdout=stdout, name="t",
+    )
+    stats_line = next(l for l in stdout.getvalue().splitlines()
+                      if l.startswith("OK STATS"))
+    assert "device_rtt_ms=" in stats_line
+
+    # Opt-out.
+    monkeypatch.setenv("STX_STATS_RTT", "0")
+    stdin = io.StringIO("STATS\n\n")
+    stdout = io.StringIO()
+    daemon.run_request_loop(lambda *f: f[0], stdin=stdin, stdout=stdout,
+                            name="t")
+    assert "device_rtt_ms" not in stdout.getvalue()
+
+    # Probe failure degrades to an absent field, never an ERR.
+    monkeypatch.delenv("STX_STATS_RTT", raising=False)
+    monkeypatch.setitem(daemon._rtt_state, "fn", None)
+
+    def boom(*a, **k):
+        raise RuntimeError("no backend")
+
+    monkeypatch.setattr(daemon, "device_rtt_ms", lambda: None)
+    stdin = io.StringIO("STATS\n\n")
+    stdout = io.StringIO()
+    daemon.run_request_loop(lambda *f: f[0], stdin=stdin, stdout=stdout,
+                            name="t")
+    out = stdout.getvalue()
+    assert out.startswith("OK STATS") and "device_rtt_ms" not in out

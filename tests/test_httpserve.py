@@ -178,6 +178,13 @@ def test_stats_to_prometheus_amortized_summary():
             assert line.startswith("styletransfer_"), line
 
 
+def test_stats_to_prometheus_device_rtt_gauge():
+    text = httpserve._stats_to_prometheus(
+        "ok=1 err=0 p50_ms=5.0 device_rtt_ms=26.4", "t")
+    assert ('styletransfer_device_rtt_seconds{daemon="t"} 0.026400'
+            in text)
+
+
 def test_stats_to_prometheus_minimal_payload():
     # A daemon that has served nothing yet reports bare counters.
     text = httpserve._stats_to_prometheus("ok=0 err=0", "t")
