@@ -131,9 +131,22 @@ def _watchdogged_first_dispatch(run, watchdog_s: float, attempts: int):
         # enough that a merely-slow window completes before we re-dispatch.
         th.join(float(os.environ.get("BENCH_DISPATCH_HARD_WAIT_S", "600")))
         waited = time.perf_counter() - t_start
-        dt = box.get("dt", waited)
+        if "dt" not in box:
+            # The dispatch NEVER completed within the hard bound. Do not
+            # re-dispatch — a second in-flight call on a wedged backend
+            # would contend with (and corrupt the timing of) this one.
+            # Report the wait as the dispatch time and as stalled; the
+            # sidecar's first_dispatch_s >> watchdog makes the give-up
+            # unmistakable.
+            log(f"dispatch still in flight after {waited:.1f}s; giving up "
+                "without re-dispatching (backend wedged)")
+            return waited, retries, stalled_total + waited
+        dt = box["dt"]
         if attempt == attempts:
-            # Out of retries: report the last attempt as the dispatch time.
+            # Out of retries: the final attempt's own (stalled) duration
+            # IS the reported dispatch time — not counted again as
+            # stalled_s, which tallies only the time wasted on attempts
+            # that were superseded by a retry.
             return dt, retries, stalled_total
         stalled_total += waited
         retries += 1

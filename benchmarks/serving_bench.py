@@ -130,28 +130,63 @@ class RTTProbe:
     attribution — the tables' ±30-40% swings are tunnel weather, and
     without this column a reader can't attribute them (VERDICT r04)."""
 
-    def __init__(self):
+    def __init__(self, ready_timeout_s: float = 600.0):
+        import queue
+        import threading
+
         self.proc = subprocess.Popen(
             [sys.executable, "-c", _PROBE_SRC],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, bufsize=1, cwd=REPO_ROOT,
         )
-        deadline = time.time() + 600
-        while True:
-            line = self.proc.stdout.readline()
-            if line.strip() == "READY":
-                break
-            if not line or time.time() > deadline:
-                raise RuntimeError("RTT probe died before READY")
+        # readline() blocks with no timeout, so a child wedged in backend
+        # init would hang the whole bench before it measured anything —
+        # read through a thread + queue so every wait is bounded.
+        self._q: "queue.Queue" = queue.Queue()
 
-    def sample(self, n: int = 5) -> dict:
-        vals = []
-        for _ in range(n):
-            self.proc.stdin.write("go\n")
-            self.proc.stdin.flush()
-            vals.append(float(self.proc.stdout.readline()))
-        return {"p50_ms": round(statistics.median(vals), 2),
-                "min_ms": round(min(vals), 2)}
+        def reader():
+            try:
+                for line in self.proc.stdout:
+                    self._q.put(line)
+            finally:
+                self._q.put(None)  # EOF/death sentinel
+
+        threading.Thread(target=reader, daemon=True,
+                         name="rtt-probe-reader").start()
+        import queue as _qmod
+
+        deadline = time.time() + ready_timeout_s
+        while True:
+            try:
+                line = self._q.get(timeout=max(0.1, deadline - time.time()))
+            except _qmod.Empty:
+                self.proc.kill()
+                raise RuntimeError(
+                    f"RTT probe not READY within {ready_timeout_s:.0f}s")
+            if line is None:
+                raise RuntimeError("RTT probe died before READY")
+            if line.strip() == "READY":
+                return
+
+    def sample(self, n: int = 5, timeout_s: float = 60.0):
+        """p50/min of n probe round-trips, or None if the probe is dead
+        or wedged — an unmeasurable RTT must never abort the bench and
+        discard the sections already measured."""
+        import queue
+
+        try:
+            vals = []
+            for _ in range(n):
+                self.proc.stdin.write("go\n")
+                self.proc.stdin.flush()
+                line = self._q.get(timeout=timeout_s)
+                if line is None:
+                    return None
+                vals.append(float(line))
+            return {"p50_ms": round(statistics.median(vals), 2),
+                    "min_ms": round(min(vals), 2)}
+        except (queue.Empty, ValueError, OSError):
+            return None
 
     def close(self) -> None:
         try:
@@ -370,19 +405,23 @@ def main() -> None:
         probe = RTTProbe()
         log(f"rtt probe ready: {probe.sample()}")
     results = {"size": SIZE}
-    for name in names:
-        t0 = time.time()
+    try:
+        for name in names:
+            t0 = time.time()
+            if probe:
+                rtt_before = probe.sample()
+            results[name] = BENCHES[name](sandbox)
+            if probe:
+                results[name]["rtt_before"] = rtt_before
+                results[name]["rtt_after"] = probe.sample()
+            log(f"[{name}] done in {time.time() - t0:.0f}s: "
+                f"{json.dumps(results[name])}")
+    finally:
         if probe:
-            rtt_before = probe.sample()
-        results[name] = BENCHES[name](sandbox)
-        if probe:
-            results[name]["rtt_before"] = rtt_before
-            results[name]["rtt_after"] = probe.sample()
-        log(f"[{name}] done in {time.time() - t0:.0f}s: "
-            f"{json.dumps(results[name])}")
-    if probe:
-        probe.close()
-    print(json.dumps(results))
+            probe.close()
+        # Whatever completed is worth printing — a late section's failure
+        # must not discard hours of earlier measurements.
+        print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -221,7 +221,7 @@ class _ServeStats:
         )
 
 
-_rtt_state: dict = {"fn": None}
+_rtt_state: dict = {"fn": None, "busy": False}
 
 
 def device_rtt_ms() -> Optional[float]:
@@ -231,29 +231,49 @@ def device_rtt_ms() -> Optional[float]:
     tunnel weather; this puts the attribution IN the product: every
     daemon's ``STATS`` reply carries ``device_rtt_ms`` so ops can tell a
     slow daemon from a slow transport/device path in production, not
-    just on our bench. The probe program (1-element add) is compiled
-    once on first use (outside the timed region); the per-poll cost is
-    one tiny dispatch. Returns None when disabled (``STX_STATS_RTT=0``)
-    or when no backend is reachable — STATS must never fail because a
-    diagnostic could not be measured.
+    just on our bench. Returns None when disabled (``STX_STATS_RTT=0``),
+    when no backend is reachable, or when the probe does not answer
+    within ``STX_STATS_RTT_TIMEOUT_S`` (default 2 s — wide enough to
+    report a stormy-window RTT as a NUMBER, which is what ops wants to
+    see, while still bounding a wedged tunnel) — STATS is a
+    health check and must answer promptly even when the device path is
+    the thing that is sick (a wedged tunnel blocks dispatches
+    indefinitely; the probe runs in a worker thread and is simply
+    abandoned on timeout, with a busy-latch so slow probes never pile
+    up). The probe program (1-element add) is compiled in the worker on
+    first use, so the first poll's compile cost is bounded the same way.
     """
     if os.environ.get("STX_STATS_RTT") == "0":
         return None
+    if _rtt_state["busy"]:
+        return None  # an earlier probe is still stuck in dispatch
+    import threading
     import time
 
-    try:
-        import jax
-        import jax.numpy as jnp
+    box: dict = {}
 
-        if _rtt_state["fn"] is None:
-            fn = jax.jit(lambda v: v + 1.0)
-            float(jnp.sum(fn(jnp.zeros((1,), jnp.float32))))  # compile
-            _rtt_state["fn"] = fn
-        t0 = time.perf_counter()
-        float(jnp.sum(_rtt_state["fn"](jnp.zeros((1,), jnp.float32))))
-        return (time.perf_counter() - t0) * 1e3
-    except Exception:  # noqa: BLE001 - diagnostics must not break STATS
-        return None
+    def work() -> None:
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            if _rtt_state["fn"] is None:
+                fn = jax.jit(lambda v: v + 1.0)
+                float(jnp.sum(fn(jnp.zeros((1,), jnp.float32))))  # compile
+                _rtt_state["fn"] = fn
+            t0 = time.perf_counter()
+            float(jnp.sum(_rtt_state["fn"](jnp.zeros((1,), jnp.float32))))
+            box["v"] = (time.perf_counter() - t0) * 1e3
+        except Exception:  # noqa: BLE001 - diagnostics must not break STATS
+            pass
+        finally:
+            _rtt_state["busy"] = False
+
+    _rtt_state["busy"] = True
+    th = threading.Thread(target=work, daemon=True, name="stats-rtt-probe")
+    th.start()
+    th.join(float(os.environ.get("STX_STATS_RTT_TIMEOUT_S", "2.0")))
+    return box.get("v")
 
 
 def _rtt_suffix() -> str:
@@ -617,8 +637,6 @@ def run_batched_request_loop(
                    if i in stats_ix else next(it)
                    for i in range(len(requests))]
         group_ok = group_err = 0
-        true_ms: list = []
-        now = time.perf_counter()
         for i, (fields, result) in enumerate(zip(requests, results)):
             if isinstance(result, Exception):
                 logger.warning("%s: failed on %s (%s)", name, fields[0], result)
@@ -630,11 +648,15 @@ def run_batched_request_loop(
                 if i not in stats_ix:
                     n_served += 1
                     group_ok += 1
-            if i not in stats_ix:
-                # Enqueue→reply: what THIS request's client waited, queue
-                # time included — the true tail, not the group mean.
-                true_ms.append((now - enq_times[i]) * 1e3)
         stdout.flush()
+        # Enqueue→reply, stamped AFTER the flush: what THIS request's
+        # client waited — queue time, device wave, AND response
+        # serialization/backpressure included. Stamping before the write
+        # would understate exactly the tail this metric exists to expose
+        # (a blocked client's full pipe can stall the flush for seconds).
+        now = time.perf_counter()
+        true_ms = [(now - enq_times[i]) * 1e3
+                   for i in range(len(requests)) if i not in stats_ix]
         stats.record(group_ok, group_err, now - t0,
                      group_size=len(requests) - len(stats_ix),
                      request_times_ms=true_ms)

@@ -133,6 +133,10 @@ def pytest_collection_modifyitems(config, items):
             for fname, names in table.items():
                 missing = names - seen.get(fname, set())
                 stale += [f"{fname}::{n}" for n in missing]
+        # Module-level entries go stale the same way (a renamed module
+        # file would silently un-tier every test in it).
+        stale += sorted((_SLOW_MODULES | _SUBPROCESS_MODULES)
+                        - set(seen.keys()))
         if stale:
             raise pytest.UsageError(
                 "conftest tier tables list tests that no longer exist "
