@@ -41,8 +41,14 @@ def _probe_backend(env_extra: dict, timeout: float) -> Check:
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
-             "import styletransfer_tpu, jax; d = jax.devices(); "
-             "print(d[0].platform, len(d))"],
+             "import styletransfer_tpu, time; import jax; "
+             "import jax.numpy as jnp; d = jax.devices(); "
+             "f = jax.jit(lambda v: v + 1.0); "
+             "z = jnp.zeros((1,), jnp.float32); "
+             "float(jnp.sum(f(z))); "  # compile + first dispatch
+             "t0 = time.perf_counter(); float(jnp.sum(f(z))); "
+             "rtt = (time.perf_counter() - t0) * 1e3; "
+             "print(d[0].platform, len(d), round(rtt, 2))"],
             capture_output=True, text=True, timeout=timeout, env=env,
         )
     except subprocess.TimeoutExpired:
@@ -59,10 +65,15 @@ def _probe_backend(env_extra: dict, timeout: float) -> Check:
     # init — a diagnostics tool must report oddities, never crash on them.
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
     tokens = lines[-1].split() if lines else []
-    if len(tokens) != 2 or not tokens[1].isdigit():
+    if len(tokens) != 3 or not tokens[1].isdigit():
         return Check(name, "fail",
                      f"probe printed unexpected output: {proc.stdout!r:.300}")
-    return Check(name, "ok", f"{tokens[0]}, {tokens[1]} device(s)")
+    # The dispatch round-trip tells a healthy window (tens of ms through
+    # a tunnel, sub-ms co-located) from a contended one (hundreds of ms)
+    # — the same attribution the serving daemons' STATS now carries.
+    return Check(name, "ok",
+                 f"{tokens[0]}, {tokens[1]} device(s), "
+                 f"dispatch rtt {tokens[2]} ms")
 
 
 def run_checks(
