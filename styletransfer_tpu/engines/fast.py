@@ -150,9 +150,13 @@ def make_eval_step(
 
 
 def static_test(params, test_loader, eval_step, mesh) -> float:
-    """Mean eval loss over the test loader (network.py:772-796)."""
+    """Mean eval loss over the test loader (network.py:772-796).
+
+    The eval step is a collective on multi-host meshes, so iteration is
+    host-locksteppped like the train loop (distributed.lockstep).
+    """
     total = []
-    for batch in test_loader:
+    for batch in distributed.lockstep(test_loader):
         batch = mesh_lib.shard_batch(batch, mesh)
         total.append(float(eval_step(params, batch)))
     avg = float(np.mean(total)) if total else float("nan")
@@ -301,7 +305,12 @@ def static_train(
         n_in_epoch = 0
         epoch_offset = resume_batches if epoch == start_epoch else 0
         resume_batches = 0
-        for batch in prefetch.prefetch_to_device(train_loader, mesh):
+        # lockstep: hosts' shard sizes differ by up to one item, so batch
+        # counts can differ by one — all hosts must stop together or the
+        # longer host hangs in its next collective (parallel/distributed).
+        for batch in distributed.lockstep(
+            prefetch.prefetch_to_device(train_loader, mesh)
+        ):
             params, opt_state, metrics = train_step(params, opt_state, batch)
 
             if iteration % scalar_every == 0:

@@ -284,7 +284,13 @@ def train(
         n_in_epoch = 0
         epoch_offset = resume_batches if epoch == start_epoch else 0
         resume_batches = 0
-        for batch in prefetch.prefetch_to_device(train_loader, mesh):
+        # lockstep: per-host batch counts can differ by one (uneven corpus
+        # shards) — all hosts must stop together (parallel/distributed).
+        from styletransfer_tpu.parallel import distributed
+
+        for batch in distributed.lockstep(
+            prefetch.prefetch_to_device(train_loader, mesh)
+        ):
             idx = mesh_lib.shard_batch(
                 rng.integers(0, n_styles, batch.shape[0]).astype(np.int32), mesh
             )
@@ -296,7 +302,7 @@ def train(
                 logger.info("Batch Loss: %.8f", total)
             if iteration % eval_every == 0:
                 evals = []
-                for test_batch in test_loader:
+                for test_batch in distributed.lockstep(test_loader):
                     test_batch = mesh_lib.shard_batch(test_batch, mesh)
                     test_idx = mesh_lib.shard_batch(
                         np.asarray(eval_indices(test_batch.shape[0])), mesh

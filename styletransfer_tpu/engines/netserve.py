@@ -98,10 +98,12 @@ def parse_hostport(spec: str) -> Tuple[str, int]:
 
 
 class _Client:
-    """One accepted connection: a locked line writer the demux can target,
-    plus the in-flight accounting that makes goodbyes GRACEFUL — a blank
-    line or SHUTDOWN must not cut off responses the engine still owes
-    this connection (they were valid requests; the pipe form answers
+    """One accepted connection: a per-client WRITER THREAD the demux can
+    target without ever blocking (one client that stops reading its
+    socket must not stall the engine thread — and with it every other
+    client), plus the in-flight accounting that makes goodbyes GRACEFUL —
+    a blank line or SHUTDOWN must not cut off responses the engine still
+    owes this connection (they were valid requests; the pipe form answers
     them too)."""
 
     # A single client may have at most this many enqueued-but-unanswered
@@ -109,6 +111,17 @@ class _Client:
     # bounds how far one flooding client can queue ahead of others in the
     # shared FIFO.
     MAX_INFLIGHT = 256
+    # Outbound: responses queue here and a dedicated writer thread drains
+    # them into the socket — `sendall` can block indefinitely on a client
+    # that reads nothing, and before this queue existed that block
+    # happened ON THE ENGINE THREAD, stalling every connection. When the
+    # queue stays full for SEND_TIMEOUT_S the client is declared dead and
+    # dropped (its kernel send buffer AND this queue are full: it has
+    # read nothing for the whole window).
+    SEND_QUEUE = 256
+    SEND_TIMEOUT_S = 20.0
+
+    _CLOSE = object()  # writer-thread sentinel: drain, then close socket
 
     def __init__(self, conn: socket.socket, addr, ident: int):
         self.conn = conn
@@ -122,17 +135,40 @@ class _Client:
         self._closing = False
         self._finished = False
         self._deferred: list = []
+        self._sendq: "queue.Queue" = queue.Queue(maxsize=self.SEND_QUEUE)
+        self._logger = get_logger()
+        threading.Thread(
+            target=self._write_loop, daemon=True,
+            name=f"tcp-writer-{ident}",
+        ).start()
 
     def send_line(self, line: str) -> bool:
-        with self.wlock:
-            if not self.alive:
-                return False
+        """Enqueue one response line for delivery (never blocks longer
+        than SEND_TIMEOUT_S). False = the client is gone or was just
+        declared dead for not reading."""
+        if not self.alive:
+            return False
+        try:
+            self._sendq.put(line, timeout=self.SEND_TIMEOUT_S)
+            return True
+        except queue.Full:
+            self._logger.warning(
+                "client %s read nothing for %.0fs with a full send queue; "
+                "dropping it", self.addr, self.SEND_TIMEOUT_S,
+            )
+            self.close()
+            return False
+
+    def _write_loop(self) -> None:
+        while True:
+            item = self._sendq.get()
+            if item is self._CLOSE:
+                break
             try:
-                self.conn.sendall((line + "\n").encode("utf-8"))
-                return True
+                self.conn.sendall((item + "\n").encode("utf-8"))
             except OSError:
-                self.alive = False
-                return False
+                break  # peer gone or close() shut the socket under us
+        self._close_socket()
 
     def begin_request(self) -> None:
         """Reader thread: account one enqueued line (blocks at the cap)."""
@@ -170,12 +206,27 @@ class _Client:
         return False
 
     def _finish(self) -> None:
+        # Graceful path: the deferred ack and sentinel ride the send
+        # queue BEHIND the owed responses, so the writer thread closes
+        # the socket only after everything queued has been delivered.
         for line in self._deferred:
             self.send_line(line)
         self._deferred = []
-        self.close()
+        try:
+            self._sendq.put(self._CLOSE, timeout=self.SEND_TIMEOUT_S)
+        except queue.Full:
+            self.close()  # not reading: abrupt close is all that's left
 
     def close(self) -> None:
+        """Abrupt close: shut the socket NOW (the writer thread's blocked
+        sendall, if any, errors out and exits via _close_socket)."""
+        self._close_socket()
+        try:
+            self._sendq.put_nowait(self._CLOSE)  # wake an idle writer
+        except queue.Full:
+            pass  # writer is mid-send; the dead socket will eject it
+
+    def _close_socket(self) -> None:
         with self.wlock:
             self.alive = False
             try:

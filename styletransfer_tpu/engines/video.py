@@ -426,7 +426,17 @@ def video_train(
         resume_carry = None
 
         logger.info("Starting epoch %d", epoch)
-        for batch_idx, readers in enumerate(video_loader):
+        # Both loop levels iterate in multi-host LOCKSTEP
+        # (distributed_lib.lockstep): per-host video-batch counts differ
+        # when the corpus doesn't shard evenly, and per-batch CHUNK counts
+        # differ whenever hosts' local batches have different shortest
+        # clips (iterate_on_video_batches stops at the local shortest) —
+        # either would leave one host blocked in the collective scan_step
+        # while a peer moved on. Resume skip counts are collectively
+        # agreed (agree_resume_state), so the skip paths stay aligned.
+        for batch_idx, readers in enumerate(
+            distributed_lib.lockstep(video_loader)
+        ):
             if batch_idx < skip_batches:
                 # This video batch finished before the crash.
                 for r in readers:
@@ -439,7 +449,9 @@ def video_train(
             # chunk shares one compiled shape.
             old_content = None
             chunks_done = 0
-            for chunk, valid in _chunk_frames(frame_iter, chunk_size, pad_tail=True):
+            for chunk, valid in distributed_lib.lockstep(
+                _chunk_frames(frame_iter, chunk_size, pad_tail=True)
+            ):
                 if batch_idx == skip_batches and chunks_done < skip_chunks:
                     # Trained before the crash: decode (the readers must
                     # advance in lockstep) but take no update.
@@ -586,8 +598,14 @@ def stylize_clip(params, frames: np.ndarray, precision: str = "f32",
         frames = frames[:, None]
     frames = jnp.asarray(frames)
     dt = jnp.bfloat16 if precision == "bf16" else None
-    outs = _stylize_chunk(params, frames, frames[0], compute_dtype=dt,
-                          pad_mode=pad_mode)
+    # The carry must be MODEL-SPACE like every other seed site
+    # (process_video, process_video_dir, serve_stream_loop): uint8 input
+    # frames normalize in-graph inside the scan body, but the initial
+    # carry bypasses the body — seeding it raw would feed 0-255 values
+    # into channels expecting ~[-2.6, 2.6] on the first frame.
+    outs = _stylize_chunk(params, frames,
+                          img_utils.maybe_normalize_on_device(frames[0]),
+                          compute_dtype=dt, pad_mode=pad_mode)
     outs = np.asarray(outs)
     return outs[:, 0] if squeeze else outs
 
@@ -613,8 +631,6 @@ def process_video(
     PNG-per-frame round-trip (network.py:1133-1156) is skipped unless
     ``save_frames`` is set. Returns the output video path.
     """
-    import imageio
-
     logger = get_logger()
     if params is None:
         template = transformer.init_params(jax.random.PRNGKey(0), in_channels=6)
@@ -632,19 +648,9 @@ def process_video(
         shutil.rmtree(working_dir, ignore_errors=True)
         os.makedirs(working_dir, exist_ok=True)
 
-    final_path = os.path.join(out_dir, f"video_st_{style_name}.mp4")
-    try:
-        video_writer = imageio.get_writer(final_path, fps=fps)
-    except (ValueError, ImportError):
-        # No ffmpeg/pyav backend available (zero-egress images can't install
-        # codecs); fall back to GIF via the always-present Pillow backend.
-        final_path = os.path.join(out_dir, f"video_st_{style_name}.gif")
-        logger.warning(
-            "No mp4 encoder backend available; writing GIF instead: %s", final_path
-        )
-        video_writer = imageio.get_writer(
-            final_path, duration=1000.0 / fps, loop=0
-        )
+    video_writer, final_path = _open_video_writer(
+        os.path.join(out_dir, f"video_st_{style_name}"), fps, logger
+    )
 
     reader = video_data.ImageioFrameReader(video_path, normalized=False)
     real_count = {"n": 0}  # frames actually read (excludes tail padding)

@@ -184,3 +184,49 @@ def positions_agree(*values: int) -> bool:
     local = np.asarray(values, dtype=np.int64)
     gathered = np.asarray(multihost_utils.process_allgather(local))
     return bool((gathered == gathered[0]).all())
+
+
+_EXHAUSTED = object()
+
+
+def lockstep(iterable):
+    """Iterate in MULTI-HOST LOCKSTEP: yield while EVERY process has an
+    item; when any host's source runs out, all hosts stop together (peers
+    drop their local remainder).
+
+    The training loops run collective steps (sharded train/eval steps)
+    once per yielded item, and collectives require every process to
+    participate the same number of times — but per-host work counts are
+    NOT naturally equal: corpus shards differ by up to one item
+    (``idx[shard_index::shard_count]``), so batch counts can differ by
+    one, and the video trainer's frame iterator stops at the shortest
+    clip of each host's LOCAL batch, so chunk counts differ whenever clip
+    lengths do. Without this gate one host exits its loop while a peer
+    blocks forever inside a collective — a distributed hang, the
+    multi-host analogue of ``drop_last``. One tiny int all-gather per
+    item buys the agreement (negligible next to a training step);
+    single-process iteration is passed through untouched.
+    """
+    if jax.process_count() == 1:
+        yield from iterable
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    it = iter(iterable)
+    while True:
+        item = next(it, _EXHAUSTED)
+        have = item is not _EXHAUSTED
+        gathered = np.asarray(
+            multihost_utils.process_allgather(
+                np.asarray([1 if have else 0], dtype=np.int64)
+            )
+        )
+        if gathered.min() != 1:
+            if have:
+                get_logger().info(
+                    "lockstep: a peer process exhausted its shard; "
+                    "dropping this host's remaining items",
+                )
+            return
+        yield item

@@ -305,3 +305,78 @@ def test_video_dataset_sharding_disjoint():
     ]
     assert ids[0] == (0, 2, 4)
     assert ids[1] == (1, 3, 5)
+
+
+_LOCKSTEP_WORKER = r"""
+import json, sys
+
+pid = int(sys.argv[1]); port = sys.argv[2]; out_path = sys.argv[3]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from styletransfer_tpu.parallel import distributed
+
+distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+
+# Deliberately UNEVEN work: pid 0 has 3 items, pid 1 has 5. Every host
+# must see exactly min(3, 5) = 3 — the longer host drops its remainder
+# instead of running extra (collective) steps and hanging the mesh.
+items = list(range(3 if pid == 0 else 5))
+seen = [x for x in distributed.lockstep(items)]
+
+# The mesh is still aligned afterwards: a collective succeeds.
+import numpy as np
+from jax.experimental import multihost_utils
+gathered = np.asarray(multihost_utils.process_allgather(
+    np.asarray([len(seen)], dtype=np.int64)))
+
+with open(out_path, "w") as f:
+    json.dump({"seen": seen, "gathered": gathered.ravel().tolist()}, f)
+"""
+
+
+def test_two_process_lockstep_uneven_work(tmp_path):
+    """distributed.lockstep with per-host work counts 3 vs 5: both hosts
+    stop together at 3 and the mesh stays collectively aligned (the
+    fix for the trainer-loop desync where uneven shards or clip lengths
+    left one host blocked in a collective)."""
+    worker = tmp_path / "worker.py"
+    worker.write_text(_LOCKSTEP_WORKER)
+    port = _free_port()
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = []
+    for pid in range(2):
+        out = tmp_path / f"out{pid}.json"
+        procs.append((
+            subprocess.Popen(
+                [sys.executable, str(worker), str(pid), str(port), str(out)],
+                cwd=REPO_ROOT, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            ),
+            out,
+        ))
+    results = []
+    for proc, out in procs:
+        stdout, _ = proc.communicate(timeout=300)
+        assert proc.returncode == 0, stdout.decode(errors="replace")[-4000:]
+        results.append(json.loads(out.read_text()))
+
+    assert results[0]["seen"] == [0, 1, 2]
+    assert results[1]["seen"] == [0, 1, 2]  # remainder dropped, no hang
+    assert results[0]["gathered"] == [3, 3]
+    assert results[1]["gathered"] == [3, 3]
+
+
+def test_lockstep_single_process_passthrough():
+    from styletransfer_tpu.parallel import distributed
+
+    assert list(distributed.lockstep(iter("abc"))) == ["a", "b", "c"]
+    assert list(distributed.lockstep([])) == []

@@ -18,6 +18,7 @@ from styletransfer_tpu.data import video as video_data
 from styletransfer_tpu.engines import fast, gatys, video
 from styletransfer_tpu.models import transformer, vgg
 from styletransfer_tpu.parallel import mesh as mesh_lib
+from styletransfer_tpu.utils import images
 
 SIZE = 32
 
@@ -389,6 +390,21 @@ def test_stylize_clip_recurrence_matches_manual(vgg_params):
         prev = transformer.apply(params, inp)
         expected.append(np.asarray(prev[0]))
     np.testing.assert_allclose(outs, np.stack(expected), rtol=1e-4, atol=1e-5)
+
+
+def test_stylize_clip_uint8_matches_float():
+    """stylize_clip on uint8 frames (the loaders' serving output format)
+    must equal the float path — including the FIRST frame, whose carry
+    seed bypasses the scan body's in-graph normalize and once fed raw
+    0-255 values into channels expecting model space."""
+    params = transformer.init_video_params(jax.random.PRNGKey(7))
+    rng = np.random.default_rng(8)
+    u8 = rng.integers(0, 256, (3, SIZE, SIZE, 3), dtype=np.uint8)
+    f32 = np.asarray(images.maybe_normalize_on_device(jnp.asarray(u8)))
+
+    out_u8 = video.stylize_clip(params, u8)
+    out_f32 = video.stylize_clip(params, f32)
+    np.testing.assert_allclose(out_u8, out_f32, rtol=1e-4, atol=1e-5)
 
 
 def test_bf16_training_step_finite(vgg_params):

@@ -223,3 +223,45 @@ def test_vanished_client_response_dropped_others_survive():
     assert c2.recv() == "OK SHUTDOWN"
     srv.join()
     assert srv.result == 2  # both handled; one response had nowhere to go
+
+
+def test_slow_reader_client_does_not_stall_others(monkeypatch):
+    """A client that floods requests but never reads its socket must be
+    isolated: responses to it queue on ITS writer thread (bounded, then
+    it is dropped), while other clients keep being served — the engine
+    thread must never block in a send."""
+    # Small bounds so the test trips them fast: 64 KB responses fill the
+    # loopback send buffer in a few lines; queue of 4; 1 s death timeout.
+    monkeypatch.setattr(netserve._Client, "SEND_QUEUE", 4)
+    monkeypatch.setattr(netserve._Client, "SEND_TIMEOUT_S", 1.0)
+
+    big = "X" * 65536
+
+    def handle(*fields):
+        return big if fields[0] == "big" else fields[0].upper()
+
+    srv = _Server(_serial_loop(handle=handle))
+    slow = _Client(srv.port)
+    assert slow.recv() == "READY"
+    fast = _Client(srv.port)
+    assert fast.recv() == "READY"
+
+    # The slow client requests many huge responses and reads NONE of
+    # them.
+    for _ in range(40):
+        slow.send("big")
+
+    # Meanwhile the fast client must keep getting prompt responses
+    # through the whole stall-and-drop window.
+    deadline = time.time() + 15
+    served = 0
+    while time.time() < deadline and served < 20:
+        fast.send("ping")
+        assert fast.recv() == "OK PING"
+        served += 1
+        time.sleep(0.05)
+    assert served == 20, "fast client starved behind a slow reader"
+
+    fast.send("SHUTDOWN")
+    assert fast.recv() == "OK SHUTDOWN"
+    srv.join()
