@@ -452,6 +452,68 @@ def _reason(exc: Exception) -> str:
     return " ".join(str(exc).split()) or type(exc).__name__
 
 
+def make_pooled_segment_submit(decode, launch, save):
+    """Build a ``submit_segment`` with the shared batched-wave skeleton:
+    pooled host decode → group by resolution bucket → one async device
+    dispatch per bucket → ``finalize`` that fetches and pool-saves.
+
+    Shared by ``fast.serve_loop`` and ``multistyle.serve_loop`` (which
+    differ only in per-request extras: style weights, output tags) so the
+    decode/group/pad/launch/finalize protocol cannot drift between them
+    — hand-synced copies of this skeleton are exactly the maintenance
+    trap ``segmented_submit_batch`` exists to prevent one level up.
+
+    - ``decode(i, fields) -> (i, bucket, meta, exc)``: host-side parse +
+      image load for ONE request (runs on :func:`io_pool`); ``meta`` is
+      any tuple whose ``[0]`` is the request index; a non-None ``exc``
+      answers that request ``ERR``.
+    - ``launch(bucket, metas) -> device_handle``: stack/pad the group
+      and START the async device call; raising answers the whole bucket
+      group ``ERR``.
+    - ``save(meta, img) -> payload``: encode/write one output (pooled);
+      raising answers that request ``ERR``.
+    """
+    import numpy as np
+
+    def submit_segment(segment, results):
+        by_bucket: dict = {}
+        for i, bucket, meta, exc in io_pool().map(
+                lambda job: decode(*job), segment):
+            if exc is not None:
+                results[i] = exc
+            else:
+                by_bucket.setdefault(bucket, []).append(meta)
+        launched = []
+        for bucket, metas in by_bucket.items():
+            try:
+                launched.append((metas, launch(bucket, metas)))
+            except Exception as exc:  # noqa: BLE001 - keep per-request ERRs
+                for meta in metas:
+                    results[meta[0]] = exc
+
+        def finalize():
+            for metas, out_dev in launched:
+                try:
+                    out = np.asarray(out_dev)[: len(metas)]
+                except Exception as exc:  # noqa: BLE001 - e.g. runtime error
+                    for meta in metas:
+                        results[meta[0]] = exc
+                    continue
+
+                def save_job(meta_img):
+                    meta, img = meta_img
+                    try:
+                        results[meta[0]] = save(meta, img)
+                    except Exception as exc:  # noqa: BLE001
+                        results[meta[0]] = exc
+
+                list(io_pool().map(save_job, zip(metas, out)))
+
+        return finalize
+
+    return submit_segment
+
+
 def segmented_submit_batch(submit_segment, commands: Dict[str, Callable]):
     """Build a ``submit_batch`` that splits groups on bare command lines.
 

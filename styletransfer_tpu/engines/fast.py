@@ -724,71 +724,41 @@ def serve_loop(
             commands={"RELOAD": reload},
         )
 
-    def submit_segment(segment, results):
-        """START one RELOAD-free run of requests — host PNG decode on the
-        shared IO pool, then one async device dispatch per resolution
-        bucket present — and return a ``finalize()`` that fetches the
-        outputs and encodes them (also pooled), filling ``results`` by
-        request index. The split lets the batched loop overlap this
-        group's fetch+encode with the NEXT group's decode+dispatch
-        (daemon.run_batched_request_loop ``submit_batch=``): on the
-        tunneled TPU the device round-trip dominates a wave, and JAX's
-        async dispatch queues group k+1 behind group k on-device while
-        the host works both ends."""
+    def decode(i, fields):
+        """Host-side parse + uint8 image load for one request (pooled)."""
+        try:
+            bucket = resolve_bucket(fields)
+            in_path = fields[0]
+            arr = img_utils.load_image_uint8(
+                os.path.join(constants.PROJECT_ROOT_PATH, in_path),
+                size=bucket,
+            )[0]
+            return (i, bucket,
+                    (i, in_path, fields[1] if len(fields) > 1 else "", arr),
+                    None)
+        except Exception as exc:  # noqa: BLE001 - answered per-request
+            return i, None, None, exc
 
-        def decode(i, fields):
-            try:
-                bucket = resolve_bucket(fields)
-                in_path = fields[0]
-                arr = img_utils.load_image_uint8(
-                    os.path.join(constants.PROJECT_ROOT_PATH, in_path),
-                    size=bucket,
-                )[0]
-                return (i, bucket, in_path,
-                        fields[1] if len(fields) > 1 else "", arr, None)
-            except Exception as exc:  # noqa: BLE001 - answered per-request
-                return i, None, None, None, None, exc
+    def launch(bucket, metas):
+        """Stack/pad the bucket group and START the async device call.
 
-        by_bucket: Dict[int, list] = {}
-        for i, bucket, in_path, explicit_out, arr, exc in daemon.io_pool().map(
-                lambda job: decode(*job), segment):
-            if exc is not None:
-                results[i] = exc
-            else:
-                by_bucket.setdefault(bucket, []).append(
-                    (i, in_path, explicit_out, arr)
-                )
-        launched = []
-        for bucket, metas in by_bucket.items():
-            arr = np.stack([m[3] for m in metas])
-            pad = batch_size - len(metas)
-            if pad:
-                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-            try:
-                launched.append((metas, serve(state["params"], place(arr))))
-            except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
-                for i, _, _, _ in metas:
-                    results[i] = exc
+        The submit/finalize split (daemon.make_pooled_segment_submit)
+        lets the batched loop overlap this group's fetch+encode with the
+        NEXT group's decode+dispatch: on the tunneled TPU the device
+        round-trip dominates a wave, and JAX's async dispatch queues
+        group k+1 behind group k on-device while the host works both
+        ends."""
+        arr = np.stack([m[3] for m in metas])
+        pad = batch_size - len(metas)
+        if pad:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+        return serve(state["params"], place(arr))
 
-        def finalize():
-            for metas, out_dev in launched:
-                try:
-                    out = np.asarray(out_dev)[: len(metas)]
-                except Exception as exc:  # noqa: BLE001 - e.g. runtime error
-                    for i, _, _, _ in metas:
-                        results[i] = exc
-                    continue
+    def save(meta, img):
+        _, in_path, explicit_out, _ = meta
+        return save_one(in_path, explicit_out, img)
 
-                def save(meta_img):
-                    (i, in_path, explicit_out, _), img = meta_img
-                    try:
-                        results[i] = save_one(in_path, explicit_out, img)
-                    except Exception as exc:  # noqa: BLE001
-                        results[i] = exc
-
-                list(daemon.io_pool().map(save, zip(metas, out)))
-
-        return finalize
+    submit_segment = daemon.make_pooled_segment_submit(decode, launch, save)
 
     return daemon.run_batched_request_loop(
         None, batch_size, stdin=stdin, stdout=stdout, name="serve",

@@ -540,11 +540,17 @@ def parse_style_spec(spec: str, root: Optional[str] = None):
         if len(ws) != len(paths):
             raise ValueError(
                 f"{len(paths)} style paths but {len(ws)} weights")
+        import math
+
         total = sum(ws)
-        if total <= 0 or any(w < 0 for w in ws):
+        # isfinite: every comparison against NaN is False, so 'nan,1'
+        # would pass the <=0/<0 checks and burn a full optimization on
+        # all-NaN Gram targets before anyone noticed.
+        if (not all(map(math.isfinite, ws)) or total <= 0
+                or any(w < 0 for w in ws)):
             raise ValueError(
-                f"blend weights must be >= 0 with a positive sum, "
-                f"got {w_part!r}")
+                f"blend weights must be finite and >= 0 with a positive "
+                f"sum, got {w_part!r}")
         ws = [w / total for w in ws]
     else:
         ws = [1.0 / len(paths)] * len(paths)

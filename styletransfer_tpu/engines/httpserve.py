@@ -123,7 +123,19 @@ class _HttpMux:
         if self.closed.is_set():
             raise RuntimeError("daemon is shutting down")
         w = _Waiter()
-        self.q.put((w, line))
+        # Bounded-put WITH a closed check: once the engine loop exits,
+        # nothing drains ``q``, so a plain blocking put on a full queue
+        # would strand this handler thread forever (and its client with
+        # it) — the closed flag must break the enqueue the same way it
+        # breaks the response wait below.
+        while True:
+            if self.closed.is_set():
+                raise RuntimeError("daemon is shutting down")
+            try:
+                self.q.put((w, line), timeout=0.5)
+                break
+            except queue.Full:
+                continue
         while True:
             if w.event.wait(0.5):
                 break
@@ -411,12 +423,42 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_text(400, f"bad Content-Length {length_s!r}",
                              headers=close)
             raise _Handled()
+        if length < 0:
+            # rfile.read(-1) would read until EOF — which never comes on
+            # a held-open keep-alive connection — pinning this handler
+            # thread forever.
+            self._reply_text(400, f"negative Content-Length {length}",
+                             headers=close)
+            raise _Handled()
         if length > MAX_BODY_BYTES:
             self._reply_text(
                 413, f"body of {length} bytes exceeds {MAX_BODY_BYTES}",
                 headers=close)
             raise _Handled()
         return self.rfile.read(length)
+
+    def _discard_body(self) -> None:
+        """Consume (and ignore) a declared request body.
+
+        POST routes that don't use the body (/reload, /reset, /shutdown,
+        unknown routes) must still drain it: unread bytes on a keep-alive
+        connection get parsed as the next request line — the same
+        desynchronization _read_body's error paths close the connection
+        over. An absent/invalid/oversized declaration closes the
+        connection instead of trusting it.
+        """
+        length_s = self.headers.get("Content-Length")
+        if length_s in (None, "0"):
+            return
+        try:
+            length = int(length_s)
+        except ValueError:
+            self.close_connection = True
+            return
+        if 0 < length <= MAX_BODY_BYTES:
+            self.rfile.read(length)
+        elif length != 0:
+            self.close_connection = True
 
     # -- routes -----------------------------------------------------------
 
@@ -468,8 +510,10 @@ class _Handler(BaseHTTPRequestHandler):
             if url.path == "/v1/stylize":
                 self._stylize(params)
             elif url.path == "/reload":
+                self._discard_body()
                 self._command("RELOAD")
             elif url.path == "/reset":
+                self._discard_body()
                 if self.gw.kind != "video":
                     self._reply_text(
                         404, "POST /reset is only for video daemons")
@@ -477,11 +521,13 @@ class _Handler(BaseHTTPRequestHandler):
                 stream = _param(params, "stream")
                 self._command(f"RESET\t\t{stream}" if stream else "RESET")
             elif url.path == "/shutdown":
+                self._discard_body()
                 # Ack first: once the sentinel lands the loop may exit and
                 # close the transport before this response flushes.
                 self._reply_text(200, "shutting down")
-                self.gw.mux.q.put((None, ""))
+                self._enqueue_shutdown()
             else:
+                self._discard_body()
                 self._reply_text(404, f"no route POST {url.path}")
         except _Handled:
             pass
@@ -494,6 +540,20 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply_text(500, f"internal error: {exc}")
             except OSError:
                 pass
+
+    def _enqueue_shutdown(self) -> None:
+        """Queue the engine loop's shutdown sentinel without ever blocking
+        the handler: on a full queue, retry until it fits or the loop is
+        already gone (a blocking put could delay an acked shutdown
+        arbitrarily behind a backlog)."""
+        import queue as _q
+
+        while not self.gw.mux.closed.is_set():
+            try:
+                self.gw.mux.q.put((None, ""), timeout=0.5)
+                return
+            except _q.Full:
+                continue
 
     def _command(self, line: str) -> None:
         resp = self._submit(line)
@@ -610,7 +670,7 @@ def serve_transport(
     if tcp is not None and http is not None:
         raise ValueError("--tcp and --http are mutually exclusive")
     if http is not None:
-        host, port = netserve.parse_hostport(http)
+        host, port = netserve.parse_hostport(http, flag="--http")
         return serve_over_http(run_loop, host=host, port=port, kind=kind,
                                name=f"{name}-http")
     return netserve.maybe_serve_tcp(run_loop, tcp, f"{name}-tcp")

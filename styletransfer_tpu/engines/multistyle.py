@@ -18,6 +18,7 @@ import time
 from typing import Dict, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 
@@ -158,10 +159,6 @@ def train(
     model name ``fast_multi_st``, and optional atomic mid-epoch step states.
     Returns the trained params.
     """
-    import time
-
-    import numpy as np
-
     from styletransfer_tpu import ckpt, constants
     from styletransfer_tpu.data import coco
     from styletransfer_tpu.parallel import mesh as mesh_lib
@@ -173,8 +170,6 @@ def train(
     mesh = mesh or mesh_lib.auto_mesh(batch_size)
     compute_dtype = jnp.bfloat16 if precision == "bf16" else None
     scalar_every, image_every, eval_every = log_cadence
-
-    import os
 
     writer = tb.get_tensorboard_writer(
         runs_dir
@@ -370,6 +365,42 @@ def stylize_blend(params, images, weights, compute_dtype=None):
     return multistyle.apply_blend(params, images, weights, compute_dtype)
 
 
+def _make_style_parser(num_styles: int):
+    """Request STYLE spec -> ([num_styles] convex weights, filename tag).
+
+    Module-level (not a serve_loop closure) so the validation — including
+    the non-finite rejection — is directly testable."""
+
+    def parse_style(style_spec):
+        style_spec = style_spec or "0"
+        if "," in style_spec:
+            w = np.asarray(
+                [float(v) for v in style_spec.split(",")], np.float32
+            )
+            if w.shape[0] != num_styles:
+                raise ValueError(
+                    f"expected {num_styles} blend weights, got {w.shape[0]}"
+                )
+            # isfinite: NaN compares False against everything, so
+            # 'nan,1' would pass both checks and serve an all-NaN blend.
+            if not np.isfinite(w).all() or w.min() < 0 or w.sum() <= 0:
+                raise ValueError(
+                    "blend weights must be finite and non-negative "
+                    "with a positive sum")
+            w = w / w.sum()
+            return w, "blend_" + "_".join(f"{v:g}" for v in w)
+        idx = int(style_spec)
+        if not 0 <= idx < num_styles:
+            raise ValueError(
+                f"style index {idx} out of range [0, {num_styles})"
+            )
+        w = np.zeros((num_styles,), np.float32)
+        w[idx] = 1.0
+        return w, f"style{idx}"
+
+    return parse_style
+
+
 def serve_loop(
     name: str,
     num_styles: int,
@@ -407,8 +438,6 @@ def serve_loop(
     number served.
     """
     import sys as _sys
-
-    import numpy as np
 
     from styletransfer_tpu import ckpt, constants
     from styletransfer_tpu.engines import daemon
@@ -500,29 +529,7 @@ def serve_loop(
         state["params"] = place_params(new)
         return f"RELOAD epoch={epoch}"
 
-    def parse_style(style_spec):
-        """Style spec -> ([num_styles] convex weights, filename tag)."""
-        style_spec = style_spec or "0"
-        if "," in style_spec:
-            w = np.asarray(
-                [float(v) for v in style_spec.split(",")], np.float32
-            )
-            if w.shape[0] != num_styles:
-                raise ValueError(
-                    f"expected {num_styles} blend weights, got {w.shape[0]}"
-                )
-            if w.min() < 0 or w.sum() <= 0:
-                raise ValueError("blend weights must be non-negative")
-            w = w / w.sum()
-            return w, "blend_" + "_".join(f"{v:g}" for v in w)
-        idx = int(style_spec)
-        if not 0 <= idx < num_styles:
-            raise ValueError(
-                f"style index {idx} out of range [0, {num_styles})"
-            )
-        w = np.zeros((num_styles,), np.float32)
-        w[idx] = 1.0
-        return w, f"style{idx}"
+    parse_style = _make_style_parser(num_styles)
 
     def save_one(in_path, explicit_out, tag, img):
         stem = os.path.splitext(os.path.basename(in_path))[0]
@@ -558,72 +565,40 @@ def serve_loop(
             commands={"RELOAD": reload},
         )
 
-    def submit_segment(segment, results):
-        # Per-request styles are DATA ([B, S] blend weights), so a mixed
-        # group of hard selections and blends runs as ONE device call;
-        # resolution buckets are SHAPES, so the group splits per bucket.
-        # Host decode/encode rides the shared IO pool (daemon.io_pool).
-        # Submit/finalize split so the batched loop pipelines waves —
-        # this group's fetch+encode overlaps the next group's
-        # decode+dispatch (see fast.serve_loop's submit_segment).
-        def decode(i, fields):
-            try:
-                bucket = resolve_bucket(fields)
-                in_path = fields[0]
-                w, tag = parse_style(fields[2] if len(fields) > 2 else "0")
-                arr = img_utils.load_image_uint8(
-                    os.path.join(constants.PROJECT_ROOT_PATH, in_path),
-                    size=bucket,
-                )[0]
-                return i, bucket, (
-                    i, in_path, fields[1] if len(fields) > 1 else "",
-                    tag, w, arr,
-                ), None
-            except Exception as exc:  # noqa: BLE001 - answered per-request
-                return i, None, None, exc
+    # Shared batched-wave skeleton (daemon.make_pooled_segment_submit):
+    # per-request styles are DATA ([B, S] blend weights), so a mixed group
+    # of hard selections and blends runs as ONE device call; resolution
+    # buckets are SHAPES, so the group splits per bucket.
+    def decode(i, fields):
+        try:
+            bucket = resolve_bucket(fields)
+            in_path = fields[0]
+            w, tag = parse_style(fields[2] if len(fields) > 2 else "0")
+            arr = img_utils.load_image_uint8(
+                os.path.join(constants.PROJECT_ROOT_PATH, in_path),
+                size=bucket,
+            )[0]
+            return i, bucket, (
+                i, in_path, fields[1] if len(fields) > 1 else "",
+                tag, w, arr,
+            ), None
+        except Exception as exc:  # noqa: BLE001 - answered per-request
+            return i, None, None, exc
 
-        by_bucket = {}
-        for i, bucket, meta, exc in daemon.io_pool().map(
-                lambda job: decode(*job), segment):
-            if exc is not None:
-                results[i] = exc
-            else:
-                by_bucket.setdefault(bucket, []).append(meta)
-        launched = []
-        for bucket, metas in by_bucket.items():
-            arr = np.stack([m[5] for m in metas])
-            wb = np.stack([m[4] for m in metas])
-            pad = batch_size - len(metas)
-            if pad:
-                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-                wb = np.concatenate([wb, np.repeat(wb[-1:], pad, axis=0)])
-            try:
-                launched.append(
-                    (metas, serve_fn(state["params"], place(arr), place(wb)))
-                )
-            except Exception as exc:  # noqa: BLE001 - keep parse-specific ERRs
-                for meta in metas:
-                    results[meta[0]] = exc
+    def launch(bucket, metas):
+        arr = np.stack([m[5] for m in metas])
+        wb = np.stack([m[4] for m in metas])
+        pad = batch_size - len(metas)
+        if pad:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            wb = np.concatenate([wb, np.repeat(wb[-1:], pad, axis=0)])
+        return serve_fn(state["params"], place(arr), place(wb))
 
-        def finalize():
-            for metas, out_dev in launched:
-                try:
-                    out = np.asarray(out_dev)[: len(metas)]
-                except Exception as exc:  # noqa: BLE001 - e.g. runtime error
-                    for meta in metas:
-                        results[meta[0]] = exc
-                    continue
+    def save(meta, img):
+        _, in_path, explicit_out, tag, _, _ = meta
+        return save_one(in_path, explicit_out, tag, img)
 
-                def save(meta_img):
-                    (i, in_path, explicit_out, tag, _, _), img = meta_img
-                    try:
-                        results[i] = save_one(in_path, explicit_out, tag, img)
-                    except Exception as exc:  # noqa: BLE001
-                        results[i] = exc
-
-                list(daemon.io_pool().map(save, zip(metas, out)))
-
-        return finalize
+    submit_segment = daemon.make_pooled_segment_submit(decode, launch, save)
 
     return daemon.run_batched_request_loop(
         None, batch_size, stdin=stdin, stdout=stdout, name="multi serve",

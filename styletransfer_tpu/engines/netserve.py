@@ -83,17 +83,19 @@ def maybe_serve_tcp(run_loop: Callable[..., int], tcp: Optional[str],
     return serve_over_tcp(run_loop, host=host, port=port, name=name)
 
 
-def parse_hostport(spec: str) -> Tuple[str, int]:
-    """Parse a ``--tcp`` value: ``PORT`` or ``HOST:PORT`` (port 0 = OS picks)."""
+def parse_hostport(spec: str, flag: str = "--tcp") -> Tuple[str, int]:
+    """Parse a ``[HOST:]PORT`` value (port 0 = OS picks). ``flag`` names
+    the CLI option in error text — this parser serves both ``--tcp`` and
+    ``--http``, and a usage error must blame the flag the user typed."""
     host, sep, port_s = spec.rpartition(":")
     if not sep:
         host, port_s = "127.0.0.1", spec
     try:
         port = int(port_s)
     except ValueError:
-        raise ValueError(f"invalid --tcp PORT {port_s!r} (in {spec!r})")
+        raise ValueError(f"invalid {flag} PORT {port_s!r} (in {spec!r})")
     if not 0 <= port <= 65535:
-        raise ValueError(f"--tcp port out of range: {port}")
+        raise ValueError(f"{flag} port out of range: {port}")
     return host or "127.0.0.1", port
 
 

@@ -1956,3 +1956,26 @@ def test_daemon_stats_device_rtt_field(monkeypatch):
                             name="t")
     out = stdout.getvalue()
     assert out.startswith("OK STATS") and "device_rtt_ms" not in out
+
+
+def test_blend_weight_validation_rejects_nonfinite():
+    """NaN/inf blend weights compare False against every bound, so they
+    previously slipped through the <=0 / <0 checks and burned a full
+    optimization on all-NaN Gram targets. Both parsers must reject them
+    up front."""
+    from styletransfer_tpu.engines import gatys, multistyle
+
+    for bad in ("a.png,b.png:nan,1", "a.png,b.png:inf,1",
+                "a.png,b.png:1,-inf"):
+        with pytest.raises(ValueError, match="finite"):
+            gatys.parse_style_spec(bad)
+    # Sane specs still parse.
+    paths, ws = gatys.parse_style_spec("a.png,b.png:1,3")
+    assert paths == ["a.png", "b.png"] and ws == [0.25, 0.75]
+
+    parse = multistyle._make_style_parser(2)
+    for bad in ("nan,1", "inf,1", "1,-inf"):
+        with pytest.raises(ValueError, match="finite"):
+            parse(bad)
+    w, tag = parse("1,3")
+    np.testing.assert_allclose(w, [0.25, 0.75])

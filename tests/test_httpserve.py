@@ -467,3 +467,74 @@ def test_batched_loop_routes_concurrent_requests():
     srv.request("/shutdown", data=b"", method="POST")
     srv.join()
     assert srv.result == 4
+
+
+def test_no_body_post_routes_drain_keepalive_body():
+    """POST routes that don't use the body (/reload, unknown) must still
+    consume a declared body: unread bytes on a keep-alive connection get
+    parsed as the next request line, desynchronizing every later request
+    on that connection."""
+    import socket as socket_mod
+
+    srv = _Server(_reverse_loop())
+    try:
+        with socket_mod.create_connection(("127.0.0.1", srv.port),
+                                          timeout=10) as s:
+            s.settimeout(10)
+
+            def roundtrip(req: bytes) -> bytes:
+                s.sendall(req)
+                resp = b""
+                while b"\r\n\r\n" not in resp:
+                    chunk = s.recv(4096)
+                    assert chunk, "connection closed unexpectedly"
+                    resp += chunk
+                head, rest = resp.split(b"\r\n\r\n", 1)
+                length = 0
+                for line in head.split(b"\r\n"):
+                    if line.lower().startswith(b"content-length:"):
+                        length = int(line.split(b":")[1])
+                while len(rest) < length:
+                    rest += s.recv(4096)
+                return head
+
+            # 1) POST /reload WITH a body (e.g. curl -d x) on keep-alive.
+            head = roundtrip(
+                b"POST /reload HTTP/1.1\r\nHost: t\r\n"
+                b"Content-Length: 5\r\n\r\nxxxxx"
+            )
+            assert b" 200 " in head.splitlines()[0]
+
+            # 2) The SAME connection must still answer correctly — the
+            # body bytes were drained, not parsed as a request line.
+            head = roundtrip(b"GET /healthz HTTP/1.1\r\nHost: t\r\n\r\n")
+            assert b" 200 " in head.splitlines()[0]
+
+            # 3) Unknown POST route with a body: drained the same way.
+            head = roundtrip(
+                b"POST /nope HTTP/1.1\r\nHost: t\r\n"
+                b"Content-Length: 3\r\n\r\nabc"
+            )
+            assert b" 404 " in head.splitlines()[0]
+            head = roundtrip(b"GET /healthz HTTP/1.1\r\nHost: t\r\n\r\n")
+            assert b" 200 " in head.splitlines()[0]
+
+        # Negative Content-Length must answer 400, never hang the
+        # handler reading to EOF.
+        with socket_mod.create_connection(("127.0.0.1", srv.port),
+                                          timeout=10) as s:
+            s.settimeout(10)
+            s.sendall(
+                b"POST /v1/stylize HTTP/1.1\r\nHost: t\r\n"
+                b"Content-Length: -1\r\n\r\n"
+            )
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                resp += chunk
+            assert b" 400 " in resp.splitlines()[0]
+    finally:
+        srv.request("/shutdown", data=b"", method="POST")
+        srv.join()
