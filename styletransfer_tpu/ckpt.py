@@ -98,8 +98,22 @@ def save(params: Any, path: str) -> None:
         ckr.wait_until_finished()
         return
     data = serialization.to_bytes(jax.device_get(params))
-    with open(path, "wb") as f:
+    _atomic_write(path, data)
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    """tmp + rename so a crash mid-write never leaves a truncated file at
+    the final name (a partial epoch checkpoint would make the resume-skip
+    path load garbage and fail every restart until hand-deleted). The
+    tmp name carries pid+tid: lockstepped multi-host trainers sharing a
+    models dir all save at the same iteration, and a SHARED tmp name
+    would interleave their writes before one rename promoted the mix."""
+    import threading
+
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_native_id()}"
+    with open(tmp, "wb") as f:
         f.write(data)
+    os.replace(tmp, path)
 
 
 def load(path: str, template: Any) -> Any:
@@ -197,7 +211,12 @@ def find_latest(
             and (x.endswith(CKPT_SUFFIX) or x.endswith(".pth")
                  or (x.endswith(ORBAX_SUFFIX)
                      and os.path.isdir(os.path.join(directory, x))))
-            and "_step_state" not in x  # mid-epoch states aren't "latest" weights
+            # Mid-epoch states and per-process carry sidecars match the
+            # name filter but are NOT weights files — selecting one would
+            # crash load() with a confusing structure error instead of the
+            # clean no-weights FileNotFoundError.
+            and "_step_state" not in x
+            and "_step_carry_" not in x
         ]
     except FileNotFoundError:
         names = []
@@ -260,10 +279,7 @@ def save_step_state(
         "extra": {k: np.int64(v) for k, v in (extra or {}).items()},
         "arrays": {k: np.asarray(jax.device_get(v)) for k, v in (arrays or {}).items()},
     }
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.to_bytes(state))
-    os.replace(tmp, path)
+    _atomic_write(path, serialization.to_bytes(state))
     return path
 
 
@@ -370,10 +386,7 @@ def save_carry_shards(
     path = carry_shard_path(model_name, style_name, models_path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     state = {"iteration": np.int64(iteration), "arrays": local}
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.to_bytes(state))
-    os.replace(tmp, path)
+    _atomic_write(path, serialization.to_bytes(state))
     return path
 
 

@@ -66,15 +66,21 @@ def synthetic_image(index: int, size: int = constants.IMSIZE) -> np.ndarray:
 class SyntheticDataset:
     """Deterministic stand-in corpus exposing the CocoDataset interface."""
 
-    def __init__(self, num_images: int = 256, size: int = constants.IMSIZE):
+    def __init__(self, num_images: int = 256, size: int = constants.IMSIZE,
+                 seed_offset: int = 0):
+        """``seed_offset`` shifts the procedural image indices — the
+        synthetic test split uses it so its images are DISJOINT from the
+        train set's (a test set that is a subset of training data would
+        silently inflate eval quality in offline runs)."""
         self.num_images = num_images
         self.size = size
+        self.seed_offset = seed_offset
 
     def __len__(self) -> int:
         return self.num_images
 
     def load(self, idx: int) -> Optional[np.ndarray]:
-        arr = synthetic_image(idx, self.size)
+        arr = synthetic_image(self.seed_offset + idx, self.size)
         return np.asarray(img_utils.normalize(arr), dtype=np.float32)
 
 
@@ -257,8 +263,12 @@ def get_coco_loader(
             "No COCO images found in %s; using the deterministic synthetic "
             "dataset (256 images).", abs_dir,
         )
-        test_ds = SyntheticDataset(num_images=max(test_limit or 20, 8))
-        train_ds = SyntheticDataset(num_images=train_limit or 256)
+        # Test indices start past the train range so the splits are
+        # disjoint, like the real directory split below.
+        n_train = train_limit or 256
+        test_ds = SyntheticDataset(num_images=max(test_limit or 20, 8),
+                                   seed_offset=n_train)
+        train_ds = SyntheticDataset(num_images=n_train)
     else:
         split_idx = int(len(all_images) * test_split)
         test_ds = CocoDataset(all_images[:split_idx], test_limit, image_dir)

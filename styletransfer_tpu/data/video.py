@@ -73,6 +73,20 @@ class ImageioFrameReader(FrameReader):
             # ffmpeg readers raise IndexError at end-of-stream
             # (dataset.py:308-311); the Pillow GIF backend raises EOFError.
             return None
+        except Exception as exc:  # noqa: BLE001 - corrupt mid-stream frame
+            # A truncated/corrupt video raises backend-specific errors
+            # (e.g. imageio's CannotReadFrameError, a RuntimeError) mid-
+            # stream. The pipeline's keep-training-through-bad-files
+            # contract (the image side survives unreadable files —
+            # data/coco.py) treats it as this clip ending early, with a
+            # warning so the corpus problem is visible.
+            from styletransfer_tpu.utils.logging import get_logger
+
+            get_logger().warning(
+                "Video frame %d unreadable (%s: %s); treating clip as "
+                "ended.", self._index, type(exc).__name__, exc,
+            )
+            return None
         self._index += 1
         if not self._normalized:
             return img_utils.from_array_uint8(frame, self._size)
@@ -145,14 +159,34 @@ class VideoDataset:
         if shard_count > 1:
             videos = videos[shard_index::shard_count]
 
-        if batch_size > len(videos):
+        if shard_count > 1:
+            # Multi-host: the batch size must be IDENTICAL on every host
+            # (the local rows assemble into one global batch), so never
+            # clamp to the LOCAL shard's count — shards differ by up to
+            # one video, and clamping would give hosts different local
+            # batch shapes. A shard with fewer videos than the batch
+            # simply yields zero (ragged-dropped) batches; the trainers'
+            # lockstep iteration then stops every host together.
+            if batch_size > len(videos):
+                logger.warning(
+                    "Shard %d/%d has %d video(s) < batch %d; it will "
+                    "yield no batches (all hosts stop together via "
+                    "lockstep).", shard_index, shard_count, len(videos),
+                    batch_size,
+                )
+        elif batch_size > len(videos):
             logger.warning(
                 "Batch size larger than video count; using batch of %d", len(videos)
             )
             batch_size = len(videos)
         self.batch_size = batch_size
 
-        self.video_batches = make_batches(videos, batch_size)
+        # batch_size can be 0 here only when the corpus itself is empty
+        # (no videos, synthetic_fallback=False): no batches, cleanly —
+        # make_batches would raise on a zero range step.
+        self.video_batches = (
+            make_batches(videos, batch_size) if batch_size > 0 else []
+        )
         if self.video_batches and len(self.video_batches[-1]) != batch_size:
             self.video_batches = self.video_batches[:-1]
 

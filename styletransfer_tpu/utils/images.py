@@ -41,21 +41,28 @@ _STD = np.asarray(constants.IMAGENET_STD, dtype=np.float32)
 # ---------------------------------------------------------------------------
 
 
+def _center_crop_resize_pil(image: "Image.Image", size: int) -> "Image.Image":
+    """The ONE crop recipe every load path shares: center-crop to the min
+    dimension's square — torchvision CenterCrop offsets are
+    ``int(round(delta / 2.))`` (banker's rounding, NOT floor; they differ
+    by one pixel when delta % 4 == 3) — then bilinear-resize to
+    ``size``x``size``. The uint8 serving paths' bit-exactness argument
+    depends on all callers using exactly this sequence."""
+    w, h = image.size
+    side = min(w, h)
+    left = int(round((w - side) / 2.0))
+    top = int(round((h - side) / 2.0))
+    image = image.crop((left, top, left + side, top + side))
+    return image.resize((size, size), Image.BILINEAR)
+
+
 def center_crop_resize(image: Image.Image, size: int = constants.IMSIZE) -> np.ndarray:
     """Center-crop to a square of the min dimension, then bilinear-resize.
 
     Matches torchvision ``CenterCrop(min_dim) -> Resize(size)`` on a PIL image
     (reference img_utils.py:20-27). Returns float32 HWC in [0, 1].
     """
-    w, h = image.size
-    side = min(w, h)
-    # torchvision CenterCrop offsets are int(round(delta / 2.)) — Python-3
-    # banker's rounding — not floor; for (delta % 4 == 3) they differ by one
-    # pixel, so match exactly (torchvision functional center_crop).
-    left = int(round((w - side) / 2.0))
-    top = int(round((h - side) / 2.0))
-    image = image.crop((left, top, left + side, top + side))
-    image = image.resize((size, size), Image.BILINEAR)
+    image = _center_crop_resize_pil(image, size)
     arr = np.asarray(image, dtype=np.float32) / 255.0
     if arr.ndim == 2:  # grayscale: keep a channel axis so callers can detect it
         arr = arr[:, :, None]
@@ -202,12 +209,7 @@ def load_image_uint8(image_path: str, size: int = constants.IMSIZE) -> np.ndarra
     """
     with Image.open(image_path) as img:
         img = img.convert("RGB")
-        w, h = img.size
-        side = min(w, h)
-        left = int(round((w - side) / 2.0))
-        top = int(round((h - side) / 2.0))
-        img = img.crop((left, top, left + side, top + side))
-        img = img.resize((size, size), Image.BILINEAR)
+        img = _center_crop_resize_pil(img, size)
         return np.asarray(img, dtype=np.uint8)[None, ...]
 
 
@@ -227,10 +229,5 @@ def from_array_uint8(frame: np.ndarray, size: int = constants.IMSIZE) -> np.ndar
     img = Image.fromarray(frame)
     if img.mode != "RGB":
         img = img.convert("RGB")
-    w, h = img.size
-    side = min(w, h)
-    left = int(round((w - side) / 2.0))
-    top = int(round((h - side) / 2.0))
-    img = img.crop((left, top, left + side, top + side))
-    img = img.resize((size, size), Image.BILINEAR)
+    img = _center_crop_resize_pil(img, size)
     return np.asarray(img, dtype=np.uint8)[None, ...]

@@ -128,3 +128,41 @@ def test_orbax_backend_bad_value(monkeypatch):
     monkeypatch.setenv("STX_CKPT_BACKEND", "zip")
     with pytest.raises(ValueError):
         ckpt.checkpoint_path("fast_st", "sty", 0)
+
+
+def test_find_latest_skips_step_and_carry_sidecars(tmp_path):
+    """Step states AND per-process carry sidecars match the name filter
+    but are not weights files — discovery must skip both (selecting a
+    carry sidecar crashed load() with a structure error instead of the
+    clean no-weights FileNotFoundError)."""
+    import pytest
+
+    d = tmp_path / "models"
+    d.mkdir()
+    (d / "video_st_sty_step_state.msgpack").write_bytes(b"x")
+    (d / "video_st_sty_step_carry_p0of2.msgpack").write_bytes(b"x")
+    with pytest.raises(FileNotFoundError):
+        ckpt.find_latest("video_st", "sty", str(d))
+    # A real checkpoint alongside them is found.
+    import jax
+
+    from styletransfer_tpu.models import transformer
+
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    ckpt.save_epoch(params, "video_st", "sty", 2, str(d))
+    path, epoch = ckpt.find_latest("video_st", "sty", str(d))
+    assert epoch == 2 and path.endswith("epoch2.msgpack")
+
+
+def test_save_is_atomic_no_tmp_residue(tmp_path):
+    """save() goes through tmp+rename (a crash mid-write must never leave
+    a truncated file at the final name) and cleans its tmp file."""
+    import jax
+
+    from styletransfer_tpu.models import transformer
+
+    params = transformer.init_params(jax.random.PRNGKey(0))
+    path = tmp_path / "m.msgpack"
+    ckpt.save(params, str(path))
+    assert path.is_file()
+    assert [p.name for p in tmp_path.iterdir()] == ["m.msgpack"]

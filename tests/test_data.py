@@ -240,3 +240,52 @@ def test_video_dataset_with_real_gifs(tmp_path):
     frames = list(video.iterate_on_video_batches(batches[0]))
     assert len(frames) == 4
     assert frames[0].shape == (2, 16, 16, 3)
+
+
+def test_video_dataset_sharded_keeps_batch_size(tmp_path):
+    """Multi-host: the local batch size must be IDENTICAL on every host
+    (local rows assemble one global batch), so a shard with fewer videos
+    than the batch yields ZERO batches instead of clamping to a
+    different batch shape — and an empty shard is clean, not a
+    make_batches ValueError."""
+    from styletransfer_tpu.data import video as video_data
+
+    # Shard 1 of 2 over 3 synthetic "videos" with batch 4: 1 local video.
+    ds = video_data.VideoDataset(
+        videos=list(range(3)), batch_size=4, shard_index=1, shard_count=2,
+        synthetic_fallback=False,
+    )
+    assert ds.batch_size == 4  # NOT clamped to the local count
+    assert len(ds) == 0  # ragged-dropped; lockstep stops all hosts
+
+    # Empty shard: clean empty dataset.
+    ds = video_data.VideoDataset(
+        videos=[], batch_size=4, shard_index=1, shard_count=2,
+        synthetic_fallback=False,
+    )
+    assert len(ds) == 0
+
+    # Single-process keeps the convenience clamp.
+    ds = video_data.VideoDataset(
+        videos=list(range(2)), batch_size=4, synthetic_fallback=False,
+    )
+    assert ds.batch_size == 2 and len(ds) == 1
+
+
+def test_synthetic_test_split_disjoint_from_train():
+    """The synthetic fallback's test images must not be a subset of the
+    training images (eval on trained-on data silently inflates quality)."""
+    import numpy as np
+
+    from styletransfer_tpu.data import coco
+
+    test_ds, train_loader = None, None
+    test_loader, train_loader = coco.get_coco_loader(
+        batch_size=2, image_dir="definitely_missing_dir_xyz",
+        test_limit=8, train_limit=16,
+    )
+    train_imgs = [train_loader.dataset.load(i)
+                  for i in range(len(train_loader.dataset))]
+    for j in range(len(test_loader.dataset)):
+        t = test_loader.dataset.load(j)
+        assert not any(np.array_equal(t, tr) for tr in train_imgs)
