@@ -102,8 +102,10 @@ def apply(
     The default path is the **pad-early** formulation: each instance norm
     writes its output already reflection-padded for the next conv (stats
     come from the unpadded tensor, and normalization commutes exactly with
-    reflection padding), and IN statistics use the shifted one-pass
-    estimator (layers.instance_norm_stats). Measured on TPU v5e at
+    reflection padding), and IN statistics come from the one-pass
+    E[x²]−E[x]² form (layers.instance_norm_stats, which documents why
+    the cancellation-bounded shifted estimator was rejected). Measured
+    on TPU v5e at
     256px/b128 this cuts HBM traffic 179->109 MB/img and lifts throughput
     2102->2612 img/s bf16 (1690->1756 f32) vs the naive stacked form —
     see docs/performance.md. Outputs agree with the stacked form to ~1e-6

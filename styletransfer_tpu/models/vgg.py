@@ -61,6 +61,15 @@ def _plan(taps: Sequence[str]):
             steps.append(("conv", f"Conv2d_{conv_i}", cin, item))
             steps.append(("relu", f"ReLU_{conv_i}", None, None))
             cin = item
+    # Unknown tap names must fail HERE, not as a distant empty-dict
+    # KeyError (or a silently-zero loss) at the caller.
+    known = {name for _, name, _, _ in steps}
+    unknown = taps - known
+    if unknown:
+        raise ValueError(
+            f"unknown VGG tap name(s) {sorted(unknown)}; valid names look "
+            f"like Conv2d_1..Conv2d_{conv_i} / ReLU_i / MaxPool2d_i"
+        )
     # Find index of the last step whose name is a tap; truncate there.
     for i, (_, name, _, _) in enumerate(steps):
         if name in taps:
@@ -247,12 +256,22 @@ def find_weights(weights_path: Optional[str] = None) -> Optional[str]:
 
     Search order (same as :func:`load_params`, which delegates here):
     explicit path -> ``$STX_VGG19_WEIGHTS`` -> ``data/models/vgg19.npz`` /
-    ``.pth`` under the project root.
+    ``.pth`` under the project root. An EXPLICIT ``weights_path`` that
+    does not exist raises ``FileNotFoundError`` (never a silent
+    fall-through to weights the caller didn't ask for); the env/default
+    candidates remain best-effort.
     """
     from styletransfer_tpu import constants
 
     candidates = []
     if weights_path:
+        # An EXPLICIT path that doesn't exist is an error, not a reason
+        # to silently fall through to env/default weights (or random
+        # init) the caller never asked for.
+        if not os.path.isfile(weights_path):
+            raise FileNotFoundError(
+                f"VGG19 weights file not found: {weights_path!r}"
+            )
         candidates.append(weights_path)
     env = os.environ.get("STX_VGG19_WEIGHTS")
     if env:
@@ -274,8 +293,9 @@ def load_params(
 ) -> Dict[str, Dict[str, jnp.ndarray]]:
     """Load VGG19 tap params: pretrained if available, else seeded init.
 
-    Search order: explicit ``weights_path`` -> ``$STX_VGG19_WEIGHTS`` ->
-    ``data/models/vgg19.npz`` / ``data/models/vgg19.pth`` under the repo root
+    Search order: explicit ``weights_path`` (missing file raises) ->
+    ``$STX_VGG19_WEIGHTS`` -> ``data/models/vgg19.npz`` /
+    ``data/models/vgg19.pth`` under the repo root
     -> deterministic He init (logged).
     """
     from styletransfer_tpu.utils.logging import get_logger

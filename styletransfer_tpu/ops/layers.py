@@ -291,6 +291,15 @@ def phase_conv_kernel(kernel: jnp.ndarray, block: int = 4) -> jnp.ndarray:
     """
     k, _, c, o = kernel.shape
     r = k // 2
+    # The span = r // block derivation below requires block | r; an
+    # invalid combo (e.g. 5x5 with block=4) would silently drop
+    # cross-block taps and produce a wrong-shaped, numerically
+    # meaningless kernel (upsample_phase_kernel asserts its own 3x3
+    # precondition the same way).
+    assert r % block == 0, (
+        f"phase_conv_kernel requires block ({block}) to divide "
+        f"kernel_size//2 ({r}); got a {k}x{k} kernel"
+    )
     span = r // block  # s ranges over [-span, span]
     ks = 2 * span + 1
     # Static gather maps (numpy): indices into a zero-padded kernel.

@@ -90,6 +90,30 @@ def _two_loop_direction(c, grad, y, s, ys, insert, first, H_diag1, H):
     return d1, dict(S=S, Y=Y, rho=rho, k=k1)
 
 
+def _compact_solve(S, Y, SY, YY, valid, grad, H_diag1, k1):
+    """The shared Byrd–Nocedal compact-form solve: given the (masked)
+    history matrices and the valid-slot mask, produce the search
+    direction. One implementation for BOTH history placements
+    (:func:`_compact_direction` dynamic-slot, :func:`_compact_shift_direction`
+    rolled static-slot) so a numerics tweak to the triangular solves can
+    never make the vmap and single-problem paths diverge."""
+    from jax.scipy.linalg import solve_triangular
+
+    vmask2 = valid[:, None] & valid[None, :]
+    R = jnp.where(vmask2, jnp.triu(SY), 0.0) + jnp.diag(
+        jnp.where(valid, 0.0, 1.0)
+    )
+    D = jnp.where(valid, jnp.diagonal(SY), 0.0)
+    g = grad
+    p = jnp.where(valid, _mv(S, g), 0.0)
+    q = jnp.where(valid, _mv(Y, g), 0.0)
+    u = solve_triangular(R, p, lower=False)
+    v = D * u + H_diag1 * _mv(YY, u) - H_diag1 * q
+    w = solve_triangular(R.T, v, lower=True)
+    Hg = H_diag1 * g + _mv(S.T, w) - H_diag1 * _mv(Y.T, u)
+    return -Hg, dict(S=S, Y=Y, SY=SY, YY=YY, k=k1)
+
+
 def _compact_direction(c, grad, y, s, ys, insert, first, H_diag1, H):
     """Byrd-Nocedal compact inverse-Hessian (Nocedal & Wright, Thm 7.4):
 
@@ -135,22 +159,7 @@ def _compact_direction(c, grad, y, s, ys, insert, first, H_diag1, H):
 
     idx = jnp.arange(H)
     valid = idx < num_old
-    vmask2 = valid[:, None] & valid[None, :]
-    R = jnp.where(vmask2, jnp.triu(SY), 0.0) + jnp.diag(
-        jnp.where(valid, 0.0, 1.0)
-    )
-    D = jnp.where(valid, jnp.diagonal(SY), 0.0)
-
-    from jax.scipy.linalg import solve_triangular
-
-    g = grad
-    p = jnp.where(valid, _mv(S, g), 0.0)
-    q = jnp.where(valid, _mv(Y, g), 0.0)
-    u = solve_triangular(R, p, lower=False)
-    v = D * u + H_diag1 * _mv(YY, u) - H_diag1 * q
-    w = solve_triangular(R.T, v, lower=True)
-    Hg = H_diag1 * g + _mv(S.T, w) - H_diag1 * _mv(Y.T, u)
-    return -Hg, dict(S=S, Y=Y, SY=SY, YY=YY, k=k1)
+    return _compact_solve(S, Y, SY, YY, valid, grad, H_diag1, k1)
 
 
 def _compact_shift_direction(c, grad, y, s, ys, insert, first, H_diag1, H):
@@ -184,22 +193,7 @@ def _compact_shift_direction(c, grad, y, s, ys, insert, first, H_diag1, H):
 
     idx = jnp.arange(H)
     valid = idx >= H - num_old
-    vmask2 = valid[:, None] & valid[None, :]
-    R = jnp.where(vmask2, jnp.triu(SY), 0.0) + jnp.diag(
-        jnp.where(valid, 0.0, 1.0)
-    )
-    D = jnp.where(valid, jnp.diagonal(SY), 0.0)
-
-    from jax.scipy.linalg import solve_triangular
-
-    g = grad
-    p = jnp.where(valid, _mv(S, g), 0.0)
-    q = jnp.where(valid, _mv(Y, g), 0.0)
-    u = solve_triangular(R, p, lower=False)
-    v = D * u + H_diag1 * _mv(YY, u) - H_diag1 * q
-    w = solve_triangular(R.T, v, lower=True)
-    Hg = H_diag1 * g + _mv(S.T, w) - H_diag1 * _mv(Y.T, u)
-    return -Hg, dict(S=S, Y=Y, SY=SY, YY=YY, k=k1)
+    return _compact_solve(S, Y, SY, YY, valid, grad, H_diag1, k1)
 
 
 _DIRECTION = {

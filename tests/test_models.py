@@ -319,3 +319,20 @@ def test_apply_non_multiple_of_four_sizes(rng):
         h2 = (h1 - 1) // 2 + 1
         assert out.shape == (1, 4 * h2, 4 * h2, 3)
         assert bool(jnp.isfinite(out).all())
+
+
+def test_vgg_unknown_tap_and_missing_explicit_weights_raise(tmp_path):
+    """Misspelled tap names fail at plan time (not as a distant empty
+    feature dict), and an EXPLICIT weights path that doesn't exist raises
+    instead of silently falling through to other weights."""
+    import pytest
+
+    from styletransfer_tpu.models import vgg
+
+    with pytest.raises(ValueError, match="unknown VGG tap"):
+        vgg.extract_features(
+            vgg.init_params(jax.random.PRNGKey(0)),
+            jnp.zeros((1, 8, 8, 3)), taps=("Conv2d_99",),
+        )
+    with pytest.raises(FileNotFoundError):
+        vgg.load_params(weights_path=str(tmp_path / "nope.pth"))
