@@ -55,25 +55,42 @@ def download_from_url(url: str, dst: str) -> int:
     import requests
     from tqdm import tqdm
 
-    file_size = int(
-        requests.head(url, timeout=_TIMEOUT).headers["Content-Length"]
-    )
+    # allow_redirects: HEAD does NOT follow redirects by default, so a
+    # 301/302 would yield the redirect's headers — a missing
+    # Content-Length (KeyError) or a bogus 0 that instantly reports an
+    # empty file "complete".
+    head = requests.head(url, timeout=_TIMEOUT, allow_redirects=True)
+    head.raise_for_status()
+    file_size = int(head.headers["Content-Length"])
     last_exc: Exception = OSError(f"download of {url} incomplete after retries")
     for attempt in range(_MAX_ATTEMPTS):
         first_byte = os.path.getsize(dst) if os.path.exists(dst) else 0
         if first_byte >= file_size:
             return file_size
+        pbar = None
         try:
             header = {"Range": f"bytes={first_byte}-"}
             pbar = tqdm(total=file_size, initial=first_byte, unit="B",
                         unit_scale=True, desc=url.split("/")[-1])
             req = requests.get(url, headers=header, stream=True, timeout=_TIMEOUT)
-            with open(dst, "ab") as f:
+            # An error status (503/404) would stream an HTML body into the
+            # file; and a 200 means the server ignored our Range — its
+            # full-content body must overwrite, not append after, the
+            # partial bytes (appending would duplicate the prefix and
+            # still satisfy the size check).
+            req.raise_for_status()
+            resumed = first_byte > 0 and req.status_code == 206
+            if first_byte > 0 and not resumed:
+                get_logger().warning(
+                    "Server ignored Range for %s (status %d); restarting "
+                    "from byte 0.", url, req.status_code,
+                )
+                pbar.reset(total=file_size)
+            with open(dst, "ab" if resumed or first_byte == 0 else "wb") as f:
                 for chunk in req.iter_content(chunk_size=64 * 1024):
                     if chunk:
                         f.write(chunk)
                         pbar.update(len(chunk))
-            pbar.close()
         except (requests.RequestException, OSError) as exc:
             last_exc = exc
             get_logger().warning(
@@ -81,6 +98,9 @@ def download_from_url(url: str, dst: str) -> int:
                 url, attempt + 1, _MAX_ATTEMPTS, exc,
             )
             continue
+        finally:
+            if pbar is not None:
+                pbar.close()  # a failed attempt must not leak its bar
         if os.path.getsize(dst) >= file_size:
             return file_size
     raise last_exc
@@ -103,14 +123,17 @@ def download_videos_dataset() -> None:
     """Ensure the 4 sample videos are present (reference dataset.py:86-103)."""
     path = _abspath(VIDEO_DATA_PATH)
     os.makedirs(path, exist_ok=True)
-    if len(SAMPLE_VIDEO_URLS) != len(os.listdir(path)):
-        try:
-            download_list_of_urls(SAMPLE_VIDEO_URLS, VIDEO_DATA_PATH)
-        except Exception as exc:  # noqa: BLE001 - offline environments
-            get_logger().warning(
-                "Could not download sample videos (%s); the video dataset "
-                "falls back to synthetic clips if none are present.", exc,
-            )
+    # Always run the per-file check (4 cheap HEADs): a bare directory
+    # COUNT gate would skip the byte-range resume that repairs a file
+    # truncated by a killed earlier download. Offline environments fail
+    # the first HEAD and fall through to the warning as before.
+    try:
+        download_list_of_urls(SAMPLE_VIDEO_URLS, VIDEO_DATA_PATH)
+    except Exception as exc:  # noqa: BLE001 - offline environments
+        get_logger().warning(
+            "Could not download sample videos (%s); the video dataset "
+            "falls back to synthetic clips if none are present.", exc,
+        )
 
 
 def download_coco_images() -> None:
@@ -131,6 +154,12 @@ def download_coco_images() -> None:
         return
     with open(json_file_path) as f:
         images_urls = [x["coco_url"] for x in json.load(f)["images"]]
+    # The directory-count gate is a deliberate tradeoff at COCO scale:
+    # per-file verification would HEAD tens of thousands of URLs on every
+    # training start. A file truncated by a killed download slips through
+    # — and is then handled downstream, where the loader substitutes
+    # unreadable images (data/coco.py). The 4-video dataset above, where
+    # verification is cheap, always verifies.
     if len(images_urls) != len(os.listdir(image_dir)):
         try:
             download_list_of_urls(images_urls, IMAGE_FOLDER_PATH)

@@ -125,8 +125,14 @@ def get_packed_loader(
     if train_limit:
         train_idx = range(split_idx, min(split_idx + train_limit, len(ds)))
     train_ds = _PackedView(ds, train_idx)
+    # The test loader shards like coco.get_coco_loader's: each host must
+    # hold a DISJOINT eval slice (its rows assemble into the global eval
+    # batch) — an unsharded copy per host would eval the same images
+    # duplicated shard_count times AND iterate shard_count-fold more
+    # batches than its peers.
     test_loader = DataLoader(test_ds, batch_size, shuffle=True, drop_last=True,
-                             seed=seed)
+                             seed=seed, shard_index=shard_index,
+                             shard_count=shard_count)
     train_loader = DataLoader(train_ds, batch_size, shuffle=True, drop_last=True,
                               seed=seed + 1, shard_index=shard_index,
                               shard_count=shard_count)

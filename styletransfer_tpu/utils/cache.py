@@ -68,9 +68,12 @@ def enable_persistent_cache() -> None:
         return
     import jax
 
-    cache_dir = os.environ.get("STX_COMPILE_CACHE_DIR", _DEFAULT_DIR)
+    # One source of truth with doctor's report (cache_dir()): a drifted
+    # duplicate lookup here would make diagnostics name a different
+    # directory than the one actually in use.
+    target_dir = cache_dir()
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_compilation_cache_dir", target_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # noqa: BLE001 - older jax without these flags

@@ -171,6 +171,10 @@ class SummaryWriter:
             arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
         h, w = arr.shape[:2]
         c = arr.shape[2] if arr.ndim == 3 else 1
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            # PIL rejects (H, W, 1) uint8 ("cannot handle this data
+            # type"); grayscale encodes from the 2-D view, c stays 1.
+            arr = arr[:, :, 0]
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, format="PNG")
         self._write_record(

@@ -103,3 +103,16 @@ def test_native_crc32c_matches_python():
     for n in (1, 7, 8, 9, 1023):
         payload = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
         assert native.crc32c(payload) == tb._crc32c_py(payload)
+
+
+def test_add_image_grayscale_hw1(tmp_path):
+    """(H, W, 1) grayscale arrays — what center_crop_resize returns for
+    grayscale inputs — must encode, not crash PIL's fromarray."""
+    import numpy as np
+
+    from styletransfer_tpu.utils import tb
+
+    w = tb.get_tensorboard_writer(str(tmp_path / "run"))
+    w.add_image("gray", np.zeros((8, 8, 1), np.uint8), 0)
+    w.add_image("gray_f", np.full((8, 8, 1), 0.5, np.float32), 1)
+    w.close()
