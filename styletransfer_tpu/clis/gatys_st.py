@@ -35,7 +35,7 @@ LOGGER = get_logger()
                    "(network.py:435: ~20 inner iterations per step); "
                    "lbfgs-zoom is optax L-BFGS with linesearch (1 update "
                    "per step); adam is fastest per step on TPU.")
-@click.option("-b", "--batch", default=0, type=int,
+@click.option("-b", "--batch", default=0, type=click.IntRange(min=0),
               help="If CONTENT-IMAGE-PATH is a directory, stylize up to this "
                    "many images from it in ONE batched on-device "
                    "optimization (0 = all).")
@@ -162,12 +162,13 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
     style_paths = [
         os.path.join(constants.PROJECT_ROOT_PATH, p) for p in style_paths
     ]
-    style_image = jnp.asarray(images.load_image(style_paths[0], size=imsize))
+
+    from styletransfer_tpu.engines.fast import IMAGE_EXTS
 
     if os.path.isdir(content_image_path):
         names = sorted(
             n for n in os.listdir(content_image_path)
-            if n.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+            if n.lower().endswith(IMAGE_EXTS)
         )
         if batch:
             names = names[:batch]
@@ -185,6 +186,9 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
 
     vgg_params = vgg.load_params()
 
+    # In blend mode train_gatys takes precomputed style_grams and ignores
+    # style_image, so the first style is decoded exactly once either way.
+    style_image = None
     style_grams = None
     if len(style_paths) > 1:
         style_grams = gatys.blend_grams(
@@ -193,6 +197,8 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
              for p in style_paths],
             style_ws,
         )
+    else:
+        style_image = jnp.asarray(images.load_image(style_paths[0], size=imsize))
 
     converted, _losses = gatys.train_gatys(
         vgg_params,
@@ -214,8 +220,15 @@ def gatys_st(content_image_path, style_image_path, out_name, steps,
     out_dir = os.path.join(constants.PROJECT_ROOT_PATH, "results")
     os.makedirs(out_dir, exist_ok=True)
     stem, ext = os.path.splitext(out_name)
+    used: dict = {}
     for i, name in enumerate(names):
         suffix = f"_{os.path.splitext(name)[0]}" if name is not None else ""
+        # a.png and a.jpg share a stem: disambiguate instead of silently
+        # overwriting one finished optimization with the other.
+        n_seen = used.get(suffix, 0)
+        used[suffix] = n_seen + 1
+        if n_seen:
+            suffix = f"{suffix}_{n_seen + 1}"
         out_file = os.path.join(out_dir, f"{stem}{suffix}{ext}")
         images.save_image(converted[i : i + 1], out_file)
         LOGGER.info("Done! Transformed image has been saved to: %s", out_file)

@@ -57,8 +57,16 @@ def ensure_demo_assets(base_dir: str = None) -> dict:
     os.makedirs(os.path.join(base, "styles"), exist_ok=True)
     content_path = os.path.join(base, "demo_content.png")
     style_path = os.path.join(base, "styles", "demo_style.png")
+    def _write_atomic(path: str, arr: np.ndarray) -> None:
+        # tmp + rename: an interrupted save (or two daemons racing first
+        # use) must never leave a truncated PNG that isfile() then treats
+        # as a valid asset forever.
+        tmp = f"{path}.tmp.{os.getpid()}"
+        Image.fromarray((arr * 255).astype(np.uint8)).save(tmp, format="PNG")
+        os.replace(tmp, path)
+
     if not os.path.isfile(content_path):
-        Image.fromarray((demo_content_image() * 255).astype(np.uint8)).save(content_path)
+        _write_atomic(content_path, demo_content_image())
     if not os.path.isfile(style_path):
-        Image.fromarray((demo_style_image() * 255).astype(np.uint8)).save(style_path)
+        _write_atomic(style_path, demo_style_image())
     return {"content": content_path, "style": style_path}

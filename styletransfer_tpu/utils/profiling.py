@@ -43,7 +43,13 @@ class StepTimer:
         self.items_per_step = items_per_step
         self.skip = skip
         self._count = 0
-        self._t0: Optional[float] = None
+        # skip=0 means "time every step": the clock starts at
+        # construction (create the timer right before the loop), since
+        # there is no completed warmup step to anchor it to — previously
+        # skip=0 never started the clock and rate() was NaN forever.
+        self._t0: Optional[float] = (
+            time.perf_counter() if skip == 0 else None
+        )
 
     def step(self) -> None:
         self._count += 1
